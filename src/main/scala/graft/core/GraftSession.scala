@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Mirrors the reference's session settings (UTC everywhere, ANSI off so
+  * casts behave like BigQuery SAFE_CAST-adjacent semantics; see
+  * reference `src/historical_bucket_to_bq.py:31-47`) while sizing shuffle
+  * parallelism for the actual cluster rather than the 200 default.
+  */
+object GraftSession {
+
+  /** Build a local session. `cores` drives both the master thread count
+    * and `spark.sql.shuffle.partitions` — at 100 TB on a real cluster the
+    * same builder is used minus `.master`, with shuffle partitions sized
+    * ~2-3x total executor cores (AQE coalesces the rest).
+    */
+  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply engine-required confs to an externally built session (the
+    * driver's Verify/Bench mains own their builder). Idempotent.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

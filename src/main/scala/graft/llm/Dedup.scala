@@ -1,0 +1,178 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.roundDet
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB): every variant is
+  *   map (signatures, expression-only) → explode small-fanout keys →
+  *   one hash-shuffle on the bucket key → per-bucket pair generation.
+  * Candidate pairs are generated ONLY within LSH buckets, never by global
+  * cross join; bucket keys are high-cardinality hashes so the shuffle is
+  * uniform (band index is part of the key, which also spreads hot shingles).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct text hash with the surviving
+    * (minimum) id and the duplicate count. A single hash-shuffle on the
+    * 128-bit content hash; at 100 TB, hash first so the shuffle carries a
+    * 32-byte key instead of the document body.
+    */
+  def exactGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one row per distinct text (the minimum id), preserving all
+    * original columns: groups → semi-join back on the surviving id.
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of a token array, as an array column.
+    * Documents shorter than n yield a single whole-text shingle so they
+    * still participate.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family is xxhash64 seeded by the hash index — deterministic
+    * across runs and executors. Expression-only (codegen'd map).
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr, sh => xxhash64(i, sh))))
+
+  /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
+    * rows, each band hashed to one 64-bit key. Two docs sharing any band
+    * key are candidates. Returned as array<struct<band:int, bh:bigint>>.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bh")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH.
+    *
+    * @param df         input with `idCol` and `textCol`
+    * @param numHashes  k (signature length) = bands * rowsPerBand
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is the
+    *         signature agreement rate.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(shingles(TextAnalysis.tokens(col(textCol)), shingleN), k)
+          .as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // pairs within a bucket; distinct across bands
+    val a = buckets.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.select(col("id_a"), col("id_b"),
+      roundDet(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        v => v)).cast("double") / k, 4).as("est_jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: per-bit majority vote over
+    * xxhash64(token). Near-duplicates have small Hamming distance.
+    * Expression-only; one codegen'd projection.
+    */
+  def simhash64(toks: Column): Column = {
+    // hash each token once, then take 64 per-bit majority votes; the bit
+    // index is a Scala-level constant so shiftright's Int overload applies
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { i =>
+      when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc +
+            when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
+        lit(1L << i)).otherwise(0L)
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four
+    * 16-bit chunks (any chunk equal → candidate; catches all pairs with
+    * Hamming distance ≤ 3 by pigeonhole), then verify with bit_count.
+    */
+  def simhashCandidates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val chunked = sigs.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*))
+        .as("ck"))
+      .select(col("id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.ch").as("ch"))
+    val a = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity for pairs sharing at least one
+    * shingle. The shingle equi-join IS the blocking step: only documents
+    * with a common shingle meet, so the shuffle is bounded by shingle
+    * posting-list sizes (cap hot shingles upstream if the corpus has
+    * boilerplate). Output: (id_a, id_b, jaccard) with jaccard ≥ minJaccard.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("sh"), col("id").as("id_a"))
+    val b = sh.select(col("sh"), col("id").as("id_b"))
+    val shared = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        roundDet(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.roundDet
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one map-side pass over the corpus plus a
+  *    per-query top-k (window over a shuffle keyed by query id). This is
+  *    the correctness baseline and is also the right plan at 100 TB when
+  *    the query set is small: the corpus is never shuffled, only the
+  *    (query × k) candidates are.
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — corpus and queries are
+  *    bucketed by an nBits-bit sketch; candidates are generated only
+  *    within matching buckets, so the join is a hash-shuffle on the
+  *    bucket key instead of a cross product. Recall is tunable via
+  *    nBits/nTables.
+  *
+  * All arithmetic is done in double after an explicit cast so results are
+  * deterministic and match a double-precision oracle.
+  */
+object Similarity {
+
+  /** dot(a, b) for array<double> columns — sequential fold, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the full embedding table
+    * @param queries (idCol, vecCol) — small; broadcast
+    * @return query_id, rank (1-based), neighbor_id, cos_sim (rounded)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        roundDet(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component w[bit][j], derived
+    * from xxhash64 so every executor materializes the same planes without
+    * any broadcast state: uniform in [-1, 1].
+    */
+  private def planeComponent(table: Int, bit: Int, j: Column): Column =
+    xxhash64(lit(table), lit(bit), j).cast("double") / lit(Long.MaxValue.toDouble)
+
+  /** nBits-bit sign sketch of a vector for one hash table. */
+  def signSketch(vec: Column, nBits: Int, table: Int = 0): Column = {
+    val idx = sequence(lit(0), size(vec) - 1)
+    val bitCols = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, idx, (x, j) => x * planeComponent(table, b, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << b)).otherwise(0L)
+    }
+    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Approximate top-k via multi-table sign-LSH bucketing. Corpus rows are
+    * sketched into `nTables` buckets (explode factor = nTables); queries
+    * likewise; the candidate join is on (table, bucket). Falls back to
+    * fewer than k results for queries whose buckets are sparse — standard
+    * ANN semantics.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 12, nTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(col(idCol).as(id), v.as(vec),
+          explode(array((0 until nTables).map(t =>
+            struct(lit(t).as("tbl"), signSketch(v, nBits, t).as("bucket"))): _*))
+            .as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "cvec")
+    val q = bucketed(queries, "query_id", "qvec")
+    val candidates = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        roundDet(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine: block on a coarse sign
+    * sketch (two vectors with cosine ≥ minCos almost surely agree on a
+    * low-bit sketch in at least one table), verify exactly.
+    */
+  def cosineDupPairs(df: DataFrame, minCos: Double = 0.95,
+      nBits: Int = 8, nTables: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sk = df.select(col(idCol).as("id"), v.as("vec"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("tbl"), signSketch(v, nBits, t).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = sk.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sk.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        roundDet(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

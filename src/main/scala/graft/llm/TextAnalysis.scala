@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.roundDet
+
+/** Text-analysis operators for LLM training-data pipelines.
+  *
+  * All operators are pure Catalyst expression trees (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with input splits — at
+  * 100 TB these run as a single map stage over the parquet scan with zero
+  * shuffle.
+  */
+object TextAnalysis {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, single punctuation. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Per-document statistics: char/token counts, average token length,
+    * stopword ratio. One projection, no shuffle.
+    */
+  def textStats(df: DataFrame, textCol: String = "text",
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    df.withColumn("char_count", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        roundDet((length(col(textCol)) - (nTokens - 1)).cast("double") / nTokens, 4))
+      .withColumn("stopword_ratio",
+        roundDet(nStop.cast("double") / nTokens, 4))
+  }
+
+  /** Quality score in [0,1]: favors documents that are long enough and not
+    * stopword-soup; the shape (bounded length term × content term) follows
+    * the usual C4/Gopher-style heuristics.
+    */
+  def qualityScore(nTokens: Column, stopwordRatio: Column): Column =
+    roundDet(least(nTokens.cast("double") / 100.0, lit(1.0)) *
+      (lit(1.0) - stopwordRatio), 4)
+
+  /** Language-marker profiles: tiny per-language stopword sets. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "que", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  /** N-gram-heuristic language ID: score = #tokens matching each language's
+    * marker set; argmax with deterministic tie-break; "und" when no marker
+    * hits. Pure expressions — a codegen'd map over the scan.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangProfiles.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = element_at(sort_array(array(scored: _*), asc = false), 1)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — a
+    * canonical bag-of-words signature (word-order-insensitive), the cheap
+    * first stage before MinHash in a dedup cascade.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Polynomial rolling hash over tokens (order-sensitive), base 31 mod
+    * 2^64 via Horner's rule — the classic Rabin-Karp document signature.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.roundDet
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-data-pipeline operator coverage (BASELINE.json extensions) over the
+  * `documents` and `embeddings` tables. Queries without an oracle entry
+  * (MinHash/SimHash/LSH — their hash families aren't expressible in
+  * DuckDB SQL) get the driver's rows-only check and are additionally
+  * pinned by ScalaTest specs on synthesized near-duplicate fixtures.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup groups: content-hash → survivor + multiplicity
+    "x_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir))),
+
+    // per-document text statistics (single codegen'd projection)
+    "x_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(docs(s, dir))
+        .select("doc_id", "char_count", "n_tokens", "avg_token_len",
+          "stopword_ratio")),
+
+    // quality scoring on top of the stats
+    "x_quality_score" -> ((s, dir) =>
+      TextAnalysis.textStats(docs(s, dir))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio"))
+            .as("quality"))),
+
+    // regex (BPE-ish) token counting + distinct-token counts
+    "x_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_re_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+          .as("n_distinct_words"))),
+
+    // canonical bag-of-words fingerprint (md5 of sorted distinct tokens)
+    "x_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // language-ID heuristic (no SQL oracle: marker-profile argmax)
+    "x_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))),
+
+    // n-gram Jaccard near-dup pairs (shingle-join blocking, exact verify)
+    "x_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2)),
+
+    // MinHash+LSH candidates (rows-only: xxhash64 family)
+    "x_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir))),
+
+    // SimHash signatures (rows-only: xxhash64 family)
+    "x_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))),
+
+    // embedding stats — dims, L2 norm, mean component
+    "x_embed_stats" -> ((s, dir) =>
+      embs(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        roundDet(Similarity.l2Norm(col("embedding").cast("array<double>")), 6)
+          .as("l2_norm"),
+        roundDet(
+          aggregate(col("embedding").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x) / size(col("embedding")), 6).as("mean_comp"))),
+
+    // exact cosine top-k for a fixed probe set (vec_id < 8)
+    "x_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // LSH-bucketed approximate variant (rows-only: hash-derived planes)
+    "x_cosine_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        nBits = 6, nTables = 8)
+    }),
+
+    // embedding near-dup pairs (rows-only; exact-verified cosine ≥ 0.95)
+    "x_embed_dup_pairs" -> ((s, dir) =>
+      Similarity.cosineDupPairs(embs(s, dir), minCos = 0.9)),
+
+    // multimodal payload plumbing: metadata-only projection of a
+    // binary-carrying table (byte counts through the binary path)
+    "x_multimodal_bytes" -> ((s, dir) =>
+      graft.llm.Multimodal.withSyntheticPayload(docs(s, dir))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          ceil(octet_length(col("payload")) / 65536.0).cast("long")
+            .as("n_chunks")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+         count(*)::BIGINT AS n_dups FROM documents GROUP BY 1""",
+
+    "x_text_stats" ->
+      """SELECT doc_id, length(text)::BIGINT AS char_count,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         floor((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len,
+         floor(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+               / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stopword_ratio
+         FROM documents""",
+
+    "x_quality_score" ->
+      """SELECT doc_id,
+         floor(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) *
+           (1.0 - floor(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
+           * 10000 + 0.5) / 10000 AS quality
+         FROM documents""",
+
+    "x_token_counts" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+           AS n_re_tokens,
+         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words
+         FROM documents""",
+
+    "x_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp FROM documents""",
+
+    "x_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS sh
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
+             / 10000 AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
+             / 10000 >= 0.2""",
+
+    "x_embed_stats" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dim,
+         floor(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           * 1000000 + 0.5) / 1000000 AS l2_norm,
+         floor(list_sum(embedding::DOUBLE[]) / len(embedding) * 1000000 + 0.5) / 1000000 AS mean_comp
+         FROM embeddings""",
+
+    "x_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS cos_raw
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+           floor(cos_raw * 1000000 + 0.5) / 1000000 AS cos_sim
+         FROM ranked WHERE rank <= 5""",
+
+    "x_multimodal_bytes" ->
+      """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+         ceil(octet_length(text::BLOB) / 65536.0)::BIGINT AS n_chunks
+         FROM documents"""
+  )
+}

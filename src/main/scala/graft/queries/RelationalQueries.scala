@@ -1,0 +1,435 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY §2.1–§2.9, §2.11) expressed over
+  * the driver's synthetic star schema. Each query is the idiomatic Spark
+  * form of a reference operator, named `<operator-id>_<what>`; the paired
+  * DuckDB oracle lives in [[oracles]] with identical output column names.
+  *
+  * Determinism rules (the driver hash-compares values after sorting):
+  *  - double aggregates are rounded to a fixed scale on both sides;
+  *  - int-valued derivations are cast to BIGINT on both sides;
+  *  - event timestamps (ns in parquet, µs in Spark) are truncated to
+  *    seconds before being output.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 — projection + rename (stg_station_status shape,
+    // reference models/staging/stg_station_status.sql:4-34)
+    "p1_project_rename" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("return_flag"))
+    }),
+
+    // P2 — star + computed columns (stg_historic_trips shape,
+    // reference models/staging/stg_historic_trips.sql:21-25)
+    "p2_computed_columns" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("date_int", dateInt(col("o_orderdate")))
+        .withColumn("price_r", roundDet(col("o_totalprice"), 2))
+        .select("o_orderkey", "order_date", "order_year", "date_int", "price_r")
+    }),
+
+    // P4 — null-drop filter (dropna, reference src/historical_bucket_to_bq.py:76)
+    "p4_null_drop" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang_nn", expr("nullif(lang, 'en')"))
+        .na.drop(Seq("lang_nn"))
+        .select("doc_id", "lang_nn")
+    }),
+
+    // P7 — typed casts incl. SAFE_CAST→try_cast
+    // (reference models/staging/stg_station_tariffs.sql:20-26)
+    "p7_casts" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        col("p_size").cast("double").as("size_d"),
+        col("p_size").cast("string").as("size_s"),
+        expr("try_cast(p_brand AS double)").as("brand_num"))
+    }),
+
+    // W1+P5 — latest-row-per-key via row_number, keep rn=1
+    // (reference models/facts/fact_station_status_latest.sql:14-17,32)
+    "w1_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"),
+          col("event_type"))
+    }),
+
+    // P6/J5/D4 — incremental NOT IN == left_anti append filter
+    // (reference models/facts/fact_station_status.sql:30-32)
+    "p6_incremental_anti_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+        .select("o_orderkey")
+      orders.join(existing, Seq("o_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // J1 — left equi-join + coalesce default
+    // (reference models/facts/fact_station_status.sql:25,28)
+    "j1_left_join_enrich" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val richCust = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      orders.join(richCust, orders("o_custkey") === richCust("c_custkey"), "left")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+    }),
+
+    // J2+A1 — inner join + grouped sums + safe ratio (mart shape,
+    // reference models/marts/mart_station_availability.sql:12-17)
+    "j2_join_agg_mart" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          roundDet(avg(col("l_quantity")), 4).as("avg_qty"))
+    }),
+
+    // J3+A4 — customers ⟕ per-customer order aggregates + coalesce(…,0)
+    // (reference models_demo/customers.sql:1-11, stg_customer_orders.sql:1-10)
+    "j3_customers_order_stats" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(to_date(col("o_orderdate"))).as("first_order"),
+          max(to_date(col("o_orderdate"))).as("most_recent_order"),
+          count(col("o_orderkey")).as("number_of_orders"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          col("first_order"),
+          col("most_recent_order"),
+          coalesce(col("number_of_orders"), lit(0L)).as("number_of_orders"))
+    }),
+
+    // G1/J6 — UNNEST: explode array into one row per element
+    // (reference models/staging/stg_station_status.sql:10)
+    "g1_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    }),
+
+    // G3 — date spine: sequence(min,max) + explode + date parts
+    // (reference models/dimensions/dim_date.sql:7-30)
+    "g3_dim_date" -> ((s, dir) => {
+      val bounds = t(s, dir, "orders").agg(
+        min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      bounds
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("date_key"))
+        .select(
+          col("date_key"),
+          year(col("date_key")).cast("long").as("year"),
+          month(col("date_key")).cast("long").as("month"),
+          dayofmonth(col("date_key")).cast("long").as("day"),
+          dayofweek(col("date_key")).cast("long").as("day_of_week"),
+          dateInt(col("date_key")).as("date_int"))
+    }),
+
+    // A1 — grouped sums + SAFE_DIVIDE ratio
+    // (reference models/facts/fact_station_uptime.sql:26-35)
+    "a1_grouped_ratio" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          countIf(col("l_quantity") > 25).as("n_high"),
+          count(lit(1)).as("n_total"))
+        .withColumn("high_ratio", roundedRatio(col("n_high"), col("n_total"), 6))
+    }),
+
+    // A2 — COUNT(*) + COUNTIF family
+    // (reference models/marts/mart_station_uptime.sql:9-18)
+    "a2_countif" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countIf(col("value") > 100).as("n_high"),
+          countIf(col("user_id") % 2 === 0).as("n_even_user"))
+        .withColumn("high_ratio", roundedRatio(col("n_high"), col("n"), 3))
+    }),
+
+    // A3 — count/avg/conditional-sum per composite key
+    // (reference models/marts/mart_trip_metrics.sql:3-13)
+    "a3_trip_metrics" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .groupBy(col("order_date"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          roundDet(avg(col("o_totalprice")), 2).as("avg_price"),
+          countIf(col("o_orderstatus") =!= "F").as("n_open"))
+    }),
+
+    // A5 — GROUP BY ordinal dedup (reference models/dimensions/dim_tariff.sql:3-5)
+    "a5_group_by_ordinal" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT p_brand, p_type, p_size FROM part GROUP BY 1, 2, 3")
+        .withColumn("p_size", col("p_size").cast("long"))
+    }),
+
+    // A6 — SELECT DISTINCT dedup (reference models/dimensions/dim_stations.sql:6-18)
+    "a6_distinct" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_brand"), col("p_type")).distinct()
+    }),
+
+    // A7 — scalar subquery + coalesce fallback
+    // (reference models/dimensions/dim_date.sql:7-13)
+    "a7_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= coalesce(
+          (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'X'),
+          timestamp'2000-01-01 00:00:00')
+      """)
+    }),
+
+    // A8-analog — batch dedup on (key, second-truncated event time)
+    // (streaming dropDuplicates, reference src/realtime_pubsub_to_spark.py:153)
+    "a8_event_dedup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+        .groupBy(col("user_id"), col("ts_s"))
+        .agg(min(col("event_id")).as("event_id"), count(lit(1)).as("n_in_key"))
+    }),
+
+    // md5/concat surrogate keys (reference models/facts/fact_trips.sql:9-16)
+    "f_md5_surrogate_key" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        surrogateKey(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          to_date(col("o_orderdate"))).as("order_sk"))
+    }),
+
+    // datetime cluster: epoch seconds, hour truncation, to_date
+    // (reference models/staging/stg_station_status.sql:17,31 + §2.9)
+    "f_datetime" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        expr("ts_ns div 1000000000").as("epoch_s"),
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        to_date(col("ts")).as("ts_day"),
+        timestamp_seconds(epochSeconds(col("ts"))).as("ts_roundtrip"))
+    }),
+
+    // JSON extraction (reference models/staging/stg_station_information.sql:26-37)
+    "f_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("absent"))
+    }),
+
+    // D7 — schema tests compiled to violation counts
+    // (reference models/staging/schema.yml, models_demo/schema.yml)
+    "d7_schema_tests" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      val notNull = orders.filter(col("o_orderkey").isNull)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("not_null_orders_o_orderkey").as("test_name"), col("violations"))
+      val unique = orders.groupBy(col("o_orderkey")).count()
+        .filter(col("count") > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("unique_orders_o_orderkey").as("test_name"), col("violations"))
+      val accepted = orders
+        .filter(col("o_orderstatus").isNotNull &&
+          !col("o_orderstatus").isin("F", "O", "P"))
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("accepted_values_o_orderstatus").as("test_name"), col("violations"))
+      val relationships = li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("relationships_lineitem_orders").as("test_name"), col("violations"))
+      val fkCust = orders.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("relationships_orders_customer").as("test_name"), col("violations"))
+      notNull.union(unique).union(accepted).union(relationships).union(fkCust)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_project_rename" ->
+      """SELECT l_orderkey AS order_key, l_linenumber::BIGINT AS line_no,
+         l_quantity AS qty, l_returnflag AS return_flag FROM lineitem""",
+
+    "p2_computed_columns" ->
+      """SELECT o_orderkey, o_orderdate::DATE AS order_date,
+         extract(year FROM o_orderdate)::BIGINT AS order_year,
+         strftime(o_orderdate, '%Y%m%d') AS date_int,
+         floor(o_totalprice * 100 + 0.5) / 100 AS price_r FROM orders""",
+
+    "p4_null_drop" ->
+      """SELECT doc_id, nullif(lang, 'en') AS lang_nn FROM documents
+         WHERE nullif(lang, 'en') IS NOT NULL""",
+
+    "p7_casts" ->
+      """SELECT p_partkey, p_size::DOUBLE AS size_d, p_size::VARCHAR AS size_s,
+         try_cast(p_brand AS DOUBLE) AS brand_num FROM part""",
+
+    "w1_latest_per_key" ->
+      """SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, event_type
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+
+    "p6_incremental_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderdate < DATE '1998-01-01')""",
+
+    "j1_left_join_enrich" ->
+      """SELECT o.o_orderkey, coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+         FROM orders o LEFT JOIN
+           (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+         ON o.o_custkey = c.c_custkey""",
+
+    "j2_join_agg_mart" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+         floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+         floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "j3_customers_order_stats" ->
+      """SELECT c_custkey, c_name, first_order, most_recent_order,
+         coalesce(number_of_orders, 0)::BIGINT AS number_of_orders
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, min(o_orderdate::DATE) AS first_order,
+                   max(o_orderdate::DATE) AS most_recent_order,
+                   count(o_orderkey)::BIGINT AS number_of_orders
+            FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey""",
+
+    "g1_explode_tokens" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents""",
+
+    "g3_dim_date" ->
+      """WITH b AS (SELECT min(o_orderdate)::DATE AS lo, max(o_orderdate)::DATE AS hi
+                    FROM orders),
+         days AS (SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                    INTERVAL 1 DAY)) AS d FROM b)
+         SELECT d::DATE AS date_key,
+           extract(year FROM d)::BIGINT AS year,
+           extract(month FROM d)::BIGINT AS month,
+           extract(day FROM d)::BIGINT AS day,
+           (extract(dow FROM d) + 1)::BIGINT AS day_of_week,
+           strftime(d, '%Y%m%d') AS date_int
+         FROM days""",
+
+    "a1_grouped_ratio" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+         count(*)::BIGINT AS n_total,
+         floor(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS high_ratio
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "a2_countif" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+         sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_even_user,
+         floor(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*)::DOUBLE * 1000 + 0.5) / 1000 AS high_ratio
+         FROM events GROUP BY event_type""",
+
+    "a3_trip_metrics" ->
+      """SELECT o_orderdate::DATE AS order_date, o_orderpriority,
+         count(*)::BIGINT AS n_orders,
+         floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_price,
+         sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)::BIGINT AS n_open
+         FROM orders GROUP BY 1, 2""",
+
+    "a5_group_by_ordinal" ->
+      "SELECT p_brand, p_type, p_size::BIGINT AS p_size FROM part GROUP BY 1, 2, 3",
+
+    "a6_distinct" ->
+      "SELECT DISTINCT p_brand, p_type FROM part",
+
+    "a7_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderdate >= coalesce(
+           (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'X'),
+           TIMESTAMP '2000-01-01 00:00:00')""",
+
+    "a8_event_dedup" ->
+      """SELECT user_id, date_trunc('second', ts) AS ts_s,
+         min(event_id) AS event_id, count(*)::BIGINT AS n_in_key
+         FROM events GROUP BY 1, 2""",
+
+    "f_md5_surrogate_key" ->
+      """SELECT o_orderkey,
+         md5(o_orderkey::VARCHAR || o_orderstatus || (o_orderdate::DATE)::VARCHAR)
+           AS order_sk FROM orders""",
+
+    "f_datetime" ->
+      """SELECT event_id, floor(epoch(ts))::BIGINT AS epoch_s,
+         date_trunc('hour', ts) AS ts_hour, ts::DATE AS ts_day,
+         to_timestamp(floor(epoch(ts))::BIGINT)::TIMESTAMP AS ts_roundtrip
+         FROM events""",
+
+    "f_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+         json_extract_string(props, '$.k')::BIGINT AS k_num,
+         json_extract_string(props, '$.missing') AS absent FROM events""",
+
+    "d7_schema_tests" ->
+      """SELECT 'not_null_orders_o_orderkey' AS test_name,
+              count(*) FILTER (WHERE o_orderkey IS NULL)::BIGINT AS violations
+         FROM orders
+       UNION ALL
+       SELECT 'unique_orders_o_orderkey', count(*)::BIGINT FROM
+         (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+       UNION ALL
+       SELECT 'accepted_values_o_orderstatus',
+              count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('F','O','P'))::BIGINT
+         FROM orders
+       UNION ALL
+       SELECT 'relationships_lineitem_orders', count(*)::BIGINT FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       UNION ALL
+       SELECT 'relationships_orders_customer', count(*)::BIGINT FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"""
+  )
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scans over the driver's synthetic star schema (`TESTDATA.md`) and the
+  * reference's file formats.
+  *
+  * Source operators per SURVEY §2.1:
+  *  - S1 parquet table source (reference `models/src/sources.yml:5-23`)
+  *  - S3 multiline/recursive JSON scan (`src/pyspark_gbfs_raw_load.py:94-98`)
+  *  - S4 CSV scan with header+inferSchema (`src/historical_bucket_to_bq.py:57-62`)
+  *
+  * All reads are plain format scans: Catalyst owns predicate pushdown and
+  * column pruning, so callers `.select`/`.filter` freely and the parquet
+  * reader only materializes what the plan needs.
+  */
+object Tables {
+
+  /** S1 — parquet table scan rooted at a scale-factor dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long (legacy conf)
+    * and surface BOTH a µs `ts` (TimestampType, truncated) and the exact
+    * `ts_ns` epoch-nanos for precision-sensitive ordering. Integer `div`
+    * (not double /) — epoch nanos exceed double's 53-bit mantissa.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** S3 — whole-file JSON scan, as the GBFS archive loader reads feed
+    * snapshots (reference `src/pyspark_gbfs_raw_load.py:94-98`).
+    */
+  def jsonArchive(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("multiLine", "true")
+      .option("recursiveFileLookup", "true")
+      .json(path)
+
+  /** S4 — CSV scan with header + schema inference, as the historic-trips
+    * loader (reference `src/historical_bucket_to_bq.py:57-62`). At 100 TB
+    * inferSchema is a full extra pass; prefer `csvWithSchema`.
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** S4 at scale — explicit schema, single pass. */
+  def csvWithSchema(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.option("header", "true").schema(ddl).csv(path)
+
+  /** Register every synthetic table as a temp view so `spark.sql` queries
+    * (scalar subqueries, ordinal group-by) can name them like the oracle.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+}
