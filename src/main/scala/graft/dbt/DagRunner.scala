@@ -1,0 +1,144 @@
+package graft.dbt
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Model registry + DAG executor: the Spark-native replacement for dbt's
+  * parse/plan/execute lifecycle (SURVEY §3.1 stages 1-3).
+  *
+  * Registration order is irrelevant; execution is topological over
+  * declared deps (D6). Materialization decides the persistence boundary
+  * (D1-D4): only Table/Incremental cross a write — everything else stays
+  * a lazy Catalyst plan, so ephemeral/view chains fuse into their
+  * consumers exactly like dbt's ephemeral CTE inlining, with predicate
+  * pushdown and column pruning across model boundaries for free.
+  */
+final class ModelRegistry {
+  private val models = mutable.LinkedHashMap.empty[String, Model]
+
+  def register(m: Model): this.type = {
+    require(!models.contains(m.name), s"duplicate model ${m.name}")
+    models += m.name -> m
+    this
+  }
+
+  def apply(name: String): Model =
+    models.getOrElse(name, sys.error(s"unknown model $name"))
+  def all: Seq[Model] = models.values.toSeq
+
+  /** Kahn topo-sort; deterministic (registration order among ready nodes);
+    * cycles are a hard error.
+    */
+  def topoOrder: Seq[String] = {
+    val indeg = mutable.LinkedHashMap(models.keys.map(_ -> 0).toSeq: _*)
+    for (m <- models.values; d <- m.deps if models.contains(d)) indeg(m.name) += 1
+    val ready = mutable.Queue(indeg.collect { case (n, 0) => n }.toSeq: _*)
+    val out = mutable.ArrayBuffer.empty[String]
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      out += n
+      for (m <- models.values if m.deps.contains(n) && models.contains(m.name)) {
+        indeg(m.name) -= 1
+        if (indeg(m.name) == 0) ready += m.name
+      }
+    }
+    require(out.size == models.size,
+      s"cycle among ${models.keySet.diff(out.toSet).mkString(", ")}")
+    out.toSeq
+  }
+}
+
+/** Executes a registry against a warehouse directory.
+  *
+  * @param sources   (sourceName, tableName) → raw relation (S1/S2)
+  * @param warehouse dir for Table/Incremental parquet; layout is
+  *                  `<warehouse>/<model>` — at cluster scale point this at
+  *                  object storage and nothing else changes.
+  */
+final class DagRunner(
+    spark: SparkSession,
+    registry: ModelRegistry,
+    sources: (String, String) => DataFrame,
+    warehouse: String,
+    config: EngineConfig = EngineConfig()) {
+
+  private val built = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def path(name: String) = s"$warehouse/$name"
+
+  private def exists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def resolve(name: String): DataFrame =
+    built.getOrElse(name, sys.error(s"model $name not built yet"))
+
+  /** Run the full DAG (or a sub-selection plus its upstreams). Returns the
+    * materialized relation per model. Test failures raise after the full
+    * report is computed.
+    */
+  def run(select: Seq[String] = Nil, runTests: Boolean = true)
+      : Map[String, DataFrame] = {
+    val wanted: Set[String] =
+      if (select.isEmpty) registry.all.map(_.name).toSet
+      else {
+        val closure = mutable.Set.empty[String]
+        def visit(n: String): Unit = if (closure.add(n))
+          registry(n).deps.foreach(visit)
+        select.foreach(visit)
+        closure.toSet
+      }
+    val failures = mutable.ArrayBuffer.empty[(String, Long)]
+
+    for (name <- registry.topoOrder if wanted(name)) {
+      val m = registry(name)
+      val self =
+        if (m.materialization.isInstanceOf[Materialization.Incremental] &&
+          exists(name)) Some(spark.read.parquet(path(name)))
+        else None
+      val ctx = ModelContext(spark, config, sources, resolve, self)
+      val df = m.build(ctx)
+
+      val materialized = m.materialization match {
+        case Materialization.Ephemeral => df
+        case Materialization.View =>
+          df.createOrReplaceTempView(name); df
+        case Materialization.Table =>
+          df.write.mode("overwrite").parquet(path(name))
+          spark.read.parquet(path(name))
+        case Materialization.Incremental(key) =>
+          self match {
+            case None =>
+              df.write.mode("overwrite").parquet(path(name))
+            case Some(existing) =>
+              // append-only-new-keys guard (D4); the reference models
+              // already NOT-IN-filter, this keeps the contract even if a
+              // model forgets. Write to a staging dir first: appending
+              // while `existing` still lazily reads the same files would
+              // race the scan.
+              val newRows = df.join(existing.select(col(key)), Seq(key), "left_anti")
+              val staged = path(name) + "__delta"
+              newRows.write.mode("overwrite").parquet(staged)
+              spark.read.parquet(staged).write.mode("append").parquet(path(name))
+              val fs = new org.apache.hadoop.fs.Path(staged)
+                .getFileSystem(spark.sessionState.newHadoopConf())
+              fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+          }
+          spark.read.parquet(path(name))
+      }
+      built(name) = materialized
+
+      if (runTests && m.tests.nonEmpty)
+        SchemaTest.report(name, m.tests, materialized, resolve)
+          .foreach { case (t, n) => if (n > 0) failures += ((t, n)) }
+    }
+
+    if (failures.nonEmpty)
+      sys.error("schema tests failed: " +
+        failures.map { case (t, n) => s"$t($n)" }.mkString(", "))
+    built.toMap
+  }
+}

@@ -1,0 +1,67 @@
+package graft.dbt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** dbt-runtime semantics re-expressed for Spark (SURVEY §2.11, §3.1).
+  *
+  * A [[Model]] is what a dbt SQL file + its `config()` block is in the
+  * reference (`/root/reference/models/`): a named, dependency-declaring
+  * builder from upstream relations to a DataFrame, with a materialization
+  * class. The Jinja surface maps as:
+  *   - `source(src, tbl)`  → [[ModelContext.source]]
+  *   - `ref(name)`         → [[ModelContext.ref]]
+  *   - `{{ this }}`        → [[ModelContext.self]] (D5)
+  *   - `is_incremental()`  → [[ModelContext.isIncremental]]
+  *   - `env_var(k)`        → [[EngineConfig.env]]
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    build: ModelContext => DataFrame,
+    tests: Seq[SchemaTest] = Nil)
+
+/** Materialization classes, `dbt_project.yml:41-77`. */
+sealed trait Materialization
+object Materialization {
+  /** D1 — compiled into consumers, never persisted (Catalyst inlines). */
+  case object Ephemeral extends Materialization
+  /** D2 — recomputed on read; registered as a temp view. */
+  case object View extends Materialization
+  /** D3 — full refresh: overwrite parquet, downstream reads the files. */
+  case object Table extends Materialization
+  /** D4 — first run full build; later runs append rows whose `uniqueKey`
+    * is not yet present (the reference's NOT-IN models make this
+    * pure-append; the runner still left_anti-guards on the key).
+    */
+  final case class Incremental(uniqueKey: String) extends Materialization
+}
+
+/** What a model body can see while building. */
+final case class ModelContext(
+    spark: SparkSession,
+    config: EngineConfig,
+    sourceResolver: (String, String) => DataFrame,
+    refResolver: String => DataFrame,
+    self: Option[DataFrame]) {
+  def source(src: String, table: String): DataFrame = sourceResolver(src, table)
+  def ref(name: String): DataFrame = refResolver(name)
+  def isIncremental: Boolean = self.isDefined
+}
+
+/** Engine configuration: the reference's `env_var()` lookups
+  * (`models/src/sources.yml:8,18`) plus an injectable clock so
+  * `current_date()`-dependent models (dim_date) are testable
+  * (SURVEY §7.4 risk 2).
+  */
+final case class EngineConfig(
+    env: Map[String, String] = Map.empty,
+    today: Option[java.time.LocalDate] = None) {
+  def envVar(key: String, default: String = ""): String =
+    env.getOrElse(key, default)
+  /** Column for "now's date": pinned if injected, else current_date(). */
+  def currentDate: org.apache.spark.sql.Column = today match {
+    case Some(d) => org.apache.spark.sql.functions.lit(d.toString).cast("date")
+    case None    => org.apache.spark.sql.functions.current_date()
+  }
+}

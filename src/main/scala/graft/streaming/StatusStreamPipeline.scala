@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.gbfs.GbfsSchemas
+
+/** The reference's real-time pipeline (SURVEY §2.10 ST1-ST6, §3.3),
+  * Pub/Sub swapped for any unbounded source of byte payloads — the
+  * engine's contract is "streaming DataFrame with a binary `data`
+  * column"; tests drive it from MemoryStream, production from
+  * Kafka/files, with identical semantics.
+  *
+  * Plan shape per micro-batch: parse → explode → flatten (narrow) →
+  * watermark+dedup (stateful, keyed by station_id+report_time, state
+  * expired past the 2-minute watermark) → stream-static broadcast join
+  * (no shuffle of the stream) → foreachBatch partitioned append.
+  */
+object StatusStreamPipeline {
+
+  val WatermarkDelay = "2 minutes"
+
+  /** ST-clean (reference `clean_data`, `realtime_pubsub_to_spark.py:121-156`):
+    * bytes → JSON → explode stations → flatten + epoch→timestamp →
+    * watermark → stateful dedup.
+    */
+  def clean(payloads: DataFrame): DataFrame =
+    payloads
+      .selectExpr("CAST(data AS STRING) AS json_payload")
+      .select(from_json(col("json_payload"), GbfsSchemas.stationStatus).as("j"))
+      .select(col("j.last_updated"), col("j.ttl"), col("j.version"),
+        explode(col("j.data.stations")).as("station"))
+      .select(
+        col("station.station_id").as("station_id"),
+        col("station.num_bikes_available").as("bikes_available"),
+        col("station.num_docks_available").as("docks_available"),
+        col("station.is_installed").as("is_installed"),
+        col("station.is_renting").as("is_renting"),
+        col("station.is_returning").as("is_returning"),
+        timestamp_seconds(col("station.last_reported")).as("report_time"),
+        col("last_updated"), col("ttl"), col("version"))
+      .withWatermark("report_time", WatermarkDelay)
+      .dropDuplicates("station_id", "report_time")
+
+  /** ST3 (reference `enrich_data`, `:162-186`): stream-static left join
+    * against explicitly broadcast station metadata. The static side is
+    * re-resolved per micro-batch by Spark; broadcasting keeps the
+    * streaming side shuffle-free.
+    */
+  def enrich(stream: DataFrame, stationInfo: DataFrame): DataFrame = {
+    val info = stationInfo
+      .select(col("meta.station_id").as("station_id"),
+        col("meta.name").as("station_name"),
+        col("meta.lat").as("latitude"),
+        col("meta.lon").as("longitude"),
+        col("meta.address").as("address"),
+        col("meta.capacity").as("station_capacity"))
+    stream.join(broadcast(info), Seq("station_id"), "left")
+  }
+
+  /** Static metadata loader for [[enrich]] (multiline JSON feed snapshot,
+    * reference `:164-167`).
+    */
+  def loadStationInfo(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiline", "true").json(path)
+      .selectExpr("explode(data.stations) AS meta")
+
+  /** ST5/S8/S9 (reference `write_stream`, `:192-220`): checkpointed
+    * foreachBatch sink appending day-partitioned, station-clustered
+    * parquet. Write failures stop every stream (at-least-once + external
+    * retry, matching the reference's `streams.stopAll(); sys.exit(1)` —
+    * minus the exit so tests can assert).
+    */
+  def start(df: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try {
+          batch
+            .withColumn("p_date", to_date(col("report_time")))
+            .sortWithinPartitions("station_id") // clustering analogue (S8)
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(outPath)
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[stream] batch $batchId failed: ${e.getMessage}")
+            batch.sparkSession.streams.active.foreach(_.stop())
+            throw e
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Full pipeline wiring (reference `main`, `:227-243`). */
+  def run(spark: SparkSession, payloads: DataFrame, stationInfoPath: String,
+      outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    start(
+      enrich(clean(payloads), loadStationInfo(spark, stationInfoPath)),
+      outPath, checkpoint, trigger)
+}

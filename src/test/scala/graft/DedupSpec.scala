@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Dedup operators on planted exact/near/unrelated duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the sun sets slowly behind distant purple mountains today"
+  private val nearDup = base.replace("purple", "crimson")
+  private val unrelated = "completely different content about spark " +
+    "engines shuffling data across wide clusters with hash partitioned joins"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to min id") {
+    val g = Dedup.exactGroups(docs)
+    assert(g.count() == 3)
+    val dup = g.filter(col("n_dups") === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.dropExactDuplicates(docs).count() == 3)
+  }
+
+  test("minhash LSH finds the near-duplicate pair, not the unrelated one") {
+    val pairs = Dedup.minhashCandidates(docs).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(keys.contains((0L, 1L))) // exact dup: always a candidate
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L))) // near dup
+    assert(!keys.contains((0L, 3L)) && !keys.contains((2L, 3L)))
+    val exact = pairs.find(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 1L).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("ngram jaccard is exact: identical=1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2).collect()
+    val m = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+      r.getAs[Double]("jaccard")).toMap
+    assert(m((0L, 1L)) == 1.0)
+    // one word changed in a 19-token doc: 17 trigrams, 3 affected
+    assert(m((0L, 2L)) > 0.5 && m((0L, 2L)) < 1.0)
+    assert(!m.contains((0L, 3L)))
+  }
+
+  test("simhash: hamming 0 for identical, small for near-dup, large otherwise") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) == 0)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+  }
+
+  test("simhashCandidates surfaces only close pairs") {
+    val c = Dedup.simhashCandidates(docs, maxHamming = 10).collect()
+    val keys = c.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(!keys.contains((0L, 3L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+
+/** Cosine similarity search: exact values, top-k ordering, LSH recall on
+  * identical/near-identical vectors.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // v0 ∥ v1 (identical), v2 orthogonal-ish, v3 = -v0
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+    (2L, Seq(0.0f, 3.0f, 0.0f, 1.0f)),
+    (3L, Seq(-1.0f, 0.0f, -2.0f, 0.0f)),
+    (4L, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: identical vector ranks first with cos 1.0") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 4)
+      .orderBy("rank").collect()
+    assert(top.length == 4)
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("cos_sim") == 1.0)
+    assert(top(3).getAs[Long]("neighbor_id") == 3L) // anti-parallel last
+    assert(top(3).getAs[Double]("cos_sim") == -1.0)
+  }
+
+  test("cosine matches hand computation") {
+    // cos(v0, v4) = (1+0+2+0) / (sqrt(5)*2) = 3 / (2*sqrt(5))
+    val expected = 3.0 / (2.0 * math.sqrt(5.0))
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 4)
+      .filter(col("neighbor_id") === 4L).head().getAs[Double]("cos_sim")
+    assert(math.abs(got - expected) < 1e-6)
+  }
+
+  test("lshTopK finds identical vectors (same sketch in every table)") {
+    val r = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      nBits = 4, nTables = 3)
+    val ids = r.select("neighbor_id").as[Long].collect().toSet
+    assert(ids.contains(1L))
+  }
+
+  test("cosineDupPairs reports the identical pair at cos 1.0") {
+    val p = Similarity.cosineDupPairs(vecs, minCos = 0.99)
+    val rows = p.collect()
+    assert(rows.exists(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 1L && r.getAs[Double]("cos_sim") == 1.0))
+    assert(!rows.exists(r => r.getAs[Long]("id_b") == 3L))
+  }
+}

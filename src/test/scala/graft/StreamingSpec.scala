@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StatusStreamPipeline
+
+/** ST1-ST6 on a MemoryStream standing in for Pub/Sub: watermarked stateful
+  * dedup (within and across micro-batches), late-data drop, stream-static
+  * broadcast enrichment, checkpointed day-partitioned foreachBatch sink.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T = GbfsFixtures.T1
+
+  private def envelope(lastUpdated: Long, stations: String*): String =
+    s"""{"feed_name": "station_status", "source_url": "mem://feed",
+        "last_updated": $lastUpdated, "ttl": 10, "version": "2.3",
+        "data": {"stations": [${stations.mkString(",")}]}}"""
+      .replaceAll("\n", " ")
+
+  private def writeInfoFile(): String = {
+    val dir = tmpDir("gbfs-info")
+    val json =
+      """{"last_updated": 1747000000, "ttl": 10, "version": "2.3",
+         "data": {"stations": [
+           {"station_id": "s1", "name": "Alpha", "lat": 59.9, "lon": 10.7,
+            "address": "A st", "capacity": 30},
+           {"station_id": "s2", "name": "Beta", "lat": 59.91, "lon": 10.71,
+            "address": "B st", "capacity": 20}]}}"""
+    Files.writeString(Paths.get(dir, "info.json"), json)
+    dir
+  }
+
+  test("streaming pipeline: dedup within+across batches, drop late, enrich, partition sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val payloads = mem.toDF().select(col("value").cast("binary").as("data"))
+
+    val out = tmpDir("stream-out")
+    val ckpt = tmpDir("stream-ckpt")
+    val enriched = StatusStreamPipeline.enrich(
+      StatusStreamPipeline.clean(payloads),
+      StatusStreamPipeline.loadStationInfo(spark, writeInfoFile()))
+    val q = StatusStreamPipeline.start(enriched, out, ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      // batch 1: s1+s2 at T, plus an exact duplicate of s1@T in-batch
+      mem.addData(
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T)),
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T),
+          GbfsFixtures.station("s2", 0, 20, reported = T)))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(out)
+      assert(afterB1.count() == 2) // in-batch dedup collapsed s1@T
+
+      // batch 2: duplicate s1@T again (cross-batch state hit), a fresh
+      // s1@T+60, and a very late s2@T-3600 (beyond the 2-min watermark)
+      mem.addData(
+        envelope(T + 60,
+          GbfsFixtures.station("s1", 5, 10, reported = T),
+          GbfsFixtures.station("s1", 6, 9, reported = T + 60),
+          GbfsFixtures.station("s2", 9, 9, reported = T - 3600)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 3) // only s1@T+60 added
+      val latest = rows.filter(col("report_time") ===
+        timestamp_seconds(lit(T + 60))).head()
+      assert(latest.getAs[String]("station_name") == "Alpha") // enriched
+      assert(latest.getAs[Long]("station_capacity") == 30L)
+      // day-partitioned layout (S8)
+      assert(Files.list(Paths.get(out)).toArray.map(_.toString)
+        .exists(_.contains("p_date=2025-05-11")))
+    } finally q.stop()
+  }
+}

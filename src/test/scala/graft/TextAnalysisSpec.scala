@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats counts chars/tokens and ratios") {
+    val df = Seq((0L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df).head()
+    assert(r.getAs[Long]("char_count") == 20L)
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    // token chars = 20 - 5 spaces = 15 → 2.5 avg
+    assert(r.getAs[Double]("avg_token_len") == 2.5)
+    // stopwords present: the, a → 2/6
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.3333) < 1e-9)
+  }
+
+  test("langId picks the marker-dominant language, und for none") {
+    val df = Seq(
+      (0L, "der hund und die katze ist nicht da"),
+      (1L, "the cat and the dog is in that house"),
+      (2L, "le chat et les chiens est dans une maison"),
+      (3L, "el perro y los gatos es que un dia"),
+      (4L, "zzz qqq www rrr")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "de")
+    assert(got(1L) == "en")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "es")
+    assert(got(4L) == "und")
+  }
+
+  test("fingerprint is word-order-insensitive; rollingHash is not") {
+    val df = Seq((0L, "alpha beta gamma"), (1L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    val rhs = df.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(rhs(0) != rhs(1))
+  }
+
+  test("regexTokens splits letters/digits/punctuation") {
+    val df = Seq((0L, "abc123, def!")).toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.regexTokens(col("text")))
+      .as[Seq[String]].head()
+    assert(toks == Seq("abc", "123", ",", "def", "!"))
+  }
+
+  test("qualityScore favors longer, content-heavy docs") {
+    val df = Seq(
+      (0L, Seq.fill(120)("word").mkString(" ")),
+      (1L, "the the the the the the the the the the"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.textStats(df)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(0L) == 1.0)
+    assert(s(1L) < 0.2)
+  }
+}
