@@ -1,0 +1,212 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the LLM-operator hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * CodegenFallback and evaluate their lambda per element through the
+  * interpreted path; worse, an expensive collection argument nested inside
+  * an outer lambda is re-evaluated once per outer element. A k=32 MinHash
+  * written with HOFs therefore rebuilds the shingle array 32× per row.
+  * These expressions replace those trees with single-pass loops over
+  * ArrayData — one interpreted call per ROW instead of per element.
+  * (CodegenFallback at this granularity is fine: the loop body is plain
+  * JVM code the JIT compiles.)
+  *
+  * Everything is deterministic pure-function-of-input, so results are
+  * stable across executors/retries — required for the driver's
+  * hash-compare and for shuffle-replay correctness at scale.
+  */
+object hashing {
+  /** splitmix64 finalizer — cheap well-mixed 64-bit permutation. */
+  @inline final def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** xxhash64 of a UTF8String with Spark's seed convention. */
+  @inline final def hashString(s: UTF8String, seed: Long): Long =
+    XxHash64Function.hash(s, StringType, seed)
+}
+
+/** Distinct word n-gram shingles of a token array (first-occurrence
+  * order). Tokens shorter than n yield one whole-text shingle so every
+  * document participates in dedup.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val size = toks.numElements()
+    val count = math.max(size - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val upper = math.min(i + n, size)
+      val parts = new Array[UTF8String](upper - i)
+      var j = i
+      while (j < upper) { parts(j - i) = toks.getUTF8String(j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** k-hash MinHash signature over an array<string> shingle set: each
+  * shingle is xxhash64'd once, then remixed per hash index — one pass,
+  * k·|shingles| cheap mixes instead of k full rehashes.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(j => hashing.mix64(0x5eed0000L + j))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = hashing.hashString(arr.getUTF8String(i), 42L)
+      var j = 0
+      while (j < k) {
+        val hj = hashing.mix64(h ^ seeds(j))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** 64-bit SimHash over an array<string> token multiset: per-token hash,
+  * per-bit majority vote — O(|tokens|·64) in one pass.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.numElements()) {
+      val h = hashing.hashString(toks.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Sequential dot product of two array<double> columns — identical
+  * accumulation order to `aggregate(zip_with(a,b,*),0,+)` (so results are
+  * bit-compatible with the double-precision oracle) at a fraction of the
+  * cost.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane sign sketches for `nTables` LSH tables in one pass:
+  * returns array<long> of nBits-bit bucket ids. Plane components are a
+  * deterministic function of (table, bit, dim index) via splitmix64 —
+  * every executor derives identical planes with zero broadcast state.
+  */
+case class SignSketches(child: Expression, nTables: Int, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nTables >= 1 && nBits >= 1 && nBits <= 63)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_sketches"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val planeSeed = (t.toLong << 32) | (b.toLong << 16)
+        var proj = 0.0
+        var j = 0
+        while (j < dim) {
+          // component in [-1, 1]
+          val w = hashing.mix64(planeSeed + j).toDouble / Long.MaxValue.toDouble
+          proj += v.getDouble(j) * w
+          j += 1
+        }
+        if (proj > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignSketches = copy(child = c)
+}
+
+/** Column-level API over the native expressions. */
+object native {
+  private def e(c: Column): Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+  private def c(e: Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+
+  def wordShingles(tokens: Column, n: Int): Column = c(WordShingles(e(tokens), n))
+  def minhashSignature(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
+  def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
+    c(SignSketches(e(vec), nTables, nBits))
+}

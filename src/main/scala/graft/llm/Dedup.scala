@@ -43,12 +43,8 @@ object Dedup {
     * Documents shorter than n yield a single whole-text shingle so they
     * still participate.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(grams)
-  }
+  def shingles(toks: Column, n: Int): Column =
+    graft.expr.native.wordShingles(toks, n)
 
   // -------------------------------------------------------------- MinHash
 
@@ -57,8 +53,7 @@ object Dedup {
     * across runs and executors. Expression-only (codegen'd map).
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, sh => xxhash64(i, sh))))
+    graft.expr.native.minhashSignature(shingleArr, k)
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * rows, each band hashed to one 64-bit key. Two docs sharing any band
@@ -108,19 +103,8 @@ object Dedup {
     * xxhash64(token). Near-duplicates have small Hamming distance.
     * Expression-only; one codegen'd projection.
     */
-  def simhash64(toks: Column): Column = {
-    // hash each token once, then take 64 per-bit majority votes; the bit
-    // index is a Scala-level constant so shiftright's Int overload applies
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitCols = (0 until 64).map { i =>
-      when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc +
-            when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
-        lit(1L << i)).otherwise(0L)
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(toks: Column): Column =
+    graft.expr.native.simhash64(toks)
 
   /** SimHash near-dup candidates: band the 64-bit signature into four
     * 16-bit chunks (any chunk equal → candidate; catches all pairs with
@@ -157,18 +141,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("sh"), col("id").as("id_a"))
-    val b = sh.select(col("sh"), col("id").as("id_b"))
-    val shared = a.join(b, Seq("sh"))
+    // shingles are 64-bit-hashed before the join: the shuffle carries an
+    // 8-byte key instead of an n-word string; a cross-shingle collision
+    // (~|shingles|^2 / 2^64) is negligible even at 100 TB corpus sizes
+    val base = df.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("arr"))
+    val sh = base
+      .select(col("id"), size(col("arr")).cast("long").as("n_sh"),
+        explode(col("arr")).as("shs"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shs")).as("sh"))
+    val a = sh.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = sh.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         roundDet(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 4))

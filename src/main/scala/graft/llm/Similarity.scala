@@ -25,12 +25,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) for array<double> columns — sequential fold, deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) for array<double> columns — native sequential loop with
+    * the same accumulation order as the HOF fold (oracle-bit-compatible).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.native.arrayDot(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(graft.expr.native.arrayDot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -58,24 +58,12 @@ object Similarity {
         roundDet(col("cos_raw"), 6).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component w[bit][j], derived
-    * from xxhash64 so every executor materializes the same planes without
-    * any broadcast state: uniform in [-1, 1].
+  /** nBits-bit sign sketches for all tables in one native pass; plane
+    * components are a deterministic splitmix64 function of
+    * (table, bit, dim), so every executor derives identical planes.
     */
-  private def planeComponent(table: Int, bit: Int, j: Column): Column =
-    xxhash64(lit(table), lit(bit), j).cast("double") / lit(Long.MaxValue.toDouble)
-
-  /** nBits-bit sign sketch of a vector for one hash table. */
-  def signSketch(vec: Column, nBits: Int, table: Int = 0): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
-    val bitCols = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, idx, (x, j) => x * planeComponent(table, b, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << b)).otherwise(0L)
-    }
-    bitCols.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
+    graft.expr.native.signSketches(vec, nTables, nBits)
 
   /** Approximate top-k via multi-table sign-LSH bucketing. Corpus rows are
     * sketched into `nTables` buckets (explode factor = nTables); queries
@@ -89,10 +77,7 @@ object Similarity {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
       val v = col(vecCol).cast("array<double>")
       df.select(col(idCol).as(id), v.as(vec),
-          explode(array((0 until nTables).map(t =>
-            struct(lit(t).as("tbl"), signSketch(v, nBits, t).as("bucket"))): _*))
-            .as("tb"))
-        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+          posexplode(signSketches(v, nTables, nBits)).as(Seq("tbl", "bucket")))
     }
     val c = bucketed(corpus, "neighbor_id", "cvec")
     val q = bucketed(queries, "query_id", "qvec")
@@ -118,10 +103,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val sk = df.select(col(idCol).as("id"), v.as("vec"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("tbl"), signSketch(v, nBits, t).as("bucket"))): _*))
-          .as("tb"))
-      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(signSketches(v, nTables, nBits)).as(Seq("tbl", "bucket")))
     val a = sk.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sk.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("tbl", "bucket"))
