@@ -16,11 +16,14 @@ object GraftSession {
     * same builder is used minus `.master`, with shuffle partitions sized
     * ~2-3x total executor cores (AQE coalesces the rest).
     */
-  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
-    val spark = SparkSession
+  def local(appName: String = "graft", cores: Int = 32,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

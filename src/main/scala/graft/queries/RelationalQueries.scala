@@ -257,6 +257,45 @@ object RelationalQueries {
         get_json_object(col("props"), "$.missing").as("absent"))
     }),
 
+    // P3 — struct star-expansion (s.* over a built struct,
+    // reference models/staging/stg_station_status.sql:9)
+    "p3_struct_star" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          struct(col("user_id").as("u"), col("event_type").as("t")).as("s"))
+        .select(col("event_id"), col("s.*"))
+    }),
+
+    // ST-analog — tumbling 1-hour event-time window aggregation (the
+    // batch shape of the streaming windowed agg; reference does this via
+    // hour truncation, models/facts/fact_station_status.sql:21)
+    "st_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), roundDet(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // date arithmetic cluster: add_months (calendar-clamped), date_add,
+    // datediff (reference models/dimensions/dim_date.sql:12)
+    "f_date_arith" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus_3m"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch_start"))
+    }),
+
+    // to_json over a struct (reference src/pyspark_gbfs_raw_load.py:104)
+    "f_to_json" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("js"))
+    }),
+
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
     "d7_schema_tests" -> ((s, dir) => {
@@ -412,6 +451,29 @@ object RelationalQueries {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
          json_extract_string(props, '$.k')::BIGINT AS k_num,
          json_extract_string(props, '$.missing') AS absent FROM events""",
+
+    "p3_struct_star" ->
+      "SELECT event_id, user_id AS u, event_type AS t FROM events",
+
+    "st_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type, count(*)::BIGINT AS n,
+         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+         FROM events GROUP BY 1, 2, 3""",
+
+    "f_date_arith" ->
+      """SELECT o_orderkey,
+         (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus_3m,
+         (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS plus_30d,
+         date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT
+           AS days_since_epoch_start
+         FROM orders""",
+
+    "f_to_json" ->
+      """SELECT event_id,
+         to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
+           AS js FROM events""",
 
     "d7_schema_tests" ->
       """SELECT 'not_null_orders_o_orderkey' AS test_name,

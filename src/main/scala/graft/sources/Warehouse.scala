@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse layout helpers: the physical-design levers that matter at
+  * 100 TB (SURVEY §4 — the reference's day-partitioned, station-clustered
+  * BigQuery sink, re-expressed for parquet).
+  */
+object Warehouse {
+
+  /** S8 — date-partitioned, key-clustered append. Partition pruning makes
+    * date-ranged reads touch only matching directories;
+    * `sortWithinPartitions` is the clustering analogue (row-group stats
+    * let the reader skip pages by the cluster key).
+    */
+  def writePartitioned(df: DataFrame, path: String, dateCol: String,
+      clusterCol: String, mode: String = "append"): Unit =
+    df.withColumn("p_date", to_date(col(dateCol)))
+      .sortWithinPartitions(col("p_date"), col(clusterCol))
+      .write.mode(mode).partitionBy("p_date").parquet(path)
+
+  /** Bucketed table for co-located joins: both sides bucketed by the join
+    * key into the same bucket count join WITHOUT a shuffle. This is the
+    * pre-partitioning answer for repeated big-big joins (e.g. lineitem ⋈
+    * orders at every mart build).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** True when a scan of `df` prunes partitions down to `expected` or
+    * fewer — assertion helper for pruning tests and plan audits.
+    */
+  def partitionsRead(df: DataFrame): Int = {
+    // sparkPlan, not executedPlan: AQE wraps the tree in
+    // AdaptiveSparkPlanExec whose children are hidden from collect()
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    if (scans.isEmpty) -1 else scans.sum[Int]
+  }
+}

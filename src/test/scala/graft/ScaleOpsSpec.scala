@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Warehouse
+
+/** Scale levers: salted aggregation/join equivalence, partition pruning,
+  * bucketed shuffle-free joins.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedCount matches plain groupBy count on a skewed key") {
+    val df = (Seq.fill(5000)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val salted = Skew.saltedCount(df, col("k"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted("hot") == 5000L && salted("a") == 1L)
+  }
+
+  test("saltedJoin equals plain join on skewed data") {
+    val left = (Seq.fill(2000)(("hot", 1)) ++ Seq(("a", 2), ("b", 3)))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("a", "A"), ("z", "Z")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(left, right, "k", 8).groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 2000L)
+  }
+
+  test("date-partitioned write prunes partitions on read") {
+    val out = tmpDir("wh-part") + "/events"
+    val df = Tables.eventsLike(spark)
+    Warehouse.writePartitioned(df, out, "ts", "user_id", mode = "overwrite")
+    val all = spark.read.parquet(out)
+    val total = Warehouse.partitionsRead(
+      all.filter(col("user_id") >= 0))
+    val pruned = Warehouse.partitionsRead(
+      all.filter(col("p_date") === "2024-01-02"))
+    assert(total > 1)
+    assert(pruned == 1, s"expected 1 partition read, got $pruned of $total")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    val dir = "/root/testdata/sf0.001"
+    Warehouse.writeBucketed(graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice"), "bkt_orders", "o_orderkey", 4)
+    Warehouse.writeBucketed(graft.sources.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity"), "bkt_lineitem", "l_orderkey", 4)
+    val joined = spark.table("bkt_lineitem")
+      .join(spark.table("bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() ==
+      graft.sources.Tables.lineitem(spark, dir).count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  private object Tables {
+    def eventsLike(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      (0 until 300).map { i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          s"2024-01-0${1 + i % 3} 0${i % 9}:00:00"), (i % 7).toLong)
+      }.toDF("event_id", "ts", "user_id")
+    }
+  }
+}

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, forked by sbt). */
 object TestSession {
   lazy val spark: SparkSession =
-    graft.core.GraftSession.local("graft-test", cores = 8)
+    graft.core.GraftSession.local("graft-test", cores = 8,
+      extraConf = Map("spark.sql.warehouse.dir" ->
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
 }
 
 abstract class SparkSpec extends AnyFunSuite {
