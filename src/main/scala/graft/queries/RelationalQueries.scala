@@ -195,7 +195,7 @@ object RelationalQueries {
 
     // A5 — GROUP BY ordinal dedup (reference models/dimensions/dim_tariff.sql:3-5)
     "a5_group_by_ordinal" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.part(s, dir).createOrReplaceTempView("part")
       s.sql("SELECT p_brand, p_type, p_size FROM part GROUP BY 1, 2, 3")
         .withColumn("p_size", col("p_size").cast("long"))
     }),
@@ -208,7 +208,7 @@ object RelationalQueries {
     // A7 — scalar subquery + coalesce fallback
     // (reference models/dimensions/dim_date.sql:7-13)
     "a7_scalar_subquery" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
       s.sql("""
         SELECT o_orderkey, o_totalprice
         FROM orders
