@@ -257,6 +257,20 @@ object RelationalQueries {
         get_json_object(col("props"), "$.missing").as("absent"))
     }),
 
+    // G2 — UNNEST(json_extract_array(...)): parse a JSON array string and
+    // explode one row per element (reference
+    // models/staging/stg_station_information.sql:10,16)
+    "g2_json_array_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload_json",
+          concat(lit("""{"tags": ["""), lit("\""), col("lang"),
+            lit("\", \""), col("source"), lit("\"]}")))
+        .select(col("doc_id"),
+          explode(from_json(get_json_object(col("payload_json"), "$.tags"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))).as("tag"))
+    }),
+
     // P3 — struct star-expansion (s.* over a built struct,
     // reference models/staging/stg_station_status.sql:9)
     "p3_struct_star" -> ((s, dir) => {
@@ -451,6 +465,11 @@ object RelationalQueries {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
          json_extract_string(props, '$.k')::BIGINT AS k_num,
          json_extract_string(props, '$.missing') AS absent FROM events""",
+
+    "g2_json_array_explode" ->
+      """SELECT doc_id, unnest(from_json(
+           ('{"tags": ["' || lang || '", "' || source || '"]}')::JSON -> '$.tags',
+           '["VARCHAR"]')) AS tag FROM documents""",
 
     "p3_struct_star" ->
       "SELECT event_id, user_id AS u, event_type AS t FROM events",

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.functions._
+
+/** Property tests for the BigQuery↔Spark semantic-drift risks
+  * (SURVEY §7.4 risk 1): SAFE_DIVIDE, NOT IN vs left_anti, deterministic
+  * rounding, TIMESTAMP_DIFF truncation. Uses seeded ScalaCheck generators
+  * sampled explicitly (scalatest's forAll bridge isn't in the offline
+  * cache), evaluating each batch through ONE Spark job.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
+    val it = Iterator.iterate(rng.Seed(seed))(_.next).flatMap(s =>
+      g.apply(Gen.Parameters.default, s))
+    it.take(n).toSeq
+  }
+
+  test("safeDivide: NULL on zero/NULL denominator, exact quotient otherwise") {
+    val cases = samples(for {
+      n <- Gen.chooseNum(-1e6, 1e6)
+      d <- Gen.frequency(1 -> Gen.const(0.0), 5 -> Gen.chooseNum(-1e6, 1e6))
+      dNull <- Gen.oneOf(true, false)
+    } yield (n, d, dNull), 200)
+    val df = cases.map { case (n, d, dNull) =>
+      (n, if (dNull) None else Some(d))
+    }.toDF("n", "d")
+    val got = df.select(col("n"), col("d"), safeDivide(col("n"), col("d")).as("q"))
+      .collect()
+    got.foreach { r =>
+      val n = r.getDouble(0)
+      if (r.isNullAt(1) || r.getDouble(1) == 0.0) assert(r.isNullAt(2))
+      else {
+        val q = n / r.getDouble(1)
+        if (q.isNaN) assert(r.getDouble(2).isNaN) else assert(r.getDouble(2) == q)
+      }
+    }
+  }
+
+  test("roundDet equals the pure-Scala floor formula at every scale") {
+    val cases = samples(for {
+      x <- Gen.chooseNum(-1e6, 1e6)
+      s <- Gen.choose(0, 6)
+    } yield (x, s), 300)
+    cases.groupBy(_._2).foreach { case (s, xs) =>
+      val p = math.pow(10, s)
+      val got = xs.map(_._1).toDF("x")
+        .select(col("x"), roundDet(col("x"), s).as("r")).collect()
+      got.foreach { r =>
+        assert(r.getDouble(1) == math.floor(r.getDouble(0) * p + 0.5) / p)
+      }
+    }
+  }
+
+  test("NOT IN (SQL) == left_anti for non-null keys; NULL subquery differs") {
+    val cases = samples(for {
+      ls <- Gen.listOfN(30, Gen.choose(0, 20))
+      rs <- Gen.listOfN(10, Gen.choose(0, 20))
+    } yield (ls, rs), 20)
+    cases.foreach { case (ls, rs) =>
+      val l = ls.toDF("k"); val r = rs.toDF("k")
+      l.createOrReplaceTempView("prop_l"); r.createOrReplaceTempView("prop_r")
+      val viaSql = spark.sql(
+        "SELECT k FROM prop_l WHERE k NOT IN (SELECT k FROM prop_r)")
+        .as[Int].collect().sorted.toSeq
+      val viaAnti = l.join(r, Seq("k"), "left_anti")
+        .as[Int].collect().sorted.toSeq
+      assert(viaSql == viaAnti, s"ls=$ls rs=$rs")
+    }
+    // the NULL trap (P6 commentary): one NULL in the subquery empties a
+    // NOT IN result while left_anti keeps rows — the engine relies on
+    // never-NULL md5 keys for the equivalence
+    val l = Seq(Some(1), Some(2)).toDF("k")
+    val r = Seq(Some(2), None).toDF("k")
+    l.createOrReplaceTempView("prop_l"); r.createOrReplaceTempView("prop_r")
+    assert(spark.sql(
+      "SELECT k FROM prop_l WHERE k NOT IN (SELECT k FROM prop_r)").count() == 0)
+    assert(l.join(r, Seq("k"), "left_anti").count() == 1)
+  }
+
+  test("timestampDiffSeconds truncates like TIMESTAMP_DIFF(…, SECOND)") {
+    val cases = samples(for {
+      epoch <- Gen.choose(0L, 4102444800L)
+      micros <- Gen.choose(0, 999999)
+      deltaS <- Gen.choose(-100000L, 100000L)
+    } yield (epoch, micros, deltaS), 200)
+    val df = cases.map { case (epoch, micros, deltaS) =>
+      val start = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(epoch, micros * 1000L))
+      val end = java.sql.Timestamp.from(start.toInstant.plusSeconds(deltaS))
+      (start, end, deltaS)
+    }.toDF("s", "e", "expected")
+    df.select(timestampDiffSeconds(col("e"), col("s")).as("got"), col("expected"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
