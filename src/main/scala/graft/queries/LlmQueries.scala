@@ -49,7 +49,8 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
-    // language-ID heuristic (no SQL oracle: marker-profile argmax)
+    // language-ID heuristic: marker-profile argmax (oracle re-expresses
+    // the argmax + tie-break as a window over per-language scores)
     "x_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted_lang"))),
@@ -91,9 +92,12 @@ object LlmQueries {
         nBits = 6, nTables = 8)
     }),
 
-    // embedding near-dup pairs (rows-only; exact-verified cosine ≥ 0.95)
+    // embedding near-dup pairs (rows-only; exact-verified cosine). The
+    // synthetic embeddings have no planted duplicates, so the gate runs
+    // at a low threshold to exercise block→verify with real output;
+    // production dedup uses the 0.95 default.
     "x_embed_dup_pairs" -> ((s, dir) =>
-      Similarity.cosineDupPairs(embs(s, dir), minCos = 0.9)),
+      Similarity.cosineDupPairs(embs(s, dir), minCos = 0.4)),
 
     // multimodal payload plumbing: metadata-only projection of a
     // binary-carrying table (byte counts through the binary path)
@@ -140,6 +144,27 @@ object LlmQueries {
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
            AS fp FROM documents""",
+
+    "x_langid" ->
+      """WITH profiles(plang, markers) AS (VALUES
+           ('de', ['der','die','das','und','ist','nicht','ein']),
+           ('en', ['the','and','of','to','is','in','that']),
+           ('es', ['el','los','las','y','es','que','un']),
+           ('fr', ['le','les','et','est','que','une','dans']),
+           ('zh', ['的','是','了','在','和','有','我'])),
+         scored AS (
+           SELECT d.doc_id, d.lang, p.plang,
+             len(list_filter(string_split(lower(d.text), ' '),
+               t -> list_contains(p.markers, t))) AS score
+           FROM documents d CROSS JOIN profiles p),
+         ranked AS (
+           SELECT doc_id, lang, plang, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, plang DESC) AS rn
+           FROM scored)
+         SELECT doc_id, lang,
+           CASE WHEN score > 0 THEN plang ELSE 'und' END AS predicted_lang
+         FROM ranked WHERE rn = 1""",
 
     "x_ngram_jaccard" ->
       """WITH sh AS (

@@ -310,6 +310,35 @@ object RelationalQueries {
         to_json(struct(col("event_id"), col("event_type"))).as("js"))
     }),
 
+    // W+ — gap-based sessionization: lag + running conditional sum frames
+    // (the batch form of streaming session windows)
+    "w2_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_ns"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ns").isNull ||
+            col("ts_ns") - col("prev_ns") > 1800L * 1000000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_trunc("second", min(col("ts"))).as("session_start"),
+          date_trunc("second", max(col("ts"))).as("session_end"))
+    }),
+
+    // A+ — vocabulary top-k: explode → count → ranked top 20 words
+    "a9_vocab_topk" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("word").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+    }),
+
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
     "d7_schema_tests" -> ((s, dir) => {
@@ -493,6 +522,34 @@ object RelationalQueries {
       """SELECT event_id,
          to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
            AS js FROM events""",
+
+    "w2_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+               AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+           date_trunc('second', min(ts)) AS session_start,
+           date_trunc('second', max(ts)) AS session_end
+         FROM sessions GROUP BY 1, 2""",
+
+    "a9_vocab_topk" ->
+      """WITH counts AS (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         agg AS (SELECT word, count(*)::BIGINT AS n FROM counts GROUP BY 1)
+         SELECT word, n, rank FROM (
+           SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word ASC)::BIGINT AS rank
+           FROM agg) WHERE rank <= 20""",
 
     "d7_schema_tests" ->
       """SELECT 'not_null_orders_o_orderkey' AS test_name,
