@@ -79,22 +79,24 @@ object Dedup {
       .select(col(idCol).as("id"),
         minhashSignature(shingles(TextAnalysis.tokens(col(textCol)), shingleN), k)
           .as("sig"))
+    // ids-only through the bucket join and pair dedup — signatures
+    // re-attach by key for the agreement estimate, so the hot shuffles
+    // never carry the k-long arrays
     val buckets = sigs
-      .select(col("id"), col("sig"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    // pairs within a bucket; distinct across bands
-    val a = buckets.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = buckets.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = buckets.select(col("band"), col("bh"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    pairs.select(col("id_a"), col("id_b"),
-      roundDet(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        v => v)).cast("double") / k, 4).as("est_jaccard"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        roundDet(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / k, 4).as("est_jaccard"))
   }
 
   // --------------------------------------------------------------- SimHash

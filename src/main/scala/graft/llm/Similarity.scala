@@ -74,18 +74,26 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 12, nTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
-      val v = col(vecCol).cast("array<double>")
-      df.select(col(idCol).as(id), v.as(vec),
-          posexplode(signSketches(v, nTables, nBits)).as(Seq("tbl", "bucket")))
-    }
-    val c = bucketed(corpus, "neighbor_id", "cvec")
-    val q = bucketed(queries, "query_id", "qvec")
+    // candidate generation and dedup carry ONLY ids — at 100 TB the
+    // wide embedding vectors never enter the bucket-join or dedup
+    // shuffles; they re-attach afterwards by key
+    val cBase = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val qBase = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id),
+        posexplode(signSketches(col(vec), nTables, nBits)).as(Seq("tbl", "bucket")))
+    val c = bucketed(cBase, "neighbor_id", "cvec")
+    val q = bucketed(qBase, "query_id", "qvec")
     val candidates = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(broadcast(qBase), Seq("query_id"))
+      .join(cBase, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w).cast("long"))
@@ -101,14 +109,20 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, minCos: Double = 0.95,
       nBits: Int = 8, nTables: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val sk = df.select(col(idCol).as("id"), v.as("vec"),
-        posexplode(signSketches(v, nTables, nBits)).as(Seq("tbl", "bucket")))
-    val a = sk.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sk.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    // ids-only candidates (vectors stay out of the hot shuffles), then
+    // re-attach both vectors by key for the exact verification pass
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val sk = base.select(col("id"),
+      posexplode(signSketches(col("vec"), nTables, nBits)).as(Seq("tbl", "bucket")))
+    val a = sk.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = sk.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         roundDet(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
