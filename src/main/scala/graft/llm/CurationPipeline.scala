@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A composed end-to-end curation pass over a document corpus — the shape
+  * of a production pretraining-data pipeline, built purely from the
+  * engine's operators so the whole thing stays one Catalyst plan per
+  * stage:
+  *
+  *   stats+quality (map) → language filter (map) → exact dedup
+  *   (1 shuffle) → MinHash near-dup removal (bucket-join) → split
+  *   assignment (map)
+  *
+  * Each stage is independently usable; `curate` wires the default order.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      keepLangs: Set[String] = Set.empty, // empty = keep all
+      nearDupJaccard: Double = 0.8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+
+  /** Returns the curated corpus with columns: original + n_tokens,
+    * quality, predicted_lang, split.
+    */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 1. per-doc signals (single projection)
+    val scored = TextAnalysis.textStats(docs, textCol)
+      .withColumn("quality",
+        TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio")))
+      .withColumn("predicted_lang", TextAnalysis.langId(col(textCol)))
+      .drop("char_count", "avg_token_len", "stopword_ratio")
+
+    // 2. quality + language gates (pure filters — pushed to the scan)
+    val gated = scored
+      .filter(col("quality") >= cfg.minQuality)
+      .filter(if (cfg.keepLangs.isEmpty) lit(true)
+        else col("predicted_lang").isin(cfg.keepLangs.toSeq: _*))
+
+    // 3. exact dedup (keep min id per content hash)
+    val exact = Dedup.dropExactDuplicates(gated, textCol, idCol)
+
+    // 4. near-dup removal: drop the higher id of each candidate pair
+    //    whose estimated jaccard clears the bar
+    val losers = Dedup.minhashCandidates(exact, textCol, idCol)
+      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+
+    // 5. deterministic split assignment
+    Sampling.hashSplit(deduped, idCol, cfg.splits)
+  }
+}

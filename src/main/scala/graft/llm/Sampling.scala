@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-split operators for training-data
+  * pipelines.
+  *
+  * Everything keys off a stable id hash — NOT `rand()` — so assignments
+  * are reproducible across runs, executors, retries, and repartitioning,
+  * and a document keeps its split when the corpus is re-processed
+  * (critical for avoiding train/test leakage across dataset versions at
+  * 100 TB, where jobs always re-run somewhere).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform hash bucket in [0, 1e6) for a stable id. */
+  def hashBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(Buckets))
+
+  /** Assign train/val/test (or any named fractions summing to ≤ 1) by id
+    * hash. Rows beyond the cumulative fractions get NULL (dropped splits).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bucket = hashBucket(col(idCol))
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * Buckets).toLong)
+    val assign = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), onFalse) => when(bucket < hi, lit(name)).otherwise(onFalse)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Keep a deterministic `fraction` of rows, uniformly by id hash. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < (fraction * Buckets).toLong)
+
+  /** Per-stratum deterministic downsampling: `fractions(stratum)` of each
+    * stratum survives (1.0 for unlisted strata). The usual tool for
+    * rebalancing a language/source mix without a shuffle — pure filter.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < frac * Buckets)
+  }
+}

@@ -99,6 +99,26 @@ object LlmQueries {
     "x_embed_dup_pairs" -> ((s, dir) =>
       Similarity.cosineDupPairs(embs(s, dir), minCos = 0.4)),
 
+    // deterministic train/val/test split counts (rows-only: xxhash64
+    // bucketing isn't reproducible in DuckDB SQL)
+    "x_hash_split" -> ((s, dir) =>
+      graft.llm.Sampling.hashSplit(docs(s, dir), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
+    // per-language deterministic downsampling (rows-only)
+    "x_stratified_sample" -> ((s, dir) =>
+      graft.llm.Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5))
+        .groupBy("lang").agg(count(lit(1)).as("n"))),
+
+    // end-to-end curation pipeline summary (rows-only)
+    "x_curation_pipeline" -> ((s, dir) =>
+      graft.llm.CurationPipeline.curate(docs(s, dir),
+        graft.llm.CurationPipeline.Config(minQuality = 0.1))
+        .groupBy("split", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))),
+
     // multimodal payload plumbing: metadata-only projection of a
     // binary-carrying table (byte counts through the binary path)
     "x_multimodal_bytes" -> ((s, dir) =>

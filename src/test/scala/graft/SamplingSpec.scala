@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{CurationPipeline, Sampling}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 20000L).toDF("doc_id")
+
+  test("hashSplit is deterministic and proportional") {
+    val s1 = Sampling.hashSplit(ids, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Sampling.hashSplit(ids.repartition(7), "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2) // invariant under repartitioning
+    assert(s1("train") > 19000 && s1("val") > 50 && s1("test") > 50)
+    assert(s1.values.sum == 20000L)
+    // same doc always lands in the same split
+    val a = Sampling.hashSplit(ids, "doc_id").filter(col("doc_id") === 123L)
+      .select("split").head().getString(0)
+    val b = Sampling.hashSplit(ids.orderBy(desc("doc_id")), "doc_id")
+      .filter(col("doc_id") === 123L).select("split").head().getString(0)
+    assert(a == b)
+  }
+
+  test("deterministicSample keeps ~fraction, exactly reproducibly") {
+    val n1 = Sampling.deterministicSample(ids, "doc_id", 0.25).count()
+    val n2 = Sampling.deterministicSample(ids, "doc_id", 0.25).count()
+    assert(n1 == n2)
+    assert(math.abs(n1 - 5000.0) / 5000.0 < 0.05)
+    // nested property: a smaller fraction is a subset of a larger one
+    val small = Sampling.deterministicSample(ids, "doc_id", 0.1)
+    val large = Sampling.deterministicSample(ids, "doc_id", 0.25)
+    assert(small.join(large, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("stratifiedSample rebalances per stratum") {
+    val df = ids.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val sampled = Sampling.stratifiedSample(df, "lang", "doc_id",
+      Map("en" -> 0.1)) // de unlisted → kept fully
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 10000L)
+    assert(math.abs(byLang("en") - 1000.0) / 1000.0 < 0.2)
+  }
+
+  test("curation pipeline filters, dedups, and splits end-to-end") {
+    val base = "the quick brown fox jumps over the lazy dog while the sun " +
+      "sets slowly behind distant purple mountains casting long warm shadows"
+    val docs = Seq(
+      (0L, base), (1L, base),                             // exact dup
+      (2L, base.replace("purple", "crimson")),            // near dup
+      (3L, "completely different text about spark engines shuffling data " +
+        "across wide clusters with hash partitioned joins and big scans"),
+      (4L, "the the a a of of"))                          // low quality
+      .toDF("doc_id", "text")
+    val out = CurationPipeline.curate(docs,
+      CurationPipeline.Config(minQuality = 0.05, nearDupJaccard = 0.5))
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 3L)) // 1 exact-dup, 2 near-dup, 4 quality-gated
+    assert(out.columns.contains("split") && out.columns.contains("quality"))
+  }
+}
