@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{Event, Session}
+
+/** flatMapGroupsWithState sessionization: close-by-gap, close-by-timeout,
+  * bounded per-key state.
+  */
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessions close on gap and flush on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(
+      mem.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      // batch 1: user 1 has two close events (one open session);
+      // user 2 has one event
+      mem.addData(
+        Event(1L, ts("2024-01-01 00:00:00")),
+        Event(1L, ts("2024-01-01 00:00:30")),
+        Event(2L, ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // nothing closed yet
+
+      // batch 2: user 1 event far beyond the gap → closes session 1
+      mem.addData(Event(1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // run an extra empty-ish cycle so the watermark from batch 2
+      // triggers user 2's timeout
+      mem.addData(Event(3L, ts("2024-01-01 00:10:01")))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions_out").as[Session].collect()
+      val u1 = rows.find(_.user_id == 1L).get
+      assert(u1.session_start == ts("2024-01-01 00:00:00"))
+      assert(u1.session_end == ts("2024-01-01 00:00:30"))
+      assert(u1.n_events == 2L)
+      // user 2's lone session flushed by timeout (watermark 00:10:00 >
+      // 00:00:10 + 60s)
+      val u2 = rows.find(_.user_id == 2L).get
+      assert(u2.n_events == 1L)
+    } finally q.stop()
+  }
+}
