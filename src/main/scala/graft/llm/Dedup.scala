@@ -99,6 +99,28 @@ object Dedup {
           v => v)).cast("double") / k, 4).as("est_jaccard"))
   }
 
+  /** Benchmark-decontamination scan: corpus documents sharing at least
+    * `minShared` word n-grams with ANY benchmark document. The benchmark
+    * shingle set is globally deduplicated, 64-bit hashed, and (being
+    * small) broadcast by Catalyst — the corpus is never shuffled, making
+    * this a map-side semi-join at 100 TB.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, minShared: Long = 1L): DataFrame = {
+    def hashedShingles(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
+    val bench = hashedShingles(benchmark).select("sh").distinct()
+    hashedShingles(corpus)
+      .join(bench, Seq("sh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol), col("n_shared"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over

@@ -59,6 +59,14 @@ object LlmQueries {
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2)),
 
+    // benchmark decontamination: corpus docs sharing n-grams with a
+    // held-out set (here: doc_id < 10 plays the benchmark)
+    "x_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedDocs(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10))
+    }),
+
     // MinHash+LSH candidates (rows-only: xxhash64 family)
     "x_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir))),
@@ -207,6 +215,19 @@ object LlmQueries {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
              / 10000 >= 0.2""",
+
+    "x_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS sh
+           FROM documents),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+         SELECT s.doc_id, count(*)::BIGINT AS n_shared
+         FROM sh s JOIN bench USING (sh)
+         WHERE s.doc_id >= 10 GROUP BY 1""",
 
     "x_embed_stats" ->
       """SELECT vec_id, len(embedding)::BIGINT AS dim,

@@ -55,6 +55,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
   }
 
+  test("contaminatedDocs flags n-gram overlap with a benchmark set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "intro words then alpha beta gamma delta closing remarks"),
+      (1L, "totally clean document with none of those evaluation items"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminatedDocs(corpus, bench).collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[Long]("doc_id") == 0L)
+    assert(hits(0).getAs[Long]("n_shared") == 2L) // two shared trigrams
+  }
+
   test("simhashCandidates surfaces only close pairs") {
     val c = Dedup.simhashCandidates(docs, maxHamming = 10).collect()
     val keys = c.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
