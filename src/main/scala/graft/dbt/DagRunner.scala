@@ -20,7 +20,9 @@ final class ModelRegistry {
 
   def register(m: Model): this.type = {
     require(!models.contains(m.name), s"duplicate model ${m.name}")
-    models += m.name -> m
+    // dedupe deps: the indegree count below is per-edge, and a repeated
+    // dep entry would otherwise read as an unsatisfiable edge (fake cycle)
+    models += m.name -> m.copy(deps = m.deps.distinct)
     this
   }
 

@@ -131,6 +131,56 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Marker-profile language ID over an array<string> token column: one
+  * pass over the tokens incrementing per-language marker counts, then
+  * argmax with (score, language-code) tie-break — identical semantics to
+  * sorting (score, lang) structs descending and taking the head, at a
+  * single token-set lookup per token per language.
+  */
+case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val langs: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val markerSets: Array[java.util.HashSet[UTF8String]] =
+    profiles.map { case (_, ms) =>
+      val s = new java.util.HashSet[UTF8String](ms.size * 2)
+      ms.foreach(m => s.add(UTF8String.fromString(m)))
+      s
+    }.toArray
+  private val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val scores = new Array[Int](langs.length)
+    var i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i)
+      var l = 0
+      while (l < langs.length) {
+        if (markerSets(l).contains(t)) scores(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      // higher score wins; on ties the lexicographically greater code wins
+      // (matches sort_array(desc) over (score, lang) structs)
+      if (scores(l) > scores(best) ||
+        (scores(l) == scores(best) && langs(l).compareTo(langs(best)) > 0))
+        best = l
+      l += 1
+    }
+    if (scores(best) > 0) langs(best) else und
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+}
+
 /** Sequential dot product of two array<double> columns — identical
   * accumulation order to `aggregate(zip_with(a,b,*),0,+)` (so results are
   * bit-compatible with the double-precision oracle) at a fraction of the
@@ -209,4 +259,6 @@ object native {
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
     c(SignSketches(e(vec), nTables, nBits))
+  def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
+    c(LangId(e(tokens), profiles))
 }

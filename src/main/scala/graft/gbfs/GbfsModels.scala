@@ -157,8 +157,11 @@ object GbfsModels {
             add_months(ctx.config.currentDate, -12)).as("start_date"),
           ctx.config.currentDate.as("end_date"))
       bounds
-        .select(explode(sequence(col("start_date"), col("end_date"),
-          expr("interval 1 day"))).as("day"))
+        // BigQuery GENERATE_DATE_ARRAY(start, end) is empty when
+        // start > end; Spark sequence() throws — guard to match
+        .select(explode(when(col("start_date") <= col("end_date"),
+          sequence(col("start_date"), col("end_date"), expr("interval 1 day")))
+          .otherwise(array())).as("day"))
         .select(
           col("day").as("date_key"),
           year(col("day")).as("year"),

@@ -27,9 +27,12 @@ object Loaders {
       // and already-inferred timestamp columns
       to_timestamp(c)
     raw
-      .na.drop(Seq("started_at", "ended_at"))
       .withColumn("started_at", ts(col("started_at")))
       .withColumn("ended_at", ts(col("ended_at")))
+      // drop AFTER parsing (unlike the reference, which drops first) so a
+      // non-null-but-unparseable endpoint is dropped rather than flowing
+      // through as NULL and tripping downstream not_null tests
+      .na.drop(Seq("started_at", "ended_at"))
       .withColumn("duration", col("duration").cast("int"))
       .withColumn("start_station_id", col("start_station_id").cast("string"))
       .withColumn("end_station_id", col("end_station_id").cast("string"))

@@ -87,7 +87,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          // NULL media ⇒ empty payload (0 bytes, all-zero histogram)
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           Row(id, payload.length.toLong, StubCodec.decodeFeatures(payload))
         }
       }(enc)

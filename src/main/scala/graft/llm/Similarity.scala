@@ -43,10 +43,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // zero-norm vectors make cosine NaN, and NaN sorts ABOVE every real
+    // value in a descending order — exclude them on both sides
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
+        col(vecCol).cast("array<double>").as("cvec"))
+      .filter(graft.expr.native.arrayDot(col("cvec"), col("cvec")) > 0)
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+        col(vecCol).cast("array<double>").as("qvec"))
+      .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
@@ -78,9 +82,11 @@ object Similarity {
     // wide embedding vectors never enter the bucket-join or dedup
     // shuffles; they re-attach afterwards by key
     val cBase = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
+        col(vecCol).cast("array<double>").as("cvec"))
+      .filter(graft.expr.native.arrayDot(col("cvec"), col("cvec")) > 0)
     val qBase = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+        col(vecCol).cast("array<double>").as("qvec"))
+      .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id),
         posexplode(signSketches(col(vec), nTables, nBits)).as(Seq("tbl", "bucket")))
@@ -112,7 +118,8 @@ object Similarity {
     // ids-only candidates (vectors stay out of the hot shuffles), then
     // re-attach both vectors by key for the exact verification pass
     val base = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(graft.expr.native.arrayDot(col("vec"), col("vec")) > 0)
     val sk = base.select(col("id"),
       posexplode(signSketches(col("vec"), nTables, nBits)).as(Seq("tbl", "bucket")))
     val a = sk.select(col("tbl"), col("bucket"), col("id").as("id_a"))

@@ -58,16 +58,8 @@ object TextAnalysis {
     * marker set; argmax with deterministic tie-break; "und" when no marker
     * hits. Pure expressions — a codegen'd map over the scan.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = LangProfiles.map { case (lang, markers) =>
-      struct(
-        size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = element_at(sort_array(array(scored: _*), asc = false), 1)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    graft.expr.native.langId(tokens(lower(text)), LangProfiles)
 
   /** Document fingerprint: md5 over the sorted distinct token set — a
     * canonical bag-of-words signature (word-order-insensitive), the cheap

@@ -39,9 +39,13 @@ object Skew {
     */
   def saltedJoin(skewedLeft: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer are unsupported: the replicated right side would
+    // emit saltFactor copies of every unmatched right row
+    require(!joinType.toLowerCase.matches(".*(right|full).*"),
+      s"saltedJoin does not support joinType=$joinType")
     val saltedL = skewedLeft.withColumn("__salt",
-      pmod(pmod(hash(monotonically_increasing_id(), spark_partition_id()),
-        lit(saltFactor)) + lit(saltFactor), lit(saltFactor)))
+      pmod(hash(monotonically_increasing_id(), spark_partition_id()),
+        lit(saltFactor)))
     val saltedR = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedL.join(saltedR, Seq(key, "__salt"), joinType).drop("__salt")

@@ -197,10 +197,11 @@ object LlmQueries {
     "x_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(
-             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-               i -> string_split(text,' ')[i] || ' ' ||
-                    string_split(text,' ')[i+1] || ' ' ||
-                    string_split(text,' ')[i+2]))) AS sh
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)) AS sh
            FROM documents),
          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          shared AS (
@@ -219,10 +220,11 @@ object LlmQueries {
     "x_decontaminate" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(
-             list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-               i -> string_split(text,' ')[i] || ' ' ||
-                    string_split(text,' ')[i+1] || ' ' ||
-                    string_split(text,' ')[i+2]))) AS sh
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)) AS sh
            FROM documents),
          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
          SELECT s.doc_id, count(*)::BIGINT AS n_shared
@@ -238,11 +240,13 @@ object LlmQueries {
 
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-                    FROM embeddings WHERE vec_id < 8),
+                    FROM embeddings WHERE vec_id < 8
+                      AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
          scored AS (
            SELECT q.query_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS cos_raw
-           FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+             AND list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)) > 0),
          ranked AS (
            SELECT query_id, neighbor_id, cos_raw,
              row_number() OVER (PARTITION BY query_id

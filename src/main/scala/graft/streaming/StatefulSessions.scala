@@ -61,7 +61,11 @@ object StatefulSessions {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // clamp: an event-time timeout must be later than the
+              // current watermark or GroupStateImpl throws and kills the
+              // query (routine during backlog catch-up)
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

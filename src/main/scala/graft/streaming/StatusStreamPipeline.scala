@@ -86,7 +86,13 @@ object StatusStreamPipeline {
         } catch {
           case e: Exception =>
             System.err.println(s"[stream] batch $batchId failed: ${e.getMessage}")
-            batch.sparkSession.streams.active.foreach(_.stop())
+            // stop peers from a helper thread: stopping from the failing
+            // query's own execution thread would self-interrupt before the
+            // rethrow and mask the original failure
+            val streams = batch.sparkSession.streams
+            new Thread(() => streams.active.foreach { q =>
+              try q.stop() catch { case _: Exception => () }
+            }, "graft-stream-failstop").start()
             throw e
         }
       }
