@@ -111,11 +111,13 @@ final class DagRunner(
         case Materialization.Table =>
           df.write.mode("overwrite").parquet(path(name))
           spark.read.parquet(path(name))
-        case Materialization.Incremental(key) =>
+        case Materialization.Incremental(key, scanPredicate) =>
           self match {
             case None =>
               df.write.mode("overwrite").parquet(path(name))
-            case Some(existing) =>
+            case Some(existing0) =>
+              val existing = scanPredicate
+                .map(existing0.filter).getOrElse(existing0)
               // append-only-new-keys guard (D4); the reference models
               // already NOT-IN-filter, this keeps the contract even if a
               // model forgets. Write to a staging dir first: appending

@@ -33,8 +33,17 @@ object Materialization {
   /** D4 — first run full build; later runs append rows whose `uniqueKey`
     * is not yet present (the reference's NOT-IN models make this
     * pure-append; the runner still left_anti-guards on the key).
+    *
+    * `scanPredicate` (SQL over the existing table, e.g.
+    * "status_date >= current_date() - interval 7 days") scopes the
+    * anti-join's read of the existing output — at 100 TB the dedup check
+    * must not rescan years of history. Safe whenever key collisions can
+    * only occur inside the predicate window (true for time-keyed
+    * snapshot ids); partition pruning turns the guard into a
+    * few-partition read.
     */
-  final case class Incremental(uniqueKey: String) extends Materialization
+  final case class Incremental(uniqueKey: String,
+      scanPredicate: Option[String] = None) extends Materialization
 }
 
 /** What a model body can see while building. */

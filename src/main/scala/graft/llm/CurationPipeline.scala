@@ -44,10 +44,9 @@ object CurationPipeline {
     // 3. exact dedup (keep min id per content hash)
     val exact = Dedup.dropExactDuplicates(gated, textCol, idCol)
 
-    // 4. near-dup removal: drop the higher id of each candidate pair
-    //    whose estimated jaccard clears the bar
-    val losers = Dedup.minhashCandidates(exact, textCol, idCol)
-      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+    // 4. near-dup removal: MinHash candidates, exact-verified per pair;
+    //    drop the higher id of each confirmed pair
+    val losers = Dedup.nearDupPairs(exact, cfg.nearDupJaccard, textCol, idCol)
       .select(col("id_b").as(idCol)).distinct()
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
 

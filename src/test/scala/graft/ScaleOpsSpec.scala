@@ -63,6 +63,31 @@ class ScaleOpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("incremental with scanPredicate dedups within the scoped window") {
+    import graft.dbt._
+    val wh = tmpDir("inc-wh")
+    def runWith(rows: Seq[(Int, String)]): Unit = {
+      val reg = new ModelRegistry().register(Model(
+        name = "inc", deps = Nil,
+        materialization = Materialization.Incremental("k",
+          scanPredicate = Some("day >= '2024-01-02'")),
+        build = ctx => {
+          val df = rows.toDF("k", "day")
+          ctx.self match {
+            case Some(existing) => df.join(existing.select("k"), Seq("k"), "left_anti")
+            case None => df
+          }
+        }))
+      new DagRunner(spark, reg, (_, _) => sys.error("none"), wh).run()
+    }
+    runWith(Seq((1, "2024-01-01"), (2, "2024-01-02")))
+    // re-run with one duplicate key inside the window and one new key
+    runWith(Seq((2, "2024-01-02"), (3, "2024-01-03")))
+    val out = spark.read.parquet(s"$wh/inc")
+    assert(out.count() == 3)
+    assert(out.select("k").as[Int].collect().sorted.sameElements(Array(1, 2, 3)))
+  }
+
   private object Tables {
     def eventsLike(s: org.apache.spark.sql.SparkSession) = {
       import s.implicits._
