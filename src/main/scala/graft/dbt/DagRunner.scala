@@ -80,10 +80,11 @@ final class DagRunner(
 
   /** Run the full DAG (or a sub-selection plus its upstreams). Returns the
     * materialized relation per model. Test failures raise after the full
-    * report is computed.
+    * report is computed. `fullRefresh` rebuilds incremental models from
+    * scratch (dbt's --full-refresh).
     */
-  def run(select: Seq[String] = Nil, runTests: Boolean = true)
-      : Map[String, DataFrame] = {
+  def run(select: Seq[String] = Nil, runTests: Boolean = true,
+      fullRefresh: Boolean = false): Map[String, DataFrame] = {
     val wanted: Set[String] =
       if (select.isEmpty) registry.all.map(_.name).toSet
       else {
@@ -98,7 +99,8 @@ final class DagRunner(
     for (name <- registry.topoOrder if wanted(name)) {
       val m = registry(name)
       val self =
-        if (m.materialization.isInstanceOf[Materialization.Incremental] &&
+        if (!fullRefresh &&
+          m.materialization.isInstanceOf[Materialization.Incremental] &&
           exists(name)) Some(spark.read.parquet(path(name)))
         else None
       val ctx = ModelContext(spark, config, sources, resolve, self)

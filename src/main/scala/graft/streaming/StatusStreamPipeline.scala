@@ -100,6 +100,12 @@ object StatusStreamPipeline {
       .trigger(trigger)
       .start()
 
+  /** ST6 — block the driver on all active streams
+    * (reference `spark.streams.awaitAnyTermination()`, `:243`).
+    */
+  def awaitAll(spark: SparkSession): Unit =
+    spark.streams.awaitAnyTermination()
+
   /** Full pipeline wiring (reference `main`, `:227-243`). */
   def run(spark: SparkSession, payloads: DataFrame, stationInfoPath: String,
       outPath: String, checkpoint: String,

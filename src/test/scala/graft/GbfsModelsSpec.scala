@@ -166,5 +166,9 @@ class GbfsModelsSpec extends SparkSpec {
     // third run with identical input: nothing appended
     runner2.run(select = Seq("fact_station_status_history"))
     assert(spark.read.parquet(s"$warehouse/fact_station_status_history").count() == 9)
+    // --full-refresh rebuilds from scratch (back to the 9 current rows
+    // even if history had drifted)
+    runner2.run(select = Seq("fact_station_status_history"), fullRefresh = true)
+    assert(spark.read.parquet(s"$warehouse/fact_station_status_history").count() == 9)
   }
 }
