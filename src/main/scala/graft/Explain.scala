@@ -15,10 +15,12 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      val shuffles = "Exchange hashpartitioning|Exchange rangepartitioning"
-        .r.findAllIn(plan).size
-      val bcasts = "BroadcastExchange".r.findAllIn(plan).size
-      val scans = "Scan parquet".r.findAllIn(plan).size
+      // count operators in the tree section only (the formatted detail
+      // section repeats every node name)
+      val tree = plan.split("\n\n").headOption.getOrElse(plan)
+      val shuffles = """[+:]- Exchange""".r.findAllIn(tree).size
+      val bcasts = "BroadcastExchange".r.findAllIn(tree).size
+      val scans = "Scan parquet".r.findAllIn(tree).size
       println(s"\n########## $name  [shuffles=$shuffles broadcasts=$bcasts scans=$scans]")
       println(plan)
     }

@@ -82,6 +82,33 @@ class PropertySpec extends SparkSpec {
     assert(l.join(r, Seq("k"), "left_anti").count() == 1)
   }
 
+  test("surrogateKey NULL-propagates like BigQuery CONCAT") {
+    val df = Seq((Option("a"), Option("b")), (Option("a"), None), (None, None))
+      .toDF("x", "y")
+    val keys = df.select(surrogateKey(col("x"), col("y")).as("k")).collect()
+    assert(keys(0).getString(0).length == 32)
+    assert(keys(1).isNullAt(0) && keys(2).isNullAt(0))
+  }
+
+  test("dropExactDuplicates is idempotent and keeps one row per text") {
+    val docs = samples(Gen.listOfN(60, Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh")), 5)
+    docs.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.llm.Dedup.dropExactDuplicates(df)
+      assert(once.count() == texts.distinct.size)
+      assert(graft.llm.Dedup.dropExactDuplicates(once).count() == once.count())
+    }
+  }
+
+  test("hashSplit assigns every row when fractions sum to 1") {
+    val df = (0L until 5000L).toDF("doc_id")
+    val out = graft.llm.Sampling.hashSplit(df, "doc_id",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(out.filter(col("split").isNull).count() == 0)
+    assert(out.count() == 5000)
+  }
+
   test("timestampDiffSeconds truncates like TIMESTAMP_DIFF(…, SECOND)") {
     val cases = samples(for {
       epoch <- Gen.choose(0L, 4102444800L)
