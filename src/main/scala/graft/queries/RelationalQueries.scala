@@ -334,9 +334,11 @@ object RelationalQueries {
       val counts = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
+      // TakeOrdered the top 20 FIRST so the single-partition ranking
+      // window only ever sees k rows, not the whole vocabulary
+      val top = counts.orderBy(col("n").desc, col("word").asc).limit(20)
       val w = Window.orderBy(col("n").desc, col("word").asc)
-      counts.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
+      top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     // D7 — schema tests compiled to violation counts
