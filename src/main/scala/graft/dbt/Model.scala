@@ -21,6 +21,27 @@ final case class Model(
     build: ModelContext => DataFrame,
     tests: Seq[SchemaTest] = Nil)
 
+object Model {
+  /** A SQL-bodied model — the literal migration path for dbt model files:
+    * paste the SELECT, list the refs/sources it names. Upstream models are
+    * registered as temp views under their model names and sources as
+    * `<source>_<table>` before the SQL runs, so `{{ ref("m") }}` becomes
+    * `m` and `{{ source("s", "t") }}` becomes `s_t`.
+    */
+  def fromSql(name: String, deps: Seq[String], materialization: Materialization,
+      sql: String, sources: Seq[(String, String)] = Nil,
+      tests: Seq[SchemaTest] = Nil): Model =
+    Model(name, deps, materialization,
+      build = ctx => {
+        deps.foreach(d => ctx.ref(d).createOrReplaceTempView(d))
+        sources.foreach { case (s, t) =>
+          ctx.source(s, t).createOrReplaceTempView(s"${s}_$t")
+        }
+        ctx.spark.sql(sql)
+      },
+      tests = tests)
+}
+
 /** Materialization classes, `dbt_project.yml:41-77`. */
 sealed trait Materialization
 object Materialization {
