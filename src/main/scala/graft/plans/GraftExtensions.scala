@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr._
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Register cluster-wide via
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * (or `.withExtensions(new GraftExtensions)`), or per-session with
+  * [[GraftExtensions.install]]. Afterwards plain Spark SQL can call:
+  *
+  *   word_shingles(tokens, n)           → array<string>
+  *   minhash_signature(shingles, k)     → array<long>
+  *   simhash64(tokens)                  → long
+  *   array_dot(a, b)                    → double
+  *   sign_sketches(vec, tables, bits)   → array<long>
+  *   lang_id(tokens)                    → string
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expr", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => sys.error(s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "k"))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "array_dot" -> (es => ArrayDot(es(0), es(1))),
+    "sign_sketches" -> (es => SignSketches(es(0),
+      intArg(es(1), "nTables"), intArg(es(2), "nBits"))),
+    "lang_id" -> (es => LangId(es(0), graft.llm.TextAnalysis.LangProfiles)))
+
+  /** Register into an already-running session (tests, notebooks). */
+  def install(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
