@@ -341,6 +341,70 @@ object RelationalQueries {
       top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
+    // TPC-H-shaped classics over the synthetic star schema (pricing
+    // summary, shipping-priority revenue, local-supplier volume, revenue
+    // delta) — the canonical scan/join/agg shapes at bench scale
+    "tpch_q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          roundDet(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundDet(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          roundDet(avg(col("l_quantity")), 4).as("avg_qty"),
+          roundDet(avg(col("l_extendedprice")), 4).as("avg_price"),
+          roundDet(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "tpch_q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "tpch_q5_local_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "tpch_q6_revenue_delta" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(roundDet(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    }),
+
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
     "d7_schema_tests" -> ((s, dir) => {
@@ -552,6 +616,55 @@ object RelationalQueries {
            SELECT word, n,
              row_number() OVER (ORDER BY n DESC, word ASC)::BIGINT AS rank
            FROM agg) WHERE rank <= 20""",
+
+    "tpch_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+         floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+         floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+           AS sum_disc_price,
+         floor(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))
+           * 100 + 0.5) / 100 AS sum_charge,
+         floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+         floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+         floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+         count(*)::BIGINT AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY 1, 2""",
+
+    "tpch_q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate::DATE AS o_orderdate,
+         floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+           AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "tpch_q5_local_volume" ->
+      """SELECT n_name,
+         floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+           AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+
+    "tpch_q6_revenue_delta" ->
+      """SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100
+           AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
 
     "d7_schema_tests" ->
       """SELECT 'not_null_orders_o_orderkey' AS test_name,
