@@ -74,4 +74,17 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Boilerplate detector: word n-grams occurring in more than
+    * `minDocs` distinct documents (headers/footers/licenses in a crawl).
+    * One explode + one count shuffle; feed the result to a filter or to
+    * [[graft.llm.Dedup.ngramJaccardPairs]]'s maxDocFreq cap.
+    */
+  def repeatedNgrams(df: org.apache.spark.sql.DataFrame, n: Int = 3,
+      minDocs: Long = 2L, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    df.select(explode(Dedup.shingles(tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
 }

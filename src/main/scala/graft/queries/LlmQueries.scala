@@ -59,6 +59,10 @@ object LlmQueries {
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2)),
 
+    // boilerplate detection: n-grams shared across ≥3 documents
+    "x_repeated_ngrams" -> ((s, dir) =>
+      TextAnalysis.repeatedNgrams(docs(s, dir), n = 3, minDocs = 3)),
+
     // benchmark decontamination: corpus docs sharing n-grams with a
     // held-out set (here: doc_id < 10 plays the benchmark)
     "x_decontaminate" -> ((s, dir) => {
@@ -216,6 +220,18 @@ object LlmQueries {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
              / 10000 >= 0.2""",
+
+    "x_repeated_ngrams" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)) AS sh
+           FROM documents)
+         SELECT sh AS ngram, count(*)::BIGINT AS n_docs
+         FROM sh GROUP BY 1 HAVING count(*) >= 3""",
 
     "x_decontaminate" ->
       """WITH sh AS (

@@ -100,6 +100,21 @@ object StatusStreamPipeline {
       .trigger(trigger)
       .start()
 
+  /** Watermarked tumbling-window aggregation over the cleaned stream —
+    * the streaming form of the marts' hour-truncation group-bys: per
+    * (hour, station) availability stats, emitted in append mode once the
+    * watermark passes the window end.
+    */
+  def hourlyStats(cleaned: DataFrame): DataFrame =
+    cleaned
+      .groupBy(window(col("report_time"), "1 hour"), col("station_id"))
+      .agg(
+        count(lit(1)).as("n_reports"),
+        avg(col("bikes_available")).as("avg_bikes"),
+        max(col("docks_available")).as("max_docks"))
+      .select(col("window.start").as("hour_start"), col("station_id"),
+        col("n_reports"), col("avg_bikes"), col("max_docks"))
+
   /** ST6 — block the driver on all active streams
     * (reference `spark.streams.awaitAnyTermination()`, `:243`).
     */

@@ -36,6 +36,39 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("watermarked tumbling-window stats emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val payloads = mem.toDF().select(col("value").cast("binary").as("data"))
+    val stats = StatusStreamPipeline.hourlyStats(
+      StatusStreamPipeline.clean(payloads))
+    val q = stats.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      // T1 = 1747000000 → 2025-05-11 21:46:40; window 21:00-22:00
+      mem.addData(
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T)),
+        envelope(T, GbfsFixtures.station("s1", 7, 8, reported = T + 60)))
+      q.processAllAvailable()
+      assert(spark.table("hourly_out").count() == 0) // window still open
+      // an event at 22:03 pushes the watermark (delay 2 min) past 22:00
+      mem.addData(envelope(T + 1000,
+        GbfsFixtures.station("s1", 1, 14, reported = T + 1000)))
+      q.processAllAvailable()
+      mem.addData(envelope(T + 1100,
+        GbfsFixtures.station("s1", 2, 13, reported = T + 1100)))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[Long]("n_reports") == 2L)
+      assert(math.abs(r.getAs[Double]("avg_bikes") - 6.0) < 1e-12)
+      assert(r.getAs[java.sql.Timestamp]("hour_start").toString
+        .startsWith("2025-05-11 21:00:00"))
+    } finally q.stop()
+  }
+
   test("streaming pipeline: dedup within+across batches, drop late, enrich, partition sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
