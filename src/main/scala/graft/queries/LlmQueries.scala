@@ -131,6 +131,18 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))),
 
+    // dataset "data card": per-source corpus composition report
+    "x_source_datacard" -> ((s, dir) =>
+      TextAnalysis.textStats(docs(s, dir))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          roundDet(avg(col("char_count")), 2).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))),
+
     // multimodal payload plumbing: metadata-only projection of a
     // binary-carrying table (byte counts through the binary path)
     "x_multimodal_bytes" -> ((s, dir) =>
@@ -271,6 +283,14 @@ object LlmQueries {
          SELECT query_id, rank::BIGINT AS rank, neighbor_id,
            floor(cos_raw * 1000000 + 0.5) / 1000000 AS cos_sim
          FROM ranked WHERE rank <= 5""",
+
+    "x_source_datacard" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+         floor(avg(length(text)) * 100 + 0.5) / 100 AS avg_chars,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM documents GROUP BY 1""",
 
     "x_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,

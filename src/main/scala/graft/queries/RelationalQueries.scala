@@ -341,6 +341,24 @@ object RelationalQueries {
       top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
+    // funnel analysis: signup→purchase conversion per user via
+    // conditional min-timestamps (pivot-style conditional aggregation)
+    "a10_funnel" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts_ns"))).as("first_signup_ns"),
+          min(when(col("event_type") === "purchase", col("ts_ns"))).as("first_purchase_ns"),
+          countIf(col("event_type") === "purchase").as("n_purchases"))
+        .select(
+          col("user_id"),
+          timestamp_micros(expr("first_signup_ns div 1000")).as("first_signup"),
+          timestamp_micros(expr("first_purchase_ns div 1000")).as("first_purchase"),
+          col("n_purchases"),
+          (col("first_signup_ns").isNotNull && col("first_purchase_ns").isNotNull &&
+            col("first_signup_ns") < col("first_purchase_ns")).as("converted"))
+    }),
+
     // TPC-H-shaped classics over the synthetic star schema (pricing
     // summary, shipping-priority revenue, local-supplier volume, revenue
     // delta) — the canonical scan/join/agg shapes at bench scale
@@ -616,6 +634,18 @@ object RelationalQueries {
            SELECT word, n,
              row_number() OVER (ORDER BY n DESC, word ASC)::BIGINT AS rank
            FROM agg) WHERE rank <= 20""",
+
+    "a10_funnel" ->
+      """SELECT user_id,
+         date_trunc('microseconds',
+           min(ts) FILTER (WHERE event_type = 'signup')) AS first_signup,
+         date_trunc('microseconds',
+           min(ts) FILTER (WHERE event_type = 'purchase')) AS first_purchase,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchases,
+         coalesce(min(ts) FILTER (WHERE event_type = 'signup') <
+           min(ts) FILTER (WHERE event_type = 'purchase'), false) AS converted
+         FROM events GROUP BY 1""",
 
     "tpch_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
