@@ -36,6 +36,41 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("streamed sink is batch-queryable: partition-pruned mart equals direct computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val payloads = mem.toDF().select(col("value").cast("binary").as("data"))
+    val out = tmpDir("integ-out")
+    val q = StatusStreamPipeline.start(
+      StatusStreamPipeline.clean(payloads), out, tmpDir("integ-ckpt"),
+      Trigger.ProcessingTime("1 second"))
+    try {
+      // two days of snapshots for two stations
+      val day2 = T + 86400
+      mem.addData(
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T),
+          GbfsFixtures.station("s2", 1, 19, reported = T)),
+        envelope(T + 60, GbfsFixtures.station("s1", 6, 9, reported = T + 60)))
+      q.processAllAvailable()
+      mem.addData(
+        envelope(day2, GbfsFixtures.station("s1", 2, 13, reported = day2)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the realtime sink is now a warehouse table: day-1 reads prune to
+    // one partition and aggregate to the same numbers as computing
+    // directly from the feed
+    val sink = spark.read.parquet(out)
+    val day1 = sink.filter(col("p_date") === "2025-05-11")
+    assert(graft.sources.Warehouse.partitionsRead(day1) == 1)
+    val agg = day1.groupBy("station_id")
+      .agg(count(lit(1)).as("n"), avg(col("bikes_available")).as("avg_bikes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg("s1") == ((2L, 5.5)))
+    assert(agg("s2") == ((1L, 1.0)))
+    assert(sink.count() == 4)
+  }
+
   test("watermarked tumbling-window stats emit once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
