@@ -157,7 +157,8 @@ case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
     val scores = new Array[Int](langs.length)
     var i = 0
     while (i < toks.numElements()) {
-      val t = toks.getUTF8String(i)
+      // normalize case here so the SQL surface and the Column API agree
+      val t = toks.getUTF8String(i).toLowerCase
       var l = 0
       while (l < langs.length) {
         if (markerSets(l).contains(t)) scores(l) += 1

@@ -41,8 +41,12 @@ object CurationPipeline {
       .filter(if (cfg.keepLangs.isEmpty) lit(true)
         else col("predicted_lang").isin(cfg.keepLangs.toSeq: _*))
 
-    // 3. exact dedup (keep min id per content hash)
+    // 3. exact dedup (keep min id per content hash). Cached: the result
+    // feeds candidate generation, pair verification, and the final
+    // anti-join — uncached, the scan→stats→gates→dedup subtree would
+    // re-execute ~4x. Callers may unpersist after materializing.
     val exact = Dedup.dropExactDuplicates(gated, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. near-dup removal: MinHash candidates, exact-verified per pair;
     //    drop the higher id of each confirmed pair

@@ -16,9 +16,13 @@ object Sampling {
 
   private val Buckets = 1000000L
 
-  /** Uniform hash bucket in [0, 1e6) for a stable id. */
-  def hashBucket(id: Column): Column =
-    pmod(xxhash64(id), lit(Buckets))
+  /** Uniform hash bucket in [0, 1e6) for a stable id. Each operator
+    * salts the hash with its own tag: an unsalted shared bucket would
+    * correlate composed operators (e.g. a 50% sample feeding a 98/1/1
+    * split would land every surviving row in "train").
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(xxhash64(lit(salt), id), lit(Buckets))
 
   /** Assign train/val/test (or any named fractions summing to ≤ 1) by id
     * hash. Rows beyond the cumulative fractions get NULL (dropped splits).
@@ -27,8 +31,10 @@ object Sampling {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
-    val bucket = hashBucket(col(idCol))
-    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * Buckets).toLong)
+    val bucket = hashBucket(col(idCol), "split")
+    // round, don't truncate: accumulated doubles like 0.7+0.2+0.1 land at
+    // 0.9999999999999999 and truncation would NULL-drop the last bucket
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(f => math.round(f * Buckets))
     val assign = splits.zip(bounds).foldRight(lit(null).cast("string")) {
       case (((name, _), hi), onFalse) => when(bucket < hi, lit(name)).otherwise(onFalse)
     }
@@ -37,7 +43,7 @@ object Sampling {
 
   /** Keep a deterministic `fraction` of rows, uniformly by id hash. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
-    df.filter(hashBucket(col(idCol)) < (fraction * Buckets).toLong)
+    df.filter(hashBucket(col(idCol), "sample") < math.round(fraction * Buckets))
 
   /** Per-stratum deterministic downsampling: `fractions(stratum)` of each
     * stratum survives (1.0 for unlisted strata). The usual tool for
@@ -48,6 +54,6 @@ object Sampling {
     val frac = fractions.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
       when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol)) < frac * Buckets)
+    df.filter(hashBucket(col(idCol), "stratified") < frac * Buckets)
   }
 }

@@ -30,19 +30,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(e: Expression, what: String): Int = e.eval() match {
-    case n: Number => n.intValue()
-    case other => sys.error(s"$what must be an integer literal, got $other")
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => sys.error(s"$what must be an integer literal, got $other")
+    }
   }
 
+  private def arity(es: Seq[Expression], n: Int, name: String): Unit =
+    require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
-    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "k"))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "array_dot" -> (es => ArrayDot(es(0), es(1))),
-    "sign_sketches" -> (es => SignSketches(es(0),
-      intArg(es(1), "nTables"), intArg(es(2), "nBits"))),
-    "lang_id" -> (es => LangId(es(0), graft.llm.TextAnalysis.LangProfiles)))
+    "word_shingles" -> (es => { arity(es, 2, "word_shingles")
+      WordShingles(es(0), intArg(es(1), "n")) }),
+    "minhash_signature" -> (es => { arity(es, 2, "minhash_signature")
+      MinHashSignature(es(0), intArg(es(1), "k")) }),
+    "simhash64" -> (es => { arity(es, 1, "simhash64"); SimHash64(es(0)) }),
+    "array_dot" -> (es => { arity(es, 2, "array_dot"); ArrayDot(es(0), es(1)) }),
+    "sign_sketches" -> (es => { arity(es, 3, "sign_sketches")
+      SignSketches(es(0), intArg(es(1), "nTables"), intArg(es(2), "nBits")) }),
+    "lang_id" -> (es => { arity(es, 1, "lang_id")
+      LangId(es(0), graft.llm.TextAnalysis.LangProfiles) }))
 
   /** Register into an already-running session (tests, notebooks). */
   def install(spark: SparkSession): Unit =

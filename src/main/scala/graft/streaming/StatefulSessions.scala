@@ -49,12 +49,20 @@ object StatefulSessions {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
+                // within the gap of the open session's interval (late
+                // but above-watermark events may precede it): extend
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  cur = Some(OpenSession(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1))
+                // beyond the gap AFTER the session: close it, open new
+                case Some(s) if t > s.end + gapMs =>
                   closed += Session(user, new Timestamp(s.start),
                     new Timestamp(s.end), s.n)
                   cur = Some(OpenSession(t, t, 1))
+                // beyond the gap BEFORE the session: a straggler forming
+                // its own already-complete session — emit it closed
+                case Some(_) =>
+                  closed += Session(user, new Timestamp(t), new Timestamp(t), 1)
                 case None =>
                   cur = Some(OpenSession(t, t, 1))
               }

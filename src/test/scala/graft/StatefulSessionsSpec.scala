@@ -55,4 +55,32 @@ class StatefulSessionsSpec extends SparkSpec {
       assert(u2.n_events == 1L)
     } finally q.stop()
   }
+
+  test("late above-watermark events extend session_start backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(
+      mem.toDS(), gapMs = 60000L, watermarkDelay = "1 hour")
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // 30s-late event (within gap, above the 1h watermark): must extend
+      // the session's START, not be swallowed
+      mem.addData(Event(1L, ts("2024-01-01 11:59:30")))
+      q.processAllAvailable()
+      // far-away event closes the session
+      mem.addData(Event(1L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val s = spark.table("late_sessions_out").as[Session].collect()
+        .find(_.user_id == 1L).get
+      assert(s.session_start == ts("2024-01-01 11:59:30"))
+      assert(s.session_end == ts("2024-01-01 12:00:00"))
+      assert(s.n_events == 2L)
+    } finally q.stop()
+  }
 }
