@@ -48,10 +48,13 @@ object CurationPipeline {
     val exact = Dedup.dropExactDuplicates(gated, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 4. near-dup removal: MinHash candidates, exact-verified per pair;
-    //    drop the higher id of each confirmed pair
-    val losers = Dedup.nearDupPairs(exact, cfg.nearDupJaccard, textCol, idCol)
-      .select(col("id_b").as(idCol)).distinct()
+    // 4. near-dup removal: MinHash candidates → exact per-pair verify →
+    //    connected components → keep each cluster's minimum id (dropping
+    //    per-pair id_b would over-keep when LSH misses a transitive pair)
+    val pairs = Dedup.nearDupPairs(exact, cfg.nearDupJaccard, textCol, idCol)
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
 
     // 5. deterministic split assignment

@@ -190,6 +190,53 @@ object Dedup {
       df, textCol, idCol, shingleN)
       .filter(col("jaccard") >= minJaccard)
 
+  /** Connected components over a near-dup pair set: every document gets
+    * the minimum id of its duplicate cluster as `cluster_id`. Iterative
+    * min-label propagation (converges in O(cluster diameter) rounds —
+    * near-dup clusters are shallow); each round localCheckpoints to cut
+    * the lineage so plans stay bounded. Needed because dropping `id_b`
+    * of every pair over-keeps when LSH misses a transitive pair: a chain
+    * a–b, b–c without the a–c pair must still collapse to one survivor.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") < col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** One survivor per near-duplicate cluster: candidates → exact verify →
+    * connected components → keep each cluster's minimum id. The complete,
+    * transitive-safe dedup (contrast with naive per-pair id_b dropping).
+    */
+  def dropNearDuplicates(df: DataFrame, minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val clusters = duplicateClusters(nearDupPairs(df, minJaccard, textCol, idCol))
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard similarity for pairs sharing at least one

@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
   }
 
+  test("duplicateClusters resolves transitive chains; dropNearDuplicates keeps one per cluster") {
+    // chain 0-1, 1-2 WITHOUT the 0-2 pair, plus isolated pair 5-6
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L)
+    assert(clusters(5L) == 5L && clusters(6L) == 5L)
+
+    // end-to-end: three mutual near-dups + one distinct doc → 2 survivors
+    val n = nearDup.replace("crimson", "scarlet")
+    val df = Seq((0L, base), (1L, nearDup), (2L, n), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 3L))
+  }
+
   test("contaminatedDocs flags n-gram overlap with a benchmark set") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
