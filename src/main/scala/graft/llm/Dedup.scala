@@ -199,8 +199,14 @@ object Dedup {
     * a–b, b–c without the a–c pair must still collapse to one survivor.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair set once: the loop issues several actions and
+    // would otherwise re-run the candidate/verify pipeline behind `pairs`
+    // on every one of them
+    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
+    if (p.isEmpty) // clean corpus: skip the propagation loop entirely
+      return p.select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
