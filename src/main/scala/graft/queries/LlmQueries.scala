@@ -131,6 +131,18 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"))),
 
+    // sketch-based cardinality: HLL++ approximate distinct words per
+    // source next to the exact count (rows-only: HLL estimates are
+    // engine-specific). At 100 TB the approx path is a map-side sketch
+    // merge; the exact path is a full distinct shuffle.
+    "x_approx_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("source")
+        .agg(
+          countDistinct(col("word")).as("exact_words"),
+          approx_count_distinct(col("word"), 0.02).as("approx_words"))),
+
     // dataset "data card": per-source corpus composition report
     "x_source_datacard" -> ((s, dir) =>
       TextAnalysis.textStats(docs(s, dir))

@@ -49,6 +49,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks == Seq("abc", "123", ",", "def", "!"))
   }
 
+  test("approximate distinct stays within HLL tolerance of exact") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("exact"),
+        approx_count_distinct(col("w"), 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("qualityScore favors longer, content-heavy docs") {
     val df = Seq(
       (0L, Seq.fill(120)("word").mkString(" ")),
