@@ -226,7 +226,9 @@ case class SignSketches(child: Expression, nTables: Int, nBits: Int)
       var bucket = 0L
       var b = 0
       while (b < nBits) {
-        val planeSeed = (t.toLong << 32) | (b.toLong << 16)
+        // pre-mix the (table, bit) pair so adding the dim index j can
+        // never alias a neighbouring bit's plane, whatever the dim count
+        val planeSeed = hashing.mix64((t.toLong << 32) | b.toLong)
         var proj = 0.0
         var j = 0
         while (j < dim) {

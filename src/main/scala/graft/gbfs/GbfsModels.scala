@@ -321,6 +321,11 @@ object GbfsModels {
           col("station_id"), col("station_name"), col("lat"), col("lon"),
           col("bikes_available"), col("docks_available"),
           (col("bikes_available") + col("docks_available")).as("total_capacity"),
+          // Spark round() here is INTENTIONAL reference parity with the
+          // dbt model's ROUND(); these pct columns are outside every
+          // hash-compared gate (compare_gbfs checks mart_trip_metrics
+          // only). Anything that enters a DuckDB hash-compare must use
+          // graft.functions.roundDet instead (.xx5 repr-vs-binary skew).
           round(col("bikes_available") /
             nullif(col("bikes_available") + col("docks_available"), lit(0)), 3)
             .as("pct_bikes_available"))
@@ -339,6 +344,8 @@ object GbfsModels {
           count_if(col("is_installed")).as("installed_snapshots"),
           count_if(col("is_renting")).as("renting_snapshots"),
           count_if(col("is_returning")).as("returning_snapshots"))
+        // round() (not roundDet): reference parity, see note in
+        // mart_station_availability above
         .withColumn("pct_time_renting",
           round(col("renting_snapshots") / col("total_snapshots"), 3))
         .withColumn("pct_time_returning",

@@ -228,6 +228,13 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIterations rounds: a " +
+          "duplicate chain deeper than the cap would leave a component " +
+          "split across labels and dropNearDuplicates would over-keep. " +
+          "Raise maxIterations (rounds needed = O(log(cluster diameter)) " +
+          "once doubling is in play, O(diameter) here).")
     labels
   }
 

@@ -336,9 +336,19 @@ object RelationalQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
       // TakeOrdered the top 20 FIRST so the single-partition ranking
       // window only ever sees k rows, not the whole vocabulary
+      // localCheckpoint: the top-k set is used twice below; without it the
+      // full vocabulary aggregation would run once per side of the join
       val top = counts.orderBy(col("n").desc, col("word").asc).limit(20)
-      val w = Window.orderBy(col("n").desc, col("word").asc)
-      top.withColumn("rank", row_number().over(w).cast("long"))
+        .localCheckpoint(true)
+      // rank within the k=20 rows WITHOUT a global window (which would
+      // be a single-partition WindowExec — fine for k rows but a plan
+      // shape that cannot be allowed to reach full-table inputs): rank =
+      // count of peers at-or-before in the (n DESC, word ASC) order, via
+      // a broadcast inequality self-join — k² = 400 comparisons, no shuffle
+      val peers = broadcast(top.select(col("n").as("pn"), col("word").as("pw")))
+      top.join(peers,
+          col("pn") > col("n") || (col("pn") === col("n") && col("pw") <= col("word")))
+        .groupBy("word", "n").agg(count(lit(1)).as("rank"))
     }),
 
     // funnel analysis: signup→purchase conversion per user via

@@ -43,30 +43,28 @@ object StatefulSessions {
             Iterator.single(
               Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
-            val sorted = it.toArray.sortBy(_.ts.getTime)
-            val closed = ListBuffer.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within the gap of the open session's interval (late
-                // but above-watermark events may precede it): extend
-                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
-                  cur = Some(OpenSession(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1))
-                // beyond the gap AFTER the session: close it, open new
-                case Some(s) if t > s.end + gapMs =>
-                  closed += Session(user, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n)
-                  cur = Some(OpenSession(t, t, 1))
-                // beyond the gap BEFORE the session: a straggler forming
-                // its own already-complete session — emit it closed
-                case Some(_) =>
-                  closed += Session(user, new Timestamp(t), new Timestamp(t), 1)
-                case None =>
-                  cur = Some(OpenSession(t, t, 1))
+            // standard interval merge over (open session ∪ batch events)
+            // sorted by start: consecutive intervals ≤ gap apart fuse.
+            // Late-but-above-watermark stragglers that precede the open
+            // session merge with EACH OTHER this way too (not just with
+            // the open session), instead of leaking out as singletons.
+            val items = (state.getOption.toSeq ++
+              it.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L)))
+              .sortBy(s => (s.start, s.end))
+            val merged = ListBuffer.empty[OpenSession]
+            items.foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.start <= p.end + gapMs =>
+                  merged(merged.length - 1) =
+                    OpenSession(p.start, math.max(p.end, s.end), p.n + s.n)
+                case _ => merged += s
               }
             }
+            // every merged run except the latest is already complete —
+            // emit closed; the latest stays open in state
+            val closed = merged.dropRight(1).map(s =>
+              Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            val cur = merged.lastOption
             cur.foreach { s =>
               state.update(s)
               // clamp: an event-time timeout must be later than the

@@ -83,4 +83,31 @@ class StatefulSessionsSpec extends SparkSpec {
       assert(s.n_events == 2L)
     } finally q.stop()
   }
+
+  test("pre-session stragglers within the gap of each other merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StatefulSessions.sessionize(
+      mem.toDS(), gapMs = 60000L, watermarkDelay = "1 hour")
+    val q = sessions.writeStream
+      .format("memory").queryName("straggler_sessions_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      mem.addData(Event(1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // two late events > gap before the open session but within the gap
+      // of EACH OTHER: one two-event session, not two singletons
+      mem.addData(
+        Event(1L, ts("2024-01-01 11:50:00")),
+        Event(1L, ts("2024-01-01 11:50:20")))
+      q.processAllAvailable()
+      val rows = spark.table("straggler_sessions_out").as[Session].collect()
+      assert(rows.length == 1)
+      assert(rows.head.session_start == ts("2024-01-01 11:50:00"))
+      assert(rows.head.session_end == ts("2024-01-01 11:50:20"))
+      assert(rows.head.n_events == 2L)
+    } finally q.stop()
+  }
 }
