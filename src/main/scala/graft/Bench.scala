@@ -15,7 +15,13 @@ object Bench {
     // isn't charged ~5s of one-time session cost
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+      // touch every table once: footer parse + page-cache warm so query
+      // timings measure execution, not first-touch file I/O
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+        try spark.read.parquet(s"$sfDir/$tbl.parquet").limit(10).count()
+        catch { case _: Throwable => }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

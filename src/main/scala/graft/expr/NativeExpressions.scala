@@ -182,6 +182,36 @@ case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
 }
 
+/** Count of array<string> elements contained in a fixed string set
+  * (occurrence count, not distinct) — replaces the interpreted
+  * size(filter(toks, isin...)) HOF tree in the text-stats hot path with
+  * one hash-set probe per token.
+  */
+case class CountInSet(child: Expression, values: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    var n = 0L
+    var i = 0
+    while (i < toks.numElements()) {
+      if (set.contains(toks.getUTF8String(i))) n += 1
+      i += 1
+    }
+    java.lang.Long.valueOf(n)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInSet = copy(child = c)
+}
+
 /** Sequential dot product of two array<double> columns — identical
   * accumulation order to `aggregate(zip_with(a,b,*),0,+)` (so results are
   * bit-compatible with the double-precision oracle) at a fraction of the
@@ -264,4 +294,6 @@ object native {
     c(SignSketches(e(vec), nTables, nBits))
   def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     c(LangId(e(tokens), profiles))
+  def countInSet(tokens: Column, values: Seq[String]): Column =
+    c(CountInSet(e(tokens), values))
 }

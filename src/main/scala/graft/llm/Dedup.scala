@@ -75,10 +75,15 @@ object Dedup {
       idCol: String = "doc_id", shingleN: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
+    // persist: the signature subtree feeds bucketing AND both sides of
+    // the pair re-attach join — uncached, the k min-hash passes over the
+    // full corpus would run three times. Signatures are ~8k bytes/doc,
+    // orders of magnitude smaller than the documents they summarize.
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(shingles(TextAnalysis.tokens(col(textCol)), shingleN), k)
           .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only through the bucket join and pair dedup — signatures
     // re-attach by key for the agreement estimate, so the hot shuffles
     // never carry the k-long arrays
@@ -218,14 +223,16 @@ object Dedup {
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      // carry the previous label through the checkpoint so convergence is
+      // a filter over already-materialized rows, not another shuffle join
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") < col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("cluster_id") < col("prev")).isEmpty
+      labels = updated.drop("prev")
       iter += 1
     }
     if (!converged)

@@ -29,7 +29,9 @@ object TextAnalysis {
       stopwords: Seq[String] = DefaultStopwords): DataFrame = {
     val toks = tokens(col(textCol))
     val nTokens = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    // native CountInSet: the HOF filter+isin tree is CodegenFallback and
+    // pays an interpreted lambda call per token
+    val nStop = graft.expr.native.countInSet(toks, stopwords)
     df.withColumn("char_count", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
