@@ -20,9 +20,17 @@ object Sampling {
     * salts the hash with its own tag: an unsalted shared bucket would
     * correlate composed operators (e.g. a 50% sample feeding a 98/1/1
     * split would land every surviving row in "train").
+    *
+    * Derived from 32 bits of md5 rather than xxhash64: md5 is the one
+    * hash every engine agrees on byte-for-byte, so split assignments are
+    * portable across Spark / DuckDB / BigQuery — a corpus re-processed
+    * by a different engine keeps the same train/val/test membership
+    * (the same leakage argument as run-to-run determinism). Cost is a
+    * few ns/row more than xxhash64, irrelevant next to the scan.
     */
   def hashBucket(id: Column, salt: String): Column =
-    pmod(xxhash64(lit(salt), id), lit(Buckets))
+    pmod(conv(substring(md5(concat_ws(":", lit(salt), id.cast("string"))), 25, 8),
+      16, 10).cast("long"), lit(Buckets))
 
   /** Assign train/val/test (or any named fractions summing to ≤ 1) by id
     * hash. Rows beyond the cumulative fractions get NULL (dropped splits).

@@ -111,13 +111,14 @@ object LlmQueries {
     "x_embed_dup_pairs" -> ((s, dir) =>
       Similarity.cosineDupPairs(embs(s, dir), minCos = 0.4)),
 
-    // deterministic train/val/test split counts (rows-only: xxhash64
-    // bucketing isn't reproducible in DuckDB SQL)
+    // deterministic train/val/test split counts (md5 bucketing is
+    // engine-portable, so the oracle recomputes the exact assignment)
     "x_hash_split" -> ((s, dir) =>
       graft.llm.Sampling.hashSplit(docs(s, dir), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
-    // per-language deterministic downsampling (rows-only)
+    // per-language deterministic downsampling (oracle-paired like
+    // x_hash_split)
     "x_stratified_sample" -> ((s, dir) =>
       graft.llm.Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
         Map("en" -> 0.5))
@@ -166,6 +167,26 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Sampling.hashBucket: bucket = parse-int-hex(md5[25..32]) % 1e6,
+    // identical byte-for-byte in any engine with md5
+    "x_hash_split" ->
+      """SELECT split, count(*)::BIGINT AS n FROM (
+           SELECT CASE
+             WHEN b < 980000 THEN 'train'
+             WHEN b < 990000 THEN 'val'
+             WHEN b < 1000000 THEN 'test' END AS split
+           FROM (SELECT ('0x' || substr(md5('split:' || doc_id::VARCHAR), 25, 8))::BIGINT
+                        % 1000000 AS b
+                 FROM documents))
+         GROUP BY 1""",
+
+    "x_stratified_sample" ->
+      """SELECT lang, count(*)::BIGINT AS n FROM documents
+         WHERE ('0x' || substr(md5('stratified:' || doc_id::VARCHAR), 25, 8))::BIGINT
+               % 1000000
+               < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 1000000
+         GROUP BY 1""",
+
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*)::BIGINT AS n_dups FROM documents GROUP BY 1""",
