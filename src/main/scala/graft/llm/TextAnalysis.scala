@@ -77,6 +77,44 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
 
+  /** Within-document repetition: fraction of tokens that are repeats of
+    * an earlier token (Gopher-style repetition signal — high values mean
+    * keyword-stuffing / boilerplate loops). Pure expressions, no shuffle.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    roundDet(lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+
+  // Regexes stay inside the Java∩RE2 common subset so the same pattern
+  // is reproducible in DuckDB/BigQuery oracles (no backrefs, no
+  // lookaround).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9() -]{6,}[0-9]"
+  val UrlRe = "https?://[^ ]+"
+
+  /** PII scrub: emails, IPv4 addresses, and international-format phone
+    * numbers replaced with typed placeholder tags. Email first (an
+    * address contains digit runs the other patterns could half-match).
+    * One codegen'd projection — the 100 TB path is scan → redact → write.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** All http(s) URLs in a document, as array<string>. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Registrable-host extraction for a URL string. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "https?://([^/ ]+)", 1)
+
   /** Boilerplate detector: word n-grams occurring in more than
     * `minDocs` distinct documents (headers/footers/licenses in a crawl).
     * One explode + one count shuffle; feed the result to a filter or to

@@ -55,6 +55,33 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted_lang"))),
 
+    // within-document repetition signal (Gopher-style)
+    "x_repetition_ratio" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))),
+
+    // PII scrub. The synthetic corpus carries no PII, so the gate plants
+    // a deterministic email/phone/IP per document (same construction in
+    // the oracle) — the hash-compare then proves byte-identical
+    // redaction, not a no-op pass.
+    "x_pii_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+          concat(lit("+1 555 00"), col("doc_id").cast("string")),
+          concat(lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7")))).as("redacted"))),
+
+    // URL extraction + host parse (planted URLs, as above)
+    "x_url_extract" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.extractUrls(concat_ws(" ", col("text"),
+          concat(lit("https://example"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".org/d/"), col("doc_id").cast("string")),
+          lit("http://mirror.example.net/x")))).as("url"))
+        .select(col("doc_id"), col("url"),
+          TextAnalysis.urlHost(col("url")).as("host"))),
+
     // n-gram Jaccard near-dup pairs (shingle-join blocking, exact verify)
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2)),
@@ -190,6 +217,37 @@ object LlmQueries {
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*)::BIGINT AS n_dups FROM documents GROUP BY 1""",
+
+    "x_repetition_ratio" ->
+      """SELECT doc_id,
+         floor((1 - len(list_distinct(str_split(text, ' ')))
+                    / len(str_split(text, ' '))) * 10000 + 0.5) / 10000
+           AS rep_ratio
+         FROM documents""",
+
+    "x_pii_redact" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               text || ' user' || doc_id::VARCHAR || '@example.com'
+                    || ' +1 555 00' || doc_id::VARCHAR
+                    || ' 10.0.' || (doc_id % 256)::VARCHAR || '.7',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+
+    "x_url_extract" ->
+      """SELECT doc_id, url,
+         regexp_extract(url, 'https?://([^/ ]+)', 1) AS host
+         FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   text || ' https://example' || (doc_id % 7)::VARCHAR
+                        || '.org/d/' || doc_id::VARCHAR
+                        || ' http://mirror.example.net/x',
+                   'https?://[^ ]+', 0)) AS url
+               FROM documents)""",
 
     "x_text_stats" ->
       """SELECT doc_id, length(text)::BIGINT AS char_count,

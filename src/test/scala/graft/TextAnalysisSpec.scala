@@ -59,6 +59,38 @@ class TextAnalysisSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("repetitionRatio: unique text scores 0, pure repeats near 1") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) == 0.0)
+    assert(r(1L) == 0.8) // 1 distinct of 5 tokens
+  }
+
+  test("redactPii replaces email, ip, and phone with typed tags") {
+    val df = Seq((0L,
+      "mail me at jo.doe+x@mail.example.org or call +1 (555) 123-4567 " +
+        "from 192.168.0.1 please")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(out ==
+      "mail me at <EMAIL> or call <PHONE> from <IP> please")
+  }
+
+  test("extractUrls + urlHost pull hosts out of mixed text") {
+    val df = Seq((0L,
+      "see https://docs.example.com/a/b and http://x.org plus plain text"))
+      .toDF("doc_id", "text")
+    val urls = df.select(TextAnalysis.extractUrls(col("text")))
+      .as[Seq[String]].head()
+    assert(urls == Seq("https://docs.example.com/a/b", "http://x.org"))
+    val hosts = df.select(explode(TextAnalysis.extractUrls(col("text"))).as("u"))
+      .select(TextAnalysis.urlHost(col("u"))).as[String].collect().toSeq
+    assert(hosts == Seq("docs.example.com", "x.org"))
+  }
+
   test("qualityScore favors longer, content-heavy docs") {
     val df = Seq(
       (0L, Seq.fill(120)("word").mkString(" ")),
