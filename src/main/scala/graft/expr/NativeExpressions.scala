@@ -279,6 +279,65 @@ case class SignSketches(child: Expression, nTables: Int, nBits: Int)
   override protected def withNewChildInternal(c: Expression): SignSketches = copy(child = c)
 }
 
+/** Indexes of the `nProbe` nearest centroids (by cosine, descending;
+  * ties break to the lower index) for an array<double> vector. The
+  * centroid matrix is baked into the expression as a literal — exactly
+  * the IVF coarse-quantizer pattern: the quantizer is tiny broadcast
+  * state, assignment is a pure map over the scan with NO join or
+  * row-explosion, and every executor evaluates the same planes.
+  */
+case class NearestCentroids(child: Expression,
+    centroids: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nProbe >= 1 && nProbe <= centroids.size)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  // |v| is constant across centroids for a given row, so scoring by
+  // dot/|c| preserves the cosine ordering without the extra sqrt
+  @transient private lazy val invNorms: Array[Double] = cents.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) 0.0 else 1.0 / n
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val scores = new Array[Double](cents.length)
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var acc = 0.0
+      var j = 0
+      val n = math.min(dim, c.length)
+      while (j < n) { acc += v.getDouble(j) * c(j); j += 1 }
+      scores(ci) = acc * invNorms(ci)
+      ci += 1
+    }
+    // selection of the top nProbe (k and nProbe are both small)
+    val out = new Array[Any](nProbe)
+    val taken = new Array[Boolean](cents.length)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var i = 0
+      while (i < cents.length) {
+        if (!taken(i) && (best < 0 || scores(i) > scores(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
 /** Column-level API over the native expressions. */
 object native {
   private def e(c: Column): Expression =
@@ -296,4 +355,6 @@ object native {
     c(LangId(e(tokens), profiles))
   def countInSet(tokens: Column, values: Seq[String]): Column =
     c(CountInSet(e(tokens), values))
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    c(NearestCentroids(e(vec), centroids, nProbe))
 }

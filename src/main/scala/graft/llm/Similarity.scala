@@ -108,6 +108,89 @@ object Similarity {
         roundDet(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Spherical-k-means coarse quantizer for [[ivfTopK]]: deterministic
+    * seeding (the `nCentroids` sample vectors with the smallest md5 of
+    * their id) followed by `lloydIters` distributed Lloyd rounds over a
+    * deterministic id-hash sample of the corpus.
+    *
+    * Scale: quantizer training is the one place a bounded driver-side
+    * collect is CORRECT — every IVF system holds the k×dim centroid
+    * matrix as broadcast state. The per-round work is distributed (a
+    * native nearest-centroid map + a posexplode/avg aggregation over the
+    * sample); only the k×dim aggregated centroids come back to the
+    * driver. At 100 TB set `sampleFraction` so the training sample is
+    * ~100k–1M vectors — Lloyd on a uniform sample converges to the same
+    * cells as full-corpus training for coarse quantization.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int,
+      lloydIters: Int = 2, sampleFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val base = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(graft.expr.native.arrayDot(col("vec"), col("vec")) > 0)
+    val sample = (if (sampleFraction >= 1.0) base
+      else base.filter(Sampling.hashBucket(col("id"), "ivf-train")
+        < math.round(sampleFraction * 1000000L)))
+      .localCheckpoint(true) // several actions below; train once, not per-action
+    var cents: Seq[Seq[Double]] = sample
+      .withColumn("hk", md5(col("id").cast("string")))
+      .orderBy("hk").limit(nCentroids) // TakeOrdered: no global sort
+      .select("vec").collect().map(_.getSeq[Double](0)).toSeq
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = sample.withColumn("cid",
+        element_at(graft.expr.native.nearestCentroids(col("vec"), cents, 1), 1))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // a centroid that lost all members keeps its previous position
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    * to their nearest coarse centroid (one native map, no shuffle);
+    * queries probe their `nProbe` nearest cells and score exactly within
+    * them. The candidate join broadcasts the probe list, so the corpus
+    * is never shuffled — at 100 TB the assignment is computed once and
+    * the corpus written partitioned/bucketed by `cid`
+    * ([[graft.sources.Warehouse]]), turning every search into a
+    * partition-pruned scan of nProbe/nCentroids of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+      sampleFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(corpus, nCentroids, lloydIters,
+      sampleFraction, idCol, vecCol)
+    val cBase = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .filter(graft.expr.native.arrayDot(col("cvec"), col("cvec")) > 0)
+      .withColumn("cid",
+        element_at(graft.expr.native.nearestCentroids(col("cvec"), cents, 1), 1))
+    val qBase = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
+    val probes = qBase.withColumn("cid",
+      explode(graft.expr.native.nearestCentroids(col("qvec"), cents, nProbe)))
+    val candidates = cBase.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        roundDet(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: block on a coarse sign
     * sketch (two vectors with cosine ≥ minCos almost surely agree on a
     * low-bit sketch in at least one table), verify exactly.

@@ -131,6 +131,15 @@ object LlmQueries {
         nBits = 6, nTables = 8)
     }),
 
+    // IVF approximate variant (rows-only: cell membership depends on the
+    // trained quantizer); recall vs brute force is pinned by
+    // SimilaritySpec
+    "x_cosine_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
     // embedding near-dup pairs (rows-only; exact-verified cosine). The
     // synthetic embeddings have no planted duplicates, so the gate runs
     // at a low threshold to exercise block→verify with real output;

@@ -36,6 +36,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-6)
   }
 
+  test("ivfTopK: identical vectors share a cell, found at rank 1") {
+    // an exact duplicate is assigned the same nearest centroid as its
+    // twin, so nProbe=1 already guarantees the match
+    val r = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      nCentroids = 3, nProbe = 1, lloydIters = 1)
+      .orderBy("rank").collect()
+    assert(r.nonEmpty)
+    assert(r(0).getAs[Long]("neighbor_id") == 1L)
+    assert(r(0).getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(e, q, k = 5,
+      nCentroids = 16, nProbe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("lshTopK finds identical vectors (same sketch in every table)") {
     val r = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
       nBits = 4, nTables = 3)
