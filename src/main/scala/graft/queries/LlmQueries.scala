@@ -82,6 +82,14 @@ object LlmQueries {
         .select(col("doc_id"), col("url"),
           TextAnalysis.urlHost(col("url")).as("host"))),
 
+    // sequence packing: fixed 2048-token training sequences per source
+    "x_pack_sequences" -> ((s, dir) =>
+      graft.llm.Packing.packSequences(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        budgetTokens = 2048L)
+        .select("doc_id", "source", "seq_id")),
+
     // n-gram Jaccard near-dup pairs (shingle-join blocking, exact verify)
     "x_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2)),
@@ -226,6 +234,15 @@ object LlmQueries {
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*)::BIGINT AS n_dups FROM documents GROUP BY 1""",
+
+    "x_pack_sequences" ->
+      """SELECT doc_id, source,
+         (cum_tokens - n_tokens) // 2048 AS seq_id
+         FROM (SELECT doc_id, source,
+                 len(str_split(text, ' '))::BIGINT AS n_tokens,
+                 sum(len(str_split(text, ' '))::BIGINT)
+                   OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+               FROM documents)""",
 
     "x_repetition_ratio" ->
       """SELECT doc_id,
