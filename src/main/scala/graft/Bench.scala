@@ -22,6 +22,18 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$tbl.parquet").limit(10).count()
         catch { case _: Throwable => }
       }
+      // steady-state measurement: run every query once at the smallest
+      // SF so JIT/codegen/broadcast machinery is warm before timing.
+      // The timed run below still executes the full plans on sfDir —
+      // this only removes one-time JVM compilation from the numbers,
+      // which a long-lived 1000-executor cluster never pays per query.
+      val warmDir =
+        if (new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
+          "/root/testdata/sf0.001" else sfDir
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
