@@ -19,6 +19,7 @@ import graft.expr._
   *   array_dot(a, b)                    → double
   *   sign_sketches(vec, tables, bits)   → array<long>
   *   lang_id(tokens)                    → string
+  *   count_in_set(tokens, 'a,b,c')      → long
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -51,7 +52,11 @@ object GraftExtensions {
     "sign_sketches" -> (es => { arity(es, 3, "sign_sketches")
       SignSketches(es(0), intArg(es(1), "nTables"), intArg(es(2), "nBits")) }),
     "lang_id" -> (es => { arity(es, 1, "lang_id")
-      LangId(es(0), graft.llm.TextAnalysis.LangProfiles) }))
+      LangId(es(0), graft.llm.TextAnalysis.LangProfiles) }),
+    "count_in_set" -> (es => { arity(es, 2, "count_in_set")
+      require(es(1).foldable, s"count_in_set values must be a string literal")
+      val values = String.valueOf(es(1).eval()).split(",").toSeq
+      CountInSet(es(0), values) }))
 
   /** Register into an already-running session (tests, notebooks). */
   def install(spark: SparkSession): Unit =

@@ -17,13 +17,15 @@ class ExtensionsSpec extends SparkSpec {
         simhash64(split(text, ' ')) AS sim,
         array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         size(sign_sketches(array(1.0d, -1.0d), 2, 4)) AS n_sketches,
-        lang_id(split('the cat and the dog is here', ' ')) AS lang
+        lang_id(split('the cat and the dog is here', ' ')) AS lang,
+        count_in_set(split(text, ' '), 'the,fox') AS n_hits
       FROM ext_docs""").head()
     assert(r.getAs[Int]("n_shingles") == 5) // 7 trigrams, 2 repeated
     assert(r.getAs[Int]("sig_len") == 16)
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Int]("n_sketches") == 2)
     assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("n_hits") == 4L) // 'the' x2 + 'fox' x2
   }
 
   test("SQL results match the Column API") {
