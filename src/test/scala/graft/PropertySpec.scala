@@ -109,6 +109,58 @@ class PropertySpec extends SparkSpec {
     assert(out.count() == 5000)
   }
 
+  test("repetitionRatio lands in [0,1) and is 0 iff all tokens distinct") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val cases = samples(Gen.nonEmptyListOf(word).map(_.mkString(" ")), 200)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    df.select(col("text"),
+      graft.llm.TextAnalysis.repetitionRatio(col("text")).as("r"))
+      .collect().foreach { row =>
+        val toks = row.getString(0).split(" ").toSeq
+        val r = row.getDouble(1)
+        assert(r >= 0.0 && r < 1.0)
+        assert((r == 0.0) == (toks.distinct.size == toks.size))
+      }
+  }
+
+  test("packSequences: within a group no sequence starts past the budget") {
+    val cases = samples(for {
+      src <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1L, 120L)
+    } yield (src, n), 300)
+    val df = cases.zipWithIndex.map { case ((s, n), i) => (i.toLong, s, n) }
+      .toDF("doc_id", "source", "n_tokens")
+    val out = graft.llm.Packing.packSequences(df, budgetTokens = 100L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("cum_tokens")))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // each doc's sequence is exactly its exclusive-cumsum div budget,
+      // which also makes seq ids non-decreasing in doc order
+      var cum = 0L
+      sorted.foreach { case (_, _, seqId, cumTok) =>
+        assert(seqId == cum / 100L)
+        cum = cumTok
+      }
+    }
+  }
+
+  test("hashSplit buckets are engine-portable (matches a pure-Scala md5)") {
+    val ids = samples(Gen.choose(0L, 1000000L), 100).distinct
+    val df = ids.map(Tuple1(_)).toDF("doc_id")
+    val got = df.select(col("doc_id"),
+      graft.llm.Sampling.hashBucket(col("doc_id"), "split").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = java.lang.Long.parseLong(hex.substring(24, 32), 16) % 1000000L
+      assert(got(id) == expect, s"id=$id")
+    }
+  }
+
   test("timestampDiffSeconds truncates like TIMESTAMP_DIFF(…, SECOND)") {
     val cases = samples(for {
       epoch <- Gen.choose(0L, 4102444800L)
