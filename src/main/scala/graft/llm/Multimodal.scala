@@ -81,7 +81,8 @@ object Multimodal {
     * (doc_id: long, payload: binary); output one feature row per media
     * item. Runs entirely executor-side, no shuffle.
     */
-  def decodeFeatures(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def decodeFeatures(df: DataFrame, bins: Int = 8)
+      (implicit spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     df.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
@@ -89,7 +90,7 @@ object Multimodal {
           val id = r.getLong(0)
           // NULL media ⇒ empty payload (0 bytes, all-zero histogram)
           val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          Row(id, payload.length.toLong, StubCodec.decodeFeatures(payload))
+          Row(id, payload.length.toLong, StubCodec.decodeFeatures(payload, bins))
         }
       }(enc)
   }

@@ -207,7 +207,25 @@ object LlmQueries {
         .select(col("doc_id"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
           ceil(octet_length(col("payload")) / 65536.0).cast("long")
-            .as("n_chunks")))
+            .as("n_chunks"))),
+
+    // multimodal dedup composition: partition-local decode (the
+    // mapInPandas analogue) → feature vectors → embedding-cosine
+    // duplicate pairs. The corpus is doubled with offset ids so every
+    // payload has exactly one planted twin; 64 bins + cos = 1 (after
+    // 6-decimal rounding) keeps a word-soup corpus from degenerating
+    // into all-pairs. Expected ≈ one pair per document (rows-only:
+    // LSH-blocked candidates)
+    "x_multimodal_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.union(
+        d.select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      val media = graft.llm.Multimodal.withSyntheticPayload(doubled)
+      val feats = graft.llm.Multimodal.decodeFeatures(media, bins = 64)
+        .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+      Similarity.cosineDupPairs(feats, minCos = 1.0)
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -29,6 +29,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L)._2.count(_ > 0) == 1)
   }
 
+  test("decode → feature-cosine dedup finds identical payloads") {
+    implicit val s = spark
+    import spark.implicits._
+    val d = Seq((0L, "tiger tiger burning"), (1L, "tiger tiger burning"),
+      (2L, "completely different 123 !!!")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.withSyntheticPayload(d), bins = 64)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.col("feature").as("embedding"))
+    val pairs = graft.llm.Similarity.cosineDupPairs(feats, minCos = 1.0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
   test("StubCodec resize and frame sampling shapes") {
     val p = "0123456789".getBytes("UTF-8")
     assert(Multimodal.StubCodec.resize(p, 4).length == 4)
