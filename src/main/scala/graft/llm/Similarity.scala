@@ -191,6 +191,27 @@ object Similarity {
         roundDet(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Pairs with IDENTICAL feature vectors: block on a 64-bit hash of the
+    * vector, verify exact equality (hash-collision guard). This — not
+    * sign-LSH — is the correct blocking when the target is identical
+    * payloads: on a near-identical-direction corpus (byte histograms,
+    * normalized features) every vector shares sign buckets and an LSH
+    * candidate set goes quadratic, while the exact-hash shuffle stays
+    * uniform and linear. First stage of any media dedup cascade.
+    */
+  def exactFeatureDupPairs(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(graft.expr.native.arrayDot(col("vec"), col("vec")) > 0)
+      .withColumn("fh", xxhash64(col("vec")))
+    keyed.select(col("fh"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(keyed.select(col("fh"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("fh"))
+      .filter(col("id_a") < col("id_b") && col("vec_a") === col("vec_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("cos_sim"))
+  }
+
   /** Near-duplicate pairs by embedding cosine: block on a coarse sign
     * sketch (two vectors with cosine ≥ minCos almost surely agree on a
     * low-bit sketch in at least one table), verify exactly.

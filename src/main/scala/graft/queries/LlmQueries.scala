@@ -210,12 +210,12 @@ object LlmQueries {
             .as("n_chunks"))),
 
     // multimodal dedup composition: partition-local decode (the
-    // mapInPandas analogue) → feature vectors → embedding-cosine
-    // duplicate pairs. The corpus is doubled with offset ids so every
-    // payload has exactly one planted twin; 64 bins + cos = 1 (after
-    // 6-decimal rounding) keeps a word-soup corpus from degenerating
-    // into all-pairs. Expected ≈ one pair per document (rows-only:
-    // LSH-blocked candidates)
+    // mapInPandas analogue) → feature vectors → exact-feature duplicate
+    // pairs. The corpus is doubled with offset ids so every payload has
+    // exactly one planted twin. Blocking is the exact feature hash, NOT
+    // sign-LSH: histogram features all point the same general direction,
+    // so LSH buckets degenerate and the candidate set goes quadratic
+    // (measured: this very gate timed out at sf0.1 under cosineDupPairs)
     "x_multimodal_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -224,7 +224,7 @@ object LlmQueries {
       val media = graft.llm.Multimodal.withSyntheticPayload(doubled)
       val feats = graft.llm.Multimodal.decodeFeatures(media, bins = 64)
         .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
-      Similarity.cosineDupPairs(feats, minCos = 1.0)
+      Similarity.exactFeatureDupPairs(feats)
     })
   )
 

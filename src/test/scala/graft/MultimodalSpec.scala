@@ -38,7 +38,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.withSyntheticPayload(d), bins = 64)
       .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
         org.apache.spark.sql.functions.col("feature").as("embedding"))
-    val pairs = graft.llm.Similarity.cosineDupPairs(feats, minCos = 1.0)
+    val pairs = graft.llm.Similarity.exactFeatureDupPairs(feats)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
