@@ -64,4 +64,32 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), "stratified") < frac * Buckets)
   }
+
+  /** Data mixing: downsample each listed source so the surviving corpus
+    * matches the target proportions `weights` (which should sum to 1),
+    * keeping as many rows as the scarcest source allows; unlisted
+    * sources are dropped. keep_s = C·w_s with C = min_s(count_s / w_s),
+    * so the binding source keeps 100% and everything else scales down.
+    *
+    * Scale: one count aggregation (collect is bounded by the number of
+    * sources — mixing config state, like the IVF quantizer), then a pure
+    * deterministic filter over the scan. Survivorship is id-stable: a
+    * document that survives one mix run survives every re-run.
+    */
+  def mixToWeights(df: DataFrame, weights: Map[String, Double],
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.groupBy(srcCol).count()
+      .filter(col(srcCol).isin(weights.keys.toSeq: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.contains(s) }
+    if (present.isEmpty) return df.filter(lit(false))
+    val cap = present.map { case (s, w) => counts(s) / w }.min
+    val fracCol = present.foldLeft(lit(-1.0)) { case (acc, (s, w)) =>
+      when(col(srcCol) === s,
+        lit(math.min(1.0, cap * w / counts(s).toDouble))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), "mix") < fracCol * Buckets)
+  }
 }

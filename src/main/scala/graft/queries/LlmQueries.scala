@@ -161,6 +161,13 @@ object LlmQueries {
       graft.llm.Sampling.hashSplit(docs(s, dir), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    // data mixing: resample three sources to a 50/30/20 target mix,
+    // bound by the scarcest source (deterministic, id-stable)
+    "x_mix_weights" -> ((s, dir) =>
+      graft.llm.Sampling.mixToWeights(docs(s, dir),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy("source").agg(count(lit(1)).as("n"))),
+
     // per-language deterministic downsampling (oracle-paired like
     // x_hash_split)
     "x_stratified_sample" -> ((s, dir) =>
@@ -240,6 +247,21 @@ object LlmQueries {
            FROM (SELECT ('0x' || substr(md5('split:' || doc_id::VARCHAR), 25, 8))::BIGINT
                         % 1000000 AS b
                  FROM documents))
+         GROUP BY 1""",
+
+    "x_mix_weights" ->
+      """WITH w(source, wt) AS (VALUES ('src0', 0.5::DOUBLE),
+                ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+         counts AS (SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY 1),
+         f AS (SELECT w.source,
+                 least(1.0,
+                   (SELECT min(c2.c / w2.wt) FROM counts c2
+                    JOIN w w2 ON c2.source = w2.source) * w.wt / c.c) AS frac
+               FROM w JOIN counts c ON c.source = w.source)
+         SELECT d.source, count(*)::BIGINT AS n
+         FROM documents d JOIN f ON d.source = f.source
+         WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 25, 8))::BIGINT
+               % 1000000 < f.frac * 1000000
          GROUP BY 1""",
 
     "x_stratified_sample" ->

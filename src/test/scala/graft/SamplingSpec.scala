@@ -48,6 +48,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("en") - 1000.0) / 1000.0 < 0.2)
   }
 
+  test("mixToWeights hits the target mix, bound by the scarcest source") {
+    import org.apache.spark.sql.functions._
+    // a: 6000 rows, b: 1000, c: 3000; target 50/30/20. b binds:
+    // C = 1000/0.3 ≈ 3333 → keep ≈ 1667 a / 1000 b / 667 c
+    val df = spark.range(10000).select(col("id").as("doc_id"),
+      when(col("id") < 6000, "a").when(col("id") < 7000, "b").otherwise("c")
+        .as("source"))
+    val kept = Sampling.mixToWeights(df,
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "source", "doc_id")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 1000L) // binding source keeps 100%
+    assert(math.abs(kept("a") - 1667L) < 120, s"a=${kept("a")}")
+    assert(math.abs(kept("c") - 667L) < 90, s"c=${kept("c")}")
+    // dropped sources: unlisted source vanishes
+    val dropped = Sampling.mixToWeights(
+      df.withColumn("source", lit("zz")), Map("a" -> 1.0), "source", "doc_id")
+    assert(dropped.isEmpty)
+  }
+
   test("curation pipeline filters, dedups, and splits end-to-end") {
     val base = "the quick brown fox jumps over the lazy dog while the sun " +
       "sets slowly behind distant purple mountains casting long warm shadows"
