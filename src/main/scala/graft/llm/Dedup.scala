@@ -126,6 +126,46 @@ object Dedup {
       .select(col(idCol), col("n_shared"))
   }
 
+  /** Bloom-prefiltered decontamination: byte-identical results to
+    * [[contaminatedDocs]], with the corpus shingles screened map-side
+    * against a Bloom filter of the benchmark shingles BEFORE the exact
+    * semi-join. The filter is bounded driver/broadcast state (n·8–10
+    * bits); non-matching shingles — the overwhelming majority of a clean
+    * corpus — never enter the join shuffle, so shuffle volume drops to
+    * (contaminated fraction + false-positive rate). This is Spark's own
+    * InjectRuntimeFilter trick made explicit for the shingle semi-join;
+    * the exact join afterwards removes the false positives.
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, minShared: Long = 1L,
+      expectedShingles: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    def hashedShingles(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
+    // persist: the bench shingle set feeds both the bloom build (an
+    // immediate action) and the exact verify join
+    val bench = hashedShingles(benchmark).select("sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = bench.select(bridge.column(
+        new BloomFilterAggregate(bridge.expression(col("sh")), expectedShingles)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = hashedShingles(corpus).filter(bridge.column(
+      new BloomFilterMightContain(Literal.create(bloom, BinaryType),
+        bridge.expression(col("sh")))))
+    pre.join(bench, Seq("sh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol), col("n_shared"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over

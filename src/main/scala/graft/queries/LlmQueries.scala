@@ -106,6 +106,14 @@ object LlmQueries {
         d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10))
     }),
 
+    // bloom-prefiltered variant: byte-identical output (same oracle) —
+    // the map-side bloom screen only cuts shuffle volume
+    "x_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedDocsBloom(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10))
+    }),
+
     // MinHash+LSH candidates (rows-only: xxhash64 family)
     "x_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir))),
@@ -403,6 +411,20 @@ object LlmQueries {
          FROM sh GROUP BY 1 HAVING count(*) >= 3""",
 
     "x_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)) AS sh
+           FROM documents),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+         SELECT s.doc_id, count(*)::BIGINT AS n_shared
+         FROM sh s JOIN bench USING (sh)
+         WHERE s.doc_id >= 10 GROUP BY 1""",
+
+        "x_decontaminate_bloom" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(
              CASE WHEN len(string_split(text,' ')) < 3 THEN [text]

@@ -83,6 +83,11 @@ class DedupSpec extends SparkSpec {
     assert(hits.length == 1)
     assert(hits(0).getAs[Long]("doc_id") == 0L)
     assert(hits(0).getAs[Long]("n_shared") == 2L) // two shared trigrams
+    // bloom-prefiltered variant is byte-identical (FPs removed by the
+    // exact join)
+    val bloomHits = Dedup.contaminatedDocsBloom(corpus, bench).collect()
+    assert(bloomHits.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      hits.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
   test("simhashCandidates surfaces only close pairs") {
