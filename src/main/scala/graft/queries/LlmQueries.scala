@@ -107,11 +107,14 @@ object LlmQueries {
     }),
 
     // bloom-prefiltered variant: byte-identical output (same oracle) —
-    // the map-side bloom screen only cuts shuffle volume
+    // the map-side bloom screen only cuts shuffle volume. Bloom sized to
+    // the 10-doc benchmark (size it to the EXPECTED shingle count: an
+    // over-sized filter is dead weight in every task's plan)
     "x_decontaminate_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.contaminatedDocsBloom(
-        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10))
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        expectedShingles = 10000L)
     }),
 
     // MinHash+LSH candidates (rows-only: xxhash64 family)
