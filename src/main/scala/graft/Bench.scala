@@ -34,6 +34,10 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
+      // free every cache entry the warm-up populated (persist() calls in
+      // the dedup/similarity operators are plan-keyed): timed queries
+      // must neither reuse warm-up caches nor fight them for storage
+      spark.catalog.clearCache()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -54,7 +58,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // |dt| so a crashing query can never LOWER the reported total — a
+    // broken heavy query must not read as a bench improvement
+    val total = results.map { case (_, v) => math.abs(v) }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so shutdown log lines can't land after

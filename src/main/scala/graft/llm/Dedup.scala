@@ -110,20 +110,33 @@ object Dedup {
     * small) broadcast by Catalyst — the corpus is never shuffled, making
     * this a map-side semi-join at 100 TB.
     */
+  /** (id, sh) exploded 64-bit shingle hashes — shared by both
+    * decontamination variants so their semantics cannot diverge.
+    */
+  private def shingleHashes(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int): DataFrame = df
+    .select(col(idCol).as("id"),
+      explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("shs"))
+    .select(col("id"), xxhash64(col("shs")).as("sh"))
+
+  /** Exact semi-join + per-doc shared-shingle count — the common tail of
+    * both decontamination variants.
+    */
+  private def contaminationTail(corpusShingles: DataFrame, bench: DataFrame,
+      idCol: String, minShared: Long): DataFrame = corpusShingles
+    .join(bench, Seq("sh"))
+    .groupBy(col("id").as(idCol))
+    .agg(count(lit(1)).as("n_shared"))
+    .filter(col("n_shared") >= minShared)
+    .select(col(idCol), col("n_shared"))
+
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, minShared: Long = 1L): DataFrame = {
-    def hashedShingles(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("shs"))
-      .select(col("id"), xxhash64(col("shs")).as("sh"))
-    val bench = hashedShingles(benchmark).select("sh").distinct()
-    hashedShingles(corpus)
-      .join(bench, Seq("sh"))
-      .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .select(col(idCol), col("n_shared"))
+    val bench = shingleHashes(benchmark, textCol, idCol, shingleN)
+      .select("sh").distinct()
+    contaminationTail(shingleHashes(corpus, textCol, idCol, shingleN),
+      bench, idCol, minShared)
   }
 
   /** Bloom-prefiltered decontamination: byte-identical results to
@@ -144,26 +157,20 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
     val bridge = org.apache.spark.sql.graft.ColumnBridge
-    def hashedShingles(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("shs"))
-      .select(col("id"), xxhash64(col("shs")).as("sh"))
     // persist: the bench shingle set feeds both the bloom build (an
     // immediate action) and the exact verify join
-    val bench = hashedShingles(benchmark).select("sh").distinct()
+    val bench = shingleHashes(benchmark, textCol, idCol, shingleN)
+      .select("sh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = bench.select(bridge.column(
         new BloomFilterAggregate(bridge.expression(col("sh")), expectedShingles)
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val pre = hashedShingles(corpus).filter(bridge.column(
-      new BloomFilterMightContain(Literal.create(bloom, BinaryType),
-        bridge.expression(col("sh")))))
-    pre.join(bench, Seq("sh"))
-      .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .select(col(idCol), col("n_shared"))
+    val pre = shingleHashes(corpus, textCol, idCol, shingleN)
+      .filter(bridge.column(
+        new BloomFilterMightContain(Literal.create(bloom, BinaryType),
+          bridge.expression(col("sh")))))
+    contaminationTail(pre, bench, idCol, minShared)
   }
 
   // --------------------------------------------------------------- SimHash

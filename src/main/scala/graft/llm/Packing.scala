@@ -21,6 +21,8 @@ object Packing {
   def packSequences(df: DataFrame, budgetTokens: Long,
       byCol: String = "source", idCol: String = "doc_id",
       nTokensCol: String = "n_tokens"): DataFrame = {
+    // `div 0` would silently NULL every seq_id instead of failing
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     val w = Window.partitionBy(byCol).orderBy(idCol)
     df.withColumn("cum_tokens", sum(col(nTokensCol)).over(w))
       // exclusive cumsum: a document starts the sequence its own tokens

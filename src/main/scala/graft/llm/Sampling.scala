@@ -82,7 +82,9 @@ object Sampling {
       "weights must be positive")
     val counts = df.groupBy(srcCol).count()
       .filter(col(srcCol).isin(weights.keys.toSeq: _*))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // toString, not getString: a non-string source column (int ids)
+      // should still match the Map[String, Double] key space
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.contains(s) }
     if (present.isEmpty) return df.filter(lit(false))
     val cap = present.map { case (s, w) => counts(s) / w }.min

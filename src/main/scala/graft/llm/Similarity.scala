@@ -132,10 +132,18 @@ object Similarity {
       else base.filter(Sampling.hashBucket(col("id"), "ivf-train")
         < math.round(sampleFraction * 1000000L)))
       .localCheckpoint(true) // several actions below; train once, not per-action
+    // a sparser-than-requested corpus just gets fewer cells — callers
+    // must clamp anything derived from nCentroids to the returned size
     var cents: Seq[Seq[Double]] = sample
       .withColumn("hk", md5(col("id").cast("string")))
       .orderBy("hk").limit(nCentroids) // TakeOrdered: no global sort
       .select("vec").collect().map(_.getSeq[Double](0)).toSeq
+    if (cents.isEmpty) return cents
+    // quantize coordinates after each averaging pass: the distributed
+    // avg's partial-merge order is not deterministic, so raw means can
+    // drift by ulps run-to-run; 1e-6 quantization pins the quantizer so
+    // cell assignment (and thus results) stays reproducible
+    def q(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     var it = 0
     while (it < lloydIters) {
       val assigned = sample.withColumn("cid",
@@ -146,7 +154,7 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvec"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).map(q)).toMap
       // a centroid that lost all members keeps its previous position
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
       it += 1
@@ -169,6 +177,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = trainCentroids(corpus, nCentroids, lloydIters,
       sampleFraction, idCol, vecCol)
+    // degrade like the sibling ANN paths instead of throwing: an empty /
+    // all-zero corpus yields an empty result; a corpus sparser than the
+    // requested cell count just probes fewer cells
+    if (cents.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as("query_id"),
+          lit(null).cast("long").as("rank"),
+          lit(null).cast("long").as("neighbor_id"),
+          lit(null).cast("double").as("cos_sim"))
+        .limit(0)
+    val probe = math.min(nProbe, cents.size)
     val cBase = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cvec"))
       .filter(graft.expr.native.arrayDot(col("cvec"), col("cvec")) > 0)
@@ -178,7 +197,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("qvec"))
       .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
     val probes = qBase.withColumn("cid",
-      explode(graft.expr.native.nearestCentroids(col("qvec"), cents, nProbe)))
+      explode(graft.expr.native.nearestCentroids(col("qvec"), cents, probe)))
     val candidates = cBase.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -47,6 +47,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0).getAs[Double]("cos_sim") == 1.0)
   }
 
+  test("ivfTopK degrades gracefully on tiny/empty corpora") {
+    // 5 vectors < nCentroids=16: fewer cells, clamped probes, no throw
+    val r = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      nCentroids = 16, nProbe = 4)
+      .orderBy("rank").collect()
+    assert(r.nonEmpty && r(0).getAs[Long]("neighbor_id") == 1L)
+    // empty / all-zero corpus: empty result, not an exception
+    val zero = Seq((7L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(zero, zero, k = 1).isEmpty)
+  }
+
   test("ivfTopK recall vs brute force on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 8)
