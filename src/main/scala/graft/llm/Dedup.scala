@@ -249,11 +249,16 @@ object Dedup {
 
   /** Connected components over a near-dup pair set: every document gets
     * the minimum id of its duplicate cluster as `cluster_id`. Iterative
-    * min-label propagation (converges in O(cluster diameter) rounds —
-    * near-dup clusters are shallow); each round localCheckpoints to cut
-    * the lineage so plans stay bounded. Needed because dropping `id_b`
-    * of every pair over-keeps when LSH misses a transitive pair: a chain
-    * a–b, b–c without the a–c pair must still collapse to one survivor.
+    * min-label propagation WITH pointer doubling: each round a node takes
+    * the min over its own label, its neighbors' labels, AND its label's
+    * label (label(label(u))) — the path-halving step that turns
+    * convergence from O(diameter) into O(log diameter) rounds, so deep
+    * duplicate chains (template corpora where LSH links page k only to
+    * page k±1) finish in a handful of rounds instead of hitting the cap.
+    * Each round localCheckpoints to cut lineage so plans stay bounded.
+    * Needed because dropping `id_b` of every pair over-keeps when LSH
+    * misses a transitive pair: a chain a–b, b–c without the a–c pair
+    * must still collapse to one survivor.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // materialize the pair set once: the loop issues several actions and
@@ -275,12 +280,21 @@ object Dedup {
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      // pointer doubling: label(label(u)) — labels only ever shrink, so
+      // chasing one extra hop per round halves pointer chains
+      val labelOfLabel = labels
+        .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("ll")),
+          Seq("cluster_id"), "left") // labels are always node ids, but stay safe
+        .select(col("id"), coalesce(col("ll"), col("cluster_id")).as("jump"))
       // carry the previous label through the checkpoint so convergence is
       // a filter over already-materialized rows, not another shuffle join
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(labelOfLabel, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
+          least(
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))),
+            coalesce(col("jump"), col("cluster_id"))).as("cluster_id"),
           col("cluster_id").as("prev"))
         .localCheckpoint(true)
       converged = updated.filter(col("cluster_id") < col("prev")).isEmpty
@@ -289,11 +303,11 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIterations rounds: a " +
-          "duplicate chain deeper than the cap would leave a component " +
-          "split across labels and dropNearDuplicates would over-keep. " +
-          "Raise maxIterations (rounds needed = O(log(cluster diameter)) " +
-          "once doubling is in play, O(diameter) here).")
+        s"duplicateClusters did not converge in $maxIterations rounds " +
+          "(O(log diameter) with pointer doubling — this cap covers " +
+          "components of diameter ~2^20): a component split across " +
+          "labels would make dropNearDuplicates over-keep. Raise " +
+          "maxIterations.")
     labels
   }
 

@@ -72,6 +72,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(0L, 3L))
   }
 
+  test("duplicateClusters collapses a deep chain in O(log n) rounds") {
+    // a 64-node path (k linked only to k+1): pure min propagation needs
+    // 63 rounds and would blow the 20-round cap; pointer doubling must
+    // finish well inside it
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(chain, maxIterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.length == 64)
+    assert(clusters.forall(_._2 == 0L))
+  }
+
   test("contaminatedDocs flags n-gram overlap with a benchmark set") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
