@@ -42,6 +42,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned == 1, s"expected 1 partition read, got $pruned of $total")
   }
 
+  test("IVF assignment written by cell partition-prunes probe reads") {
+    // the ivfTopK scale path: assignment computed once, corpus written
+    // partitioned by cell → a search touches nProbe/nCentroids of disk
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val assigned = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .withColumn("cid", element_at(
+        graft.expr.native.nearestCentroids(col("vec"), cents, 1), 1))
+    val out = tmpDir("wh-ivf") + "/index"
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(out)
+    val idx = spark.read.parquet(out)
+    val full = Warehouse.partitionsRead(idx.filter(col("vec_id") >= 0))
+    val probed = Warehouse.partitionsRead(idx.filter(col("cid").isin(0, 1)))
+    assert(full >= 4, s"expected several cells, got $full")
+    assert(probed <= 2, s"probe read $probed of $full cells")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
