@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.Cross
+
+/** Plan-hygiene regression gate: every declared query's optimized plan is
+  * audited for the shapes that do not survive scale — an unpartitioned
+  * Window (single-partition sort of the world) and a cross join that
+  * isn't an intentional bounded/broadcast design. Catches a regression
+  * at plan level without executing anything.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // intentional nested-loop designs: a9 ranks k=20 TakeOrdered rows via
+  // an inequality self-join; brute-force cosine broadcasts the query set
+  // against the corpus by design (it IS the exhaustive baseline)
+  private val allowedCross = Set("a9_vocab_topk", "x_cosine_topk")
+
+  test("no gate query plans an unpartitioned window or stray cross join") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val globalWindows = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => "global-window"
+      }
+      val crosses = plan.collect {
+        case j: Join if j.joinType == Cross || j.condition.isEmpty => "cross-join"
+      }.filterNot(_ => allowedCross(name))
+      (globalWindows ++ crosses).map(kind => s"$name: $kind")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
