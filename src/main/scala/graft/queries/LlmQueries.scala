@@ -82,6 +82,20 @@ object LlmQueries {
         .select(col("doc_id"), col("url"),
           TextAnalysis.urlHost(col("url")).as("host"))),
 
+    // per-source token-length percentiles (data-card tail stats). Exact
+    // percentile here for oracle parity with quantile_cont; the 100 TB
+    // path swaps in approx_percentile (t-digest-style sketch, merge-able
+    // map-side) at the cost of oracle exactness — same plan shape
+    "x_token_percentiles" -> ((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(
+          roundDet(expr("percentile(size(split(text, ' ')), 0.5)"), 4)
+            .as("p50_tokens"),
+          roundDet(expr("percentile(size(split(text, ' ')), 0.9)"), 4)
+            .as("p90_tokens"),
+          roundDet(expr("percentile(size(split(text, ' ')), 0.99)"), 4)
+            .as("p99_tokens"))),
+
     // sequence packing: fixed 2048-token training sequences per source
     "x_pack_sequences" -> ((s, dir) =>
       graft.llm.Packing.packSequences(
@@ -285,6 +299,16 @@ object LlmQueries {
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*)::BIGINT AS n_dups FROM documents GROUP BY 1""",
+
+    "x_token_percentiles" ->
+      """SELECT source,
+         floor(quantile_cont(len(str_split(text, ' ')), 0.5) * 10000 + 0.5)
+           / 10000 AS p50_tokens,
+         floor(quantile_cont(len(str_split(text, ' ')), 0.9) * 10000 + 0.5)
+           / 10000 AS p90_tokens,
+         floor(quantile_cont(len(str_split(text, ' ')), 0.99) * 10000 + 0.5)
+           / 10000 AS p99_tokens
+         FROM documents GROUP BY 1""",
 
     "x_pack_sequences" ->
       """SELECT doc_id, source,
