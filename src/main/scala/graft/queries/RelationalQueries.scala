@@ -292,6 +292,18 @@ object RelationalQueries {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // sliding (hopping) window batch analog: 1 h windows every 30 min —
+    // each event lands in exactly two windows. Same operator drives the
+    // streaming hourly-stats path with a watermark.
+    "st_hopping_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"))
+    }),
+
     // date arithmetic cluster: add_months (calendar-clamped), date_add,
     // datediff (reference models/dimensions/dim_date.sql:12)
     "f_date_arith" -> ((s, dir) => {
@@ -603,6 +615,16 @@ object RelationalQueries {
          event_type, count(*)::BIGINT AS n,
          floor(sum(value) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1, 2, 3""",
+
+    "st_hopping_window" ->
+      """SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+         event_type, count(*)::BIGINT AS n
+         FROM (SELECT event_type,
+                 unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                         time_bucket(INTERVAL 30 MINUTES, ts)
+                           - INTERVAL 30 MINUTES]) AS ws
+               FROM events)
+         GROUP BY 1, 2, 3""",
 
     "f_date_arith" ->
       """SELECT o_orderkey,
