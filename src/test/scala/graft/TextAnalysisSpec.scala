@@ -49,6 +49,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks == Seq("abc", "123", ",", "def", "!"))
   }
 
+  test("approx_percentile stays within sketch tolerance of exact") {
+    // the 100 TB swap-in for x_token_percentiles: t-digest-style sketch,
+    // merge-able map-side; pin its error against the exact percentile
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = docs.select(size(split(col("text"), " ")).as("n"))
+      .agg(expr("percentile(n, 0.9)").as("exact"),
+        expr("approx_percentile(n, 0.9, 1000)").as("approx")).head()
+    val exact = r.getDouble(0)
+    val approx = r.getInt(1).toDouble // size() is int → int percentile
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("approximate distinct stays within HLL tolerance of exact") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val r = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
