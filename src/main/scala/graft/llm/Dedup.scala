@@ -281,16 +281,22 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
       // pointer doubling: label(label(u)) — labels only ever shrink, so
-      // chasing one extra hop per round halves pointer chains
-      val labelOfLabel = labels
-        .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("ll")),
-          Seq("cluster_id"), "left") // labels are always node ids, but stay safe
-        .select(col("id"), coalesce(col("ll"), col("cluster_id")).as("jump"))
+      // chasing one extra hop per round halves pointer chains. Pointless
+      // in round 1 (labels still equal ids ⇒ label(label)=label), so the
+      // extra join only runs from round 2 on
+      val withJump =
+        if (iter == 0) labels.join(nbrMin, Seq("id"), "left")
+          .withColumn("jump", col("cluster_id"))
+        else {
+          val labelOfLabel = labels
+            .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("ll")),
+              Seq("cluster_id"), "left") // labels are always node ids, but stay safe
+            .select(col("id"), coalesce(col("ll"), col("cluster_id")).as("jump"))
+          labels.join(nbrMin, Seq("id"), "left").join(labelOfLabel, Seq("id"), "left")
+        }
       // carry the previous label through the checkpoint so convergence is
       // a filter over already-materialized rows, not another shuffle join
-      val updated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(labelOfLabel, Seq("id"), "left")
+      val updated = withJump
         .select(col("id"),
           least(
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))),
