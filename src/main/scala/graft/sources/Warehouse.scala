@@ -32,6 +32,22 @@ object Warehouse {
     sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
   }
 
+  /** Interchange formats: the engine's canonical storage is parquet, but
+    * warehouse exports/imports also speak ORC (columnar, predicate
+    * pushdown and column pruning work identically through the same
+    * FileSourceScan path — ORC jars ship with Spark). Same partitioning
+    * levers apply.
+    */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode).format("orc")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** True when a scan of `df` prunes partitions down to `expected` or
     * fewer — assertion helper for pruning tests and plan audits.
     */

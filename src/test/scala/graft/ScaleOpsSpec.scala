@@ -42,6 +42,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned == 1, s"expected 1 partition read, got $pruned of $total")
   }
 
+  test("ORC round-trip preserves a mart byte-for-byte; filters push down") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "source", "n_chars")
+    val out = tmpDir("wh-orc") + "/docs"
+    Warehouse.writeOrc(d, out)
+    val back = Warehouse.readOrc(spark, out)
+    assert(back.schema == d.schema)
+    assert(back.exceptAll(d).isEmpty && d.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan like parquet
+    val scan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      scan.take(400))
+  }
+
   test("IVF assignment written by cell partition-prunes probe reads") {
     // the ivfTopK scale path: assignment computed once, corpus written
     // partitioned by cell → a search touches nProbe/nCentroids of disk
