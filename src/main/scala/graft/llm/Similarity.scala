@@ -220,14 +220,23 @@ object Similarity {
     */
   def exactFeatureDupPairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // persist: the keyed relation feeds the ids-only blocking join AND
+    // both re-attach sides; uncached, the upstream decode would run 3×
     val keyed = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .filter(graft.expr.native.arrayDot(col("vec"), col("vec")) > 0)
       .withColumn("fh", xxhash64(col("vec")))
-    keyed.select(col("fh"), col("id").as("id_a"), col("vec").as("vec_a"))
-      .join(keyed.select(col("fh"), col("id").as("id_b"), col("vec").as("vec_b")),
-        Seq("fh"))
-      .filter(col("id_a") < col("id_b") && col("vec_a") === col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ids-only through the hash-blocking shuffle (the wide vectors
+    // re-attach by key only for the few hash-equal candidates)
+    val ids = keyed.select("fh", "id")
+    ids.select(col("fh"), col("id").as("id_a"))
+      .join(ids.select(col("fh"), col("id").as("id_b")), Seq("fh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .join(keyed.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .filter(col("vec_a") === col("vec_b")) // 64-bit-collision guard
       .select(col("id_a"), col("id_b"), lit(1.0).as("cos_sim"))
   }
 
