@@ -337,15 +337,28 @@ object Dedup {
     * posting-list sizes (cap hot shingles upstream if the corpus has
     * boilerplate). Output: (id_a, id_b, jaccard) with jaccard ≥ minJaccard.
     */
+  /** Default posting-list cap: a shingle shared by more than this many
+    * documents is boilerplate (header/footer/license), carries no dedup
+    * signal, and uncapped would contribute O(df²) join pairs — the one
+    * quadratic path reachable from a gate query at 100 TB. 10k keeps
+    * every genuine duplicate cluster (those are caught via their many
+    * OTHER shared shingles) while bounding any single shingle's pair
+    * contribution to 5·10⁷.
+    */
+  val DefaultMaxDocFreq = 10000L
+
   /** @param maxDocFreq drop shingles appearing in more than this many
     *                    documents before the pair join (boilerplate cap) —
     *                    at corpus scale a header/footer shingle shared by
     *                    millions of docs would otherwise produce a
-    *                    quadratic posting-list blowup. None = exact.
+    *                    quadratic posting-list blowup. ON by default
+    *                    ([[DefaultMaxDocFreq]]); pass None for exact
+    *                    all-pairs semantics on corpora known clean.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3,
-      minJaccard: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxDocFreq: Option[Long] = Some(DefaultMaxDocFreq)): DataFrame = {
     // shingles are 64-bit-hashed before the join: the shuffle carries an
     // 8-byte key instead of an n-word string; a cross-shingle collision
     // (~|shingles|^2 / 2^64) is negligible even at 100 TB corpus sizes

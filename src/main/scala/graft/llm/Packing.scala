@@ -8,26 +8,57 @@ import org.apache.spark.sql.functions._
   * sequences — the step between curation and tokenization in a
   * pretraining pipeline.
   *
-  * Strategy is streaming first-fit in id order WITHIN each `byCol` group
-  * (source/shard — the natural write partition): a running token total
-  * per group, `seq_id = floor(exclusive-cumsum / budget)`. Deterministic,
-  * one window over the group's natural partitioning — never a global
-  * sort. At 100 TB `byCol` is the ingest shard, so the window's shuffle
-  * is the same partitioning the data already has on disk (bucketed
-  * layout makes it shuffle-free).
+  * Strategy is streaming first-fit in id order WITHIN each `byCol` group:
+  * `seq_id = floor(exclusive-cumsum / budget)`. A real pretraining corpus
+  * has O(10) sources of multi-TB size, so a cumsum windowed on `byCol`
+  * alone would sort an entire source in ONE task. Instead the cumsum is
+  * two-level:
+  *
+  *   1. rows are bucketed by an id-monotone shard key
+  *      (`idCol div shardWidth` by default, or a caller-supplied
+  *      ingest-shard expression that is non-decreasing in `idCol`);
+  *      the within-shard cumsum windows on (byCol, shard) — thousands
+  *      of bounded tasks instead of one per source;
+  *   2. per-(source, shard) token totals (a tiny relation: #sources ×
+  *      #shards rows) get an exclusive prefix-sum over shards — the only
+  *      per-source single-task window left runs over shard COUNTS, not
+  *      rows — and are broadcast back as per-shard offsets.
+  *
+  * cum_tokens = shard offset + within-shard cumsum, bit-identical to the
+  * single-window formulation (PackingSpec proves it), deterministic, and
+  * no window partition ever spans a full source.
   */
 object Packing {
 
   def packSequences(df: DataFrame, budgetTokens: Long,
       byCol: String = "source", idCol: String = "doc_id",
-      nTokensCol: String = "n_tokens"): DataFrame = {
+      nTokensCol: String = "n_tokens",
+      shardWidth: Long = 1L << 20,
+      shardExpr: Option[String] = None): DataFrame = {
     // `div 0` would silently NULL every seq_id instead of failing
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
-    val w = Window.partitionBy(byCol).orderBy(idCol)
-    df.withColumn("cum_tokens", sum(col(nTokensCol)).over(w))
+    require(shardWidth > 0, s"shardWidth must be > 0, got $shardWidth")
+    // the shard key must be non-decreasing in idCol or the cross-shard
+    // prefix order breaks; the default id-range bucket is monotone by
+    // construction, a caller-supplied ingest-shard key must be too
+    val shard = shardExpr.getOrElse(s"$idCol div ${shardWidth}L")
+    val sharded = df.withColumn("_shard", expr(shard))
+    val wIn = Window.partitionBy(byCol, "_shard").orderBy(idCol)
+    val inShard = sharded.withColumn("_cum_in", sum(col(nTokensCol)).over(wIn))
+    // exclusive prefix of shard totals: offsets relation is #byCol×#shards
+    // rows (driver-broadcast-size at 100 TB: ~10 sources × ~10k shards)
+    val wSh = Window.partitionBy(byCol).orderBy("_shard")
+    val offsets = sharded.groupBy(col(byCol), col("_shard"))
+      .agg(sum(col(nTokensCol)).as("_shard_tokens"))
+      .withColumn("_offset",
+        sum(col("_shard_tokens")).over(wSh) - col("_shard_tokens"))
+      .select(col(byCol), col("_shard"), col("_offset"))
+    inShard.join(broadcast(offsets), Seq(byCol, "_shard"))
+      .withColumn("cum_tokens", col("_offset") + col("_cum_in"))
       // exclusive cumsum: a document starts the sequence its own tokens
       // begin in; `div` keeps the arithmetic integral end-to-end
       .withColumn("seq_id",
         expr(s"(cum_tokens - $nTokensCol) div ${budgetTokens}L"))
+      .drop("_shard", "_cum_in", "_offset")
   }
 }

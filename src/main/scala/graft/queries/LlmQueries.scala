@@ -312,7 +312,7 @@ object LlmQueries {
 
     "x_pack_sequences" ->
       """SELECT doc_id, source,
-         (cum_tokens - n_tokens) // 2048 AS seq_id
+         ((cum_tokens - n_tokens) // 2048)::BIGINT AS seq_id
          FROM (SELECT doc_id, source,
                  len(str_split(text, ' '))::BIGINT AS n_tokens,
                  sum(len(str_split(text, ' '))::BIGINT)

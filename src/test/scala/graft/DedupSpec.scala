@@ -46,6 +46,26 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((0L, 3L)))
   }
 
+  test("default boilerplate cap keeps a planted hot shingle sub-quadratic") {
+    // 10k docs sharing ONE boilerplate trigram plus unique content:
+    // uncapped, that shingle alone contributes ~5·10⁷ join pairs; with
+    // the cap it is dropped before the pair join and the result is empty
+    val boiler = "standard footer disclaimer"
+    val big = (0L until 10000L)
+      .map(i => (i, s"unique alpha$i bravo$i charlie$i delta$i $boiler"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(big, minJaccard = 0.01,
+      maxDocFreq = Some(100L))
+    assert(capped.count() == 0L)
+    // the cap must not perturb corpora with no hot shingles: default-cap
+    // output equals exact output on the 4-doc fixture
+    val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2,
+      maxDocFreq = None).collect().map(_.toSeq).toSet
+    val dflt = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2)
+      .collect().map(_.toSeq).toSet
+    assert(dflt == exact && dflt.nonEmpty)
+  }
+
   test("simhash: hamming 0 for identical, small for near-dup, large otherwise") {
     val sigs = docs.select(col("doc_id"),
       Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sim"))

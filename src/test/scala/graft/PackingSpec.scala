@@ -1,9 +1,15 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.llm.Packing
 
-/** Sequence packing: budget boundaries, per-group independence. */
+/** Sequence packing: budget boundaries, per-group independence,
+  * two-level (shard + prefix-offset) equivalence to the single-window
+  * formulation, and the plan-shape guarantee that no row-level window
+  * partition spans a whole source.
+  */
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,5 +26,51 @@ class PackingSpec extends SparkSpec {
     assert(out(2L) == 1L && out(3L) == 1L)
     // source b packs independently: 0, 100 -> seqs 0, 1
     assert(out(10L) == 0L && out(11L) == 1L)
+  }
+
+  test("two-level packing is bit-identical to a single whole-source window") {
+    // 1000 docs over 3 sources, shardWidth=64 forces ~16 shards so the
+    // cross-shard offset path is genuinely exercised; token counts vary
+    // deterministically and include budget-sized and tiny docs
+    val rows = (0L until 1000L).map { id =>
+      (id, s"s${id % 3}", 1L + (id * 37 % 130))
+    }
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val got = Packing.packSequences(df, budgetTokens = 100L, shardWidth = 64L)
+      .select("doc_id", "cum_tokens", "seq_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference semantics: one window over the whole source
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val want = df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr("(cum_tokens - n_tokens) div 100L"))
+      .select("doc_id", "cum_tokens", "seq_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
+  test("caller-supplied monotone shard expression matches the default path") {
+    val df = (0L until 300L).map(id => (id, "one", 7L))
+      .toDF("doc_id", "source", "n_tokens")
+    val a = Packing.packSequences(df, 50L, shardWidth = 32L)
+    val b = Packing.packSequences(df, 50L, shardExpr = Some("doc_id div 32L"))
+    assert(a.select("doc_id", "seq_id").collect().toSet ==
+      b.select("doc_id", "seq_id").collect().toSet)
+  }
+
+  test("no row-level window partition spans a full source") {
+    val df = (0L until 100L).map(id => (id, s"s${id % 2}", 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val plan = Packing.packSequences(df, 100L, shardWidth = 16L)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      // the row-level cumsum must partition on (source, shard); a window
+      // keyed on source alone is only legal over the tiny per-shard
+      // totals relation (child contains an Aggregate)
+      val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(w.partitionSpec.size >= 2 || overAggregate,
+        s"single-key window over raw rows: ${w.partitionSpec}")
+    }
   }
 }

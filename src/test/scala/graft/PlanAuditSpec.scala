@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
 import org.apache.spark.sql.catalyst.plans.Cross
 
 /** Plan-hygiene regression gate: every declared query's optimized plan is
@@ -23,10 +23,22 @@ class PlanAuditSpec extends SparkSpec {
       val globalWindows = plan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => "global-window"
       }
+      // a window keyed ONLY on known low-cardinality columns funnels a
+      // whole source/language into one task — the packSequences shape the
+      // round-2 audit missed. Legal only over an already-aggregated
+      // (tiny) child, e.g. per-shard totals or per-group stats.
+      val lowCard = Set("source", "lang", "split", "r_name", "n_name")
+      val lowCardWindows = plan.collect {
+        case w: LWindow
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"low-cardinality-window(${w.partitionSpec.map(_.sql).mkString(",")})"
+      }
       val crosses = plan.collect {
         case j: Join if j.joinType == Cross || j.condition.isEmpty => "cross-join"
       }.filterNot(_ => allowedCross(name))
-      (globalWindows ++ crosses).map(kind => s"$name: $kind")
+      (globalWindows ++ lowCardWindows ++ crosses).map(kind => s"$name: $kind")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
