@@ -30,6 +30,18 @@ package object functions {
   def surrogateKey(parts: Column*): Column =
     md5(concat(parts.map(_.cast("string")): _*))
 
+  /** BigQuery-format timestamp→string for byte-portable surrogate keys:
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS+00:00` in UTC with microseconds always
+    * printed — the rendering the reference's BigQuery run md5-keys over
+    * (`models/facts/fact_trips.sql:9-16`, e.g.
+    * `2025-01-01 04:37:39.287000+00:00`). Spark's plain string cast trims
+    * trailing fraction zeros, which is self-consistent for dedup but not
+    * byte-equal, so keys diffed across engines go through this helper.
+    * Requires the engine's UTC session timezone (GraftSession sets it).
+    */
+  def bqTimestampString(ts: Column): Column =
+    concat(date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00:00"))
+
   /** BigQuery TIMESTAMP_DIFF(end, start, SECOND) (reference
     * `models/staging/stg_historic_trips.sql:25`): whole-second difference
     * truncated toward zero, robust to sub-second input precision.

@@ -298,7 +298,15 @@ object GbfsModels {
         .withColumn("trip_id",
           surrogateKey(col("started_at"), col("ended_at"),
             col("start_station_id"), col("end_station_id")))
-        .select("trip_id", "started_at", "ended_at", "duration_s",
+        // byte-portable variant: keys match a BigQuery run bit-for-bit
+        // because the timestamp parts render in BigQuery's cast format
+        // (graft.functions.bqTimestampString) instead of Spark's
+        .withColumn("trip_id_bq",
+          surrogateKey(
+            graft.functions.bqTimestampString(col("started_at")),
+            graft.functions.bqTimestampString(col("ended_at")),
+            col("start_station_id"), col("end_station_id")))
+        .select("trip_id", "trip_id_bq", "started_at", "ended_at", "duration_s",
           "computed_duration_s", "trip_date", "trip_hour",
           "start_station_id", "end_station_id",
           "start_lat", "start_lon", "end_lat", "end_lon")

@@ -79,6 +79,8 @@ object Dedup {
     // the pair re-attach join — uncached, the k min-hash passes over the
     // full corpus would run three times. Signatures are ~8k bytes/doc,
     // orders of magnitude smaller than the documents they summarize.
+    // Caller owns the lifetime: unpersist/clearCache after materializing
+    // in a long-lived session.
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(shingles(TextAnalysis.tokens(col(textCol)), shingleN), k)
@@ -163,7 +165,8 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
     val bridge = org.apache.spark.sql.graft.ColumnBridge
     // persist: the bench shingle set feeds both the bloom build (an
-    // immediate action) and the exact verify join
+    // immediate action) and the exact verify join. Caller owns the
+    // lifetime: unpersist/clearCache after materializing.
     val bench = shingleHashes(benchmark, textCol, idCol, shingleN)
       .select("sh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

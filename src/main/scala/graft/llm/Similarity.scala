@@ -221,7 +221,10 @@ object Similarity {
   def exactFeatureDupPairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     // persist: the keyed relation feeds the ids-only blocking join AND
-    // both re-attach sides; uncached, the upstream decode would run 3×
+    // both re-attach sides; uncached, the upstream decode would run 3×.
+    // Lifetime is the caller's: in a long-lived session, unpersist (or
+    // spark.catalog.clearCache()) after materializing the result, or the
+    // cached relation outlives the pipeline and crowds storage memory
     val keyed = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .filter(graft.expr.native.arrayDot(col("vec"), col("vec")) > 0)

@@ -173,12 +173,21 @@ object LlmQueries {
         nCentroids = 16, nProbe = 4)
     }),
 
-    // embedding near-dup pairs (rows-only; exact-verified cosine). The
-    // synthetic embeddings have no planted duplicates, so the gate runs
-    // at a low threshold to exercise block→verify with real output;
-    // production dedup uses the 0.95 default.
-    "x_embed_dup_pairs" -> ((s, dir) =>
-      Similarity.cosineDupPairs(embs(s, dir), minCos = 0.4)),
+    // embedding near-dup pairs via block→exact-verify, oracle-paired
+    // through a planted-twin construction: the corpus is doubled with
+    // 2·v copies — same direction, so every sketch table collides by
+    // construction (sign(dot(p,2v)) == sign(dot(p,v)) exactly in IEEE)
+    // and recall is 1 at the 0.999 gate threshold, which no natural
+    // random-embedding pair reaches. DuckDB recomputes the exact pair
+    // set with all-pairs cosine over the same doubled relation.
+    "x_embed_dup_pairs" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val doubled = e.union(e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2).as("embedding")))
+      Similarity.cosineDupPairs(doubled, minCos = 0.999)
+    }),
 
     // deterministic train/val/test split counts (md5 bucketing is
     // engine-portable, so the oracle recomputes the exact assignment)
@@ -501,6 +510,35 @@ object LlmQueries {
     "x_multimodal_bytes" ->
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
          ceil(octet_length(text::BLOB) / 65536.0)::BIGINT AS n_chunks
-         FROM documents"""
+         FROM documents""",
+
+    // planted-twin ground truth: the synthetic payload and its histogram
+    // feature are deterministic in the text bytes, so exact-feature pairs
+    // over the doubled corpus are exactly the text-equality pairs
+    "x_multimodal_dedup" ->
+      """WITH doubled AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS cos_sim
+         FROM doubled a JOIN doubled b
+           ON a.text = b.text AND a.doc_id < b.doc_id""",
+
+    // exact all-pairs recomputation of the planted 2·v twins: only twin
+    // pairs reach cosine 0.999 (random embeddings top out far lower)
+    "x_embed_dup_pairs" ->
+      """WITH d AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[], x -> x * 2) FROM embeddings),
+         nz AS (SELECT * FROM d
+                WHERE list_sum(list_transform(v, x -> x * x)) > 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000
+             AS cos_sim
+         FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+         WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000
+               >= 0.999"""
   )
 }

@@ -21,6 +21,28 @@ object StatusStreamPipeline {
 
   val WatermarkDelay = "2 minutes"
 
+  /** S5-as-pluggable-source over the reference's archive layout (S11 path
+    * contract, `api_to_bucket.py:99-105`):
+    * `{root}/gbfs/{feed}/{YYYY}/{MM}/{DD}/{ts}-{suffix}-{feed}.json`, one
+    * JSON payload per object. A file-streaming scan discovers new drops
+    * per micro-batch; `wholetext` makes each file one payload row and the
+    * glob filter enforces the `*-{feed}.json` naming so co-archived
+    * feeds in the same tree don't leak in. Emits the same binary `data`
+    * column contract as the Pub/Sub/Memory sources, so [[clean]] and
+    * everything downstream is source-agnostic.
+    */
+  def fileSource(spark: SparkSession, archiveRoot: String,
+      feed: String = "station_status",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", s"*-$feed.json")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.text(s"$archiveRoot/gbfs/$feed")
+      .select(col("value").cast("binary").as("data"))
+  }
+
   /** ST-clean (reference `clean_data`, `realtime_pubsub_to_spark.py:121-156`):
     * bytes → JSON → explode stations → flatten + epoch→timestamp →
     * watermark → stateful dedup.

@@ -41,6 +41,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bqTimestampString renders BigQuery's cast format byte-for-byte") {
+    // epoch micros spanning whole seconds, ms-precision (trailing fraction
+    // zeros — the case Spark's plain cast trims) and full-µs values
+    val cases = samples(for {
+      sec <- Gen.choose(0L, 4102444800L) // 1970..2100
+      frac <- Gen.oneOf(Gen.const(0L), Gen.choose(0L, 999L).map(_ * 1000),
+        Gen.choose(0L, 999999L)).flatMap(g => g)
+    } yield sec * 1000000L + frac, 300)
+    val df = cases.toDF("us")
+      .select(col("us"), timestamp_micros(col("us")).as("ts"))
+    val got = df.select(col("us"), bqTimestampString(col("ts")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    cases.foreach { us =>
+      val want = fmt.format(java.time.Instant.EPOCH.plus(
+        us, java.time.temporal.ChronoUnit.MICROS)) + "+00:00"
+      assert(got(us) == want, s"us=$us")
+      // the documented shape: microseconds ALWAYS 6 digits, UTC suffix
+      assert(got(us).matches(
+        """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}\+00:00"""))
+    }
+  }
+
   test("roundDet equals the pure-Scala floor formula at every scale") {
     val cases = samples(for {
       x <- Gen.chooseNum(-1e6, 1e6)

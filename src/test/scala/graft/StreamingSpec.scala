@@ -71,6 +71,48 @@ class StreamingSpec extends SparkSpec {
     assert(sink.count() == 4)
   }
 
+  test("file source over the archive path convention drives the full pipeline") {
+    // reference layout (api_to_bucket.py:99-105):
+    //   {root}/gbfs/{feed}/{YYYY}/{MM}/{DD}/{ts}-{suffix}-{feed}.json
+    val root = tmpDir("archive-root")
+    val day = Paths.get(root, "gbfs", "station_status", "2025", "05", "11")
+    Files.createDirectories(day)
+    def drop(name: String, payload: String): Unit =
+      Files.writeString(day.resolve(name), payload)
+    drop("20250511T214640000000Z-ab12-station_status.json",
+      envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T),
+        GbfsFixtures.station("s2", 1, 19, reported = T)))
+    // a co-archived foreign feed in the same tree must NOT match the glob
+    val infoDay = Paths.get(root, "gbfs", "station_status", "2025", "05", "12")
+    Files.createDirectories(infoDay)
+    Files.writeString(
+      infoDay.resolve("20250512T000000000000Z-ffff-station_information.json"),
+      """{"not": "a status payload"}""")
+
+    val out = tmpDir("file-stream-out")
+    val enriched = StatusStreamPipeline.enrich(
+      StatusStreamPipeline.clean(
+        StatusStreamPipeline.fileSource(spark, root)),
+      StatusStreamPipeline.loadStationInfo(spark, writeInfoFile()))
+    val q = StatusStreamPipeline.start(enriched, out, tmpDir("file-stream-ckpt"),
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(out)
+      assert(b1.count() == 2) // two stations, foreign feed filtered out
+      // a new drop is discovered by a later micro-batch (the pluggable
+      // bit: file arrival == message arrival)
+      drop("20250511T214740000000Z-cd34-station_status.json",
+        envelope(T + 60, GbfsFixtures.station("s1", 6, 9, reported = T + 60)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 3)
+      val latest = rows.filter(col("report_time") ===
+        timestamp_seconds(lit(T + 60))).head()
+      assert(latest.getAs[String]("station_name") == "Alpha") // enriched
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window stats emit once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
