@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
   * Timing protocol: fixed query order (sorted by name), median of 3
   * timed passes per query, cache cleared after every query so the
   * persist() calls inside dedup/similarity pipelines can't leak storage
-  * into the next measurement. A full warm-up pass at the smallest SF
+  * into the next measurement. A full warm-up pass AT THE BENCH SF
   * removes one-time JIT/codegen cost (what a long-lived cluster never
-  * pays per query) from the numbers.
+  * pays per query) from the numbers — warming at a smaller SF compiles
+  * different plans (AQE broadcast decisions differ) and leaves pass-1
+  * spikes.
   */
 object Bench {
   private val Runs = 3
@@ -31,19 +33,22 @@ object Bench {
     // fixed (sorted) order: run-to-run and round-to-round comparable
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm up JVM/codegen/parquet-footer paths so the first timed query
-    // isn't charged ~5s of one-time session cost
+    // isn't charged ~5s of one-time session cost. Warm AT THE BENCH SF:
+    // sf0.001 plans can compile different codegen (broadcast vs shuffle
+    // join under AQE) and left pass-1 spikes in earlier rounds.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
+      // events.parquet is TIMESTAMP(NANOS): the legacy conf must be on
+      // before any raw footer probe touches it (Tables.events sets it,
+      // but the probe loop must not race ahead of that)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { tbl =>
         try spark.read.parquet(s"$sfDir/$tbl.parquet").limit(10).count()
         catch { case _: Throwable => }
       }
-      val warmDir =
-        if (new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
-          "/root/testdata/sf0.001" else sfDir
       queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
         spark.catalog.clearCache()
       }
@@ -59,10 +64,12 @@ object Bench {
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
+      // stop the clock before cache teardown: unpersist cost belongs to
+      // the harness, not the query being measured
+      val dt = (System.nanoTime() - t0) / 1e9
       // drop any intra-query persist() state so the next measurement
       // starts from a cold cache (storage-memory isolation between queries)
       spark.catalog.clearCache()
-      val dt = (System.nanoTime() - t0) / 1e9
       if (ok) dt else -dt // negative marks failure; |dt| still counts in totals
     }
 

@@ -52,8 +52,14 @@ object Packing {
       .agg(sum(col(nTokensCol)).as("_shard_tokens"))
       .withColumn("_offset",
         sum(col("_shard_tokens")).over(wSh) - col("_shard_tokens"))
-      .select(col(byCol), col("_shard"), col("_offset"))
-    inShard.join(broadcast(offsets), Seq(byCol, "_shard"))
+      .select(col(byCol).as("_by_off"), col("_shard").as("_shard_off"),
+        col("_offset"))
+    // null-SAFE keys: groupBy above keeps a NULL source / NULL-id shard
+    // as its own group, and `<=>` re-attaches its offset instead of
+    // silently dropping those rows as a plain equi-join would
+    inShard.join(broadcast(offsets),
+        col(byCol) <=> col("_by_off") && col("_shard") <=> col("_shard_off"))
+      .drop("_by_off", "_shard_off")
       .withColumn("cum_tokens", col("_offset") + col("_cum_in"))
       // exclusive cumsum: a document starts the sequence its own tokens
       // begin in; `div` keeps the arithmetic integral end-to-end

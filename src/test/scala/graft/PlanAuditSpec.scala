@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
 import org.apache.spark.sql.catalyst.plans.Cross
 
 /** Plan-hygiene regression gate: every declared query's optimized plan is
@@ -28,11 +28,20 @@ class PlanAuditSpec extends SparkSpec {
       // round-2 audit missed. Legal only over an already-aggregated
       // (tiny) child, e.g. per-shard totals or per-group stats.
       val lowCard = Set("source", "lang", "split", "r_name", "n_name")
+      // the exemption requires the Aggregate ON THE SPINE between the
+      // window and its input (walking only unary nodes) — an aggregate
+      // hiding on the far side of a join must NOT exempt a window over
+      // raw rows
+      def spineAggregated(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate => true
+        case u if u.children.size == 1 => spineAggregated(u.children.head)
+        case _ => false
+      }
       val lowCardWindows = plan.collect {
         case w: LWindow
             if w.partitionSpec.nonEmpty &&
               w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) &&
-              w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+              !spineAggregated(w.child) =>
           s"low-cardinality-window(${w.partitionSpec.map(_.sql).mkString(",")})"
       }
       val crosses = plan.collect {
