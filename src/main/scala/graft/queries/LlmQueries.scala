@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.roundDet
 import graft.llm.{Dedup, Similarity, TextAnalysis}
@@ -18,6 +18,19 @@ object LlmQueries {
     Tables.documents(s, dir)
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
+
+  /** Twin id for planted-duplicate oracle constructions: id + offset, with
+    * a codegen'd per-row guard that real ids stay BELOW the offset — a
+    * genuine id at or above it would let a planted twin collide with a
+    * real row and silently corrupt the pair ground truth on both the
+    * engine and oracle sides. assert_true returns NULL on success, so the
+    * coalesce keeps the arithmetic a single projection (no extra action).
+    */
+  private def twinId(id: Column, offset: Long): Column =
+    id + lit(offset) + coalesce(
+      assert_true(id < lit(offset),
+        lit(s"planted-twin construction requires max(id) < $offset")).cast("long"),
+      lit(0L))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups: content-hash → survivor + multiplicity
@@ -104,9 +117,14 @@ object LlmQueries {
         budgetTokens = 2048L)
         .select("doc_id", "source", "seq_id")),
 
-    // n-gram Jaccard near-dup pairs (shingle-join blocking, exact verify)
+    // n-gram Jaccard near-dup pairs (shingle-join blocking, exact verify).
+    // maxDocFreq = None: the DuckDB oracle computes EXACT jaccard, so the
+    // boilerplate cap (a lower-bound approximation when any shingle's
+    // doc-frequency exceeds it) must be off here — the default-on cap is
+    // the production setting, exercised by DedupSpec instead.
     "x_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2)),
+      Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2,
+        maxDocFreq = None)),
 
     // boilerplate detection: n-grams shared across ≥3 documents
     "x_repeated_ngrams" -> ((s, dir) =>
@@ -131,14 +149,47 @@ object LlmQueries {
         expectedShingles = 10000L)
     }),
 
-    // MinHash+LSH candidates (rows-only: xxhash64 family)
-    "x_minhash_candidates" -> ((s, dir) =>
-      Dedup.minhashCandidates(docs(s, dir))),
+    // MinHash+LSH recall gate, oracle-paired through a planted-twin
+    // construction: the corpus is doubled with exact-copy twins (offset
+    // ids), so every document has at least one true duplicate. Identical
+    // text ⇒ identical shingle set ⇒ identical signature REGARDLESS of
+    // hash family ⇒ every band collides, so LSH recall on the twin set is
+    // exactly 1. The gate keeps est_jaccard = 1.0 candidates and verifies
+    // text equality (content hash re-attached by id — removes any
+    // coincidental full-signature agreement between unequal texts), which
+    // makes the output the text-equality pair set — recomputable by
+    // DuckDB with no knowledge of the hash family. The raw candidate
+    // surface (est < 1 near-dups) stays pinned by DedupSpec fixtures.
+    "x_minhash_candidates" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.union(d.select(
+        twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+      val hashes = doubled.select(col("doc_id"), md5(col("text")).as("h"))
+      Dedup.minhashCandidates(doubled)
+        .filter(col("est_jaccard") === 1.0)
+        .join(hashes.select(col("doc_id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+        .join(hashes.select(col("doc_id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+        .filter(col("h_a") === col("h_b"))
+        .select("id_a", "id_b", "est_jaccard")
+    }),
 
-    // SimHash signatures (rows-only: xxhash64 family)
-    "x_simhash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))),
+    // SimHash recall gate, planted-twin-paired like x_minhash_candidates:
+    // identical text ⇒ identical token multiset ⇒ identical 64-bit
+    // simhash ⇒ hamming 0 and all four 16-bit chunks collide, so the
+    // banded candidate join finds every twin pair with certainty. Keep
+    // hamming = 0 candidates, verify text equality (drops permuted-token
+    // coincidences — simhash is order-insensitive, text equality is not).
+    "x_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.union(d.select(
+        twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+      val hashes = doubled.select(col("doc_id"), md5(col("text")).as("h"))
+      Dedup.simhashCandidates(doubled, maxHamming = 0)
+        .join(hashes.select(col("doc_id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+        .join(hashes.select(col("doc_id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+        .filter(col("h_a") === col("h_b"))
+        .select("id_a", "id_b", "hamming")
+    }),
 
     // embedding stats — dims, L2 norm, mean component
     "x_embed_stats" -> ((s, dir) =>
@@ -184,7 +235,7 @@ object LlmQueries {
       val e = embs(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       val doubled = e.union(e.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
+        twinId(col("vec_id"), 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * 2).as("embedding")))
       Similarity.cosineDupPairs(doubled, minCos = 0.999)
     }),
@@ -261,7 +312,7 @@ object LlmQueries {
       implicit val sp: SparkSession = s
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val doubled = d.union(
-        d.select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        d.select(twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
       val media = graft.llm.Multimodal.withSyntheticPayload(doubled)
       val feats = graft.llm.Multimodal.decodeFeatures(media, bins = 64)
         .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
@@ -511,6 +562,30 @@ object LlmQueries {
       """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
          ceil(octet_length(text::BLOB) / 65536.0)::BIGINT AS n_chunks
          FROM documents""",
+
+    // planted-twin ground truth: identical text ⇒ identical signature ⇒
+    // LSH recall 1 on the twin set; the equality verify reduces the
+    // output to text-equality pairs, which DuckDB recomputes directly
+    "x_minhash_candidates" ->
+      """WITH doubled AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           1.0::DOUBLE AS est_jaccard
+         FROM doubled a JOIN doubled b
+           ON a.text = b.text AND a.doc_id < b.doc_id""",
+
+    // same construction for simhash: hamming(sig_a, sig_b) = 0 for every
+    // text-equality pair, and the chunk-banded join finds them all
+    "x_simhash" ->
+      """WITH doubled AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INTEGER AS hamming
+         FROM doubled a JOIN doubled b
+           ON a.text = b.text AND a.doc_id < b.doc_id""",
 
     // planted-twin ground truth: the synthetic payload and its histogram
     // feature are deterministic in the text bytes, so exact-feature pairs
