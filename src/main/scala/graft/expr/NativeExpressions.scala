@@ -131,6 +131,31 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Polynomial rolling hash over an array<string> token column (Rabin-Karp
+  * document signature): Horner's rule acc·31 + xxhash64(token) mod 2^64 —
+  * order-sensitive, one pass. Replaces the HOF `aggregate` formulation,
+  * which pays an interpreted lambda call per token (the pattern this file
+  * exists to avoid).
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < toks.numElements()) {
+      acc = acc * 31L + hashing.hashString(toks.getUTF8String(i), 42L)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
+}
+
 /** Marker-profile language ID over an array<string> token column: one
   * pass over the tokens incrementing per-language marker counts, then
   * argmax with (score, language-code) tie-break — identical semantics to
@@ -348,6 +373,7 @@ object native {
   def wordShingles(tokens: Column, n: Int): Column = c(WordShingles(e(tokens), n))
   def minhashSignature(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def rollingHash64(tokens: Column): Column = c(RollingHash64(e(tokens)))
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
     c(SignSketches(e(vec), nTables, nBits))

@@ -72,10 +72,12 @@ object TextAnalysis {
 
   /** Polynomial rolling hash over tokens (order-sensitive), base 31 mod
     * 2^64 via Horner's rule — the classic Rabin-Karp document signature.
+    * Native single-pass expression (the HOF `aggregate` form pays an
+    * interpreted lambda per token); same xxhash64(seed 42) per-token hash,
+    * so signatures are unchanged.
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    graft.expr.native.rollingHash64(tokens(text))
 
   /** Within-document repetition: fraction of tokens that are repeats of
     * an earlier token (Gopher-style repetition signal — high values mean

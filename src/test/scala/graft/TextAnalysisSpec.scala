@@ -42,6 +42,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rhs(0) != rhs(1))
   }
 
+  test("native rollingHash matches the HOF aggregate formulation") {
+    val df = Seq((0L, "alpha beta gamma"), (1L, "gamma alpha beta"),
+      (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val native = df.select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    val hof = df.select(
+      aggregate(split(col("text"), " "), lit(0L),
+        (acc, t) => acc * lit(31L) + xxhash64(t))).as[Long].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("regexTokens splits letters/digits/punctuation") {
     val df = Seq((0L, "abc123, def!")).toDF("doc_id", "text")
     val toks = df.select(TextAnalysis.regexTokens(col("text")))
