@@ -98,11 +98,20 @@ final class DagRunner(
 
     for (name <- registry.topoOrder if wanted(name)) {
       val m = registry(name)
-      val self =
+      val selfRaw =
         if (!fullRefresh &&
           m.materialization.isInstanceOf[Materialization.Incremental] &&
           exists(name)) Some(spark.read.parquet(path(name)))
         else None
+      // scanPredicate scopes every read of the existing table — the
+      // model's own `{{ this }}` NOT-IN as well as the runner's key
+      // guard below — so the incremental dedup check partition-prunes
+      // instead of rescanning full history
+      val self = (selfRaw, m.materialization) match {
+        case (Some(df0), Materialization.Incremental(_, Some(p), _)) =>
+          Some(df0.filter(p))
+        case _ => selfRaw
+      }
       val ctx = ModelContext(spark, config, sources, resolve, self)
       val df = m.build(ctx)
 
@@ -113,22 +122,25 @@ final class DagRunner(
         case Materialization.Table =>
           df.write.mode("overwrite").parquet(path(name))
           spark.read.parquet(path(name))
-        case Materialization.Incremental(key, scanPredicate) =>
+        case Materialization.Incremental(key, _, parts) =>
+          def partitioned(w: org.apache.spark.sql.DataFrameWriter[
+              org.apache.spark.sql.Row]) =
+            if (parts.nonEmpty) w.partitionBy(parts: _*) else w
           self match {
             case None =>
-              df.write.mode("overwrite").parquet(path(name))
-            case Some(existing0) =>
-              val existing = scanPredicate
-                .map(existing0.filter).getOrElse(existing0)
-              // append-only-new-keys guard (D4); the reference models
+              partitioned(df.write.mode("overwrite")).parquet(path(name))
+            case Some(existing) =>
+              // `existing` is already scanPredicate-scoped above.
+              // Append-only-new-keys guard (D4); the reference models
               // already NOT-IN-filter, this keeps the contract even if a
               // model forgets. Write to a staging dir first: appending
               // while `existing` still lazily reads the same files would
               // race the scan.
               val newRows = df.join(existing.select(col(key)), Seq(key), "left_anti")
               val staged = path(name) + "__delta"
-              newRows.write.mode("overwrite").parquet(staged)
-              spark.read.parquet(staged).write.mode("append").parquet(path(name))
+              partitioned(newRows.write.mode("overwrite")).parquet(staged)
+              partitioned(spark.read.parquet(staged).write.mode("append"))
+                .parquet(path(name))
               val fs = new org.apache.hadoop.fs.Path(staged)
                 .getFileSystem(spark.sessionState.newHadoopConf())
               fs.delete(new org.apache.hadoop.fs.Path(staged), true)

@@ -56,15 +56,23 @@ object Materialization {
     * pure-append; the runner still left_anti-guards on the key).
     *
     * `scanPredicate` (SQL over the existing table, e.g.
-    * "status_date >= current_date() - interval 7 days") scopes the
-    * anti-join's read of the existing output — at 100 TB the dedup check
-    * must not rescan years of history. Safe whenever key collisions can
-    * only occur inside the predicate window (true for time-keyed
-    * snapshot ids); partition pruning turns the guard into a
-    * few-partition read.
+    * "status_date >= current_date() - interval 7 days") scopes BOTH the
+    * runner's anti-join read of the existing output and the `{{ this }}`
+    * relation handed to the model body — at 100 TB the dedup check must
+    * not rescan years of history. Safe whenever key collisions can only
+    * occur inside the predicate window (true for time-keyed snapshot
+    * ids); with `partitionBy` declared, partition pruning turns the
+    * guard into a few-partition read (IncrementalPruningSpec asserts
+    * the pruned partition count).
+    *
+    * `partitionBy` writes the incremental table hive-partitioned on the
+    * named columns (initial build and every delta append), which is what
+    * makes the scanPredicate prune at the FILE level rather than merely
+    * row-filter after a full scan.
     */
   final case class Incremental(uniqueKey: String,
-      scanPredicate: Option[String] = None) extends Materialization
+      scanPredicate: Option[String] = None,
+      partitionBy: Seq[String] = Nil) extends Materialization
 }
 
 /** What a model body can see while building. */

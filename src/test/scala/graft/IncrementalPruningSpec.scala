@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dbt._
+import graft.dbt.Materialization.Incremental
+import graft.sources.Warehouse
+
+/** End-to-end proof of the 100 TB incremental story (D4 at scale): a
+  * date-partitioned incremental fact with a `scanPredicate` window must
+  * (a) PRUNE the existing-side read of the anti-join to the window's
+  * partitions — not rescan full history — and (b) still dedup correctly
+  * inside the window.
+  */
+class IncrementalPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int) = java.sql.Date.valueOf(f"2026-01-$d%02d")
+
+  /** (snap_id, event_date, v) rows: `perDay` snapshots for days [from,to]. */
+  private def rows(from: Int, to: Int, perDay: Int = 3): DataFrame =
+    (from to to).flatMap(d => (0 until perDay)
+      .map(i => (s"d$d-$i", day(d), d * 100 + i)))
+      .toDF("snap_id", "event_date", "v")
+
+  // collisions can only occur inside the window (snapshot ids are
+  // date-prefixed), which is the documented precondition for scanPredicate
+  private val window = "event_date >= date'2026-01-08'"
+
+  private def runner(wh: String, source: DataFrame): DagRunner = {
+    val reg = new ModelRegistry().register(Model(
+      name = "fact_events",
+      deps = Nil,
+      materialization = Incremental("snap_id", Some(window),
+        partitionBy = Seq("event_date")),
+      build = ctx => {
+        val out = ctx.source("t", "events")
+        // {% if is_incremental() %} … NOT IN (SELECT snap_id FROM this):
+        // ctx.self is the scanPredicate-scoped read of the existing table
+        ctx.self match {
+          case Some(existing) =>
+            out.join(existing.select("snap_id"), Seq("snap_id"), "left_anti")
+          case None => out
+        }
+      }))
+    new DagRunner(spark, reg, (_, _) => source, wh)
+  }
+
+  test("scanPredicate + partitionBy prune the incremental anti-join scan") {
+    val wh = tmpDir("incr-prune-wh")
+
+    // run 1: full build, 10 days of history → 10 date partitions
+    runner(wh, rows(1, 10)).run()
+    val all1 = spark.read.parquet(s"$wh/fact_events")
+    assert(all1.count() == 30)
+    assert(Warehouse.partitionsRead(all1) == 10)
+
+    // the existing-side scan the runner performs on an incremental run is
+    // exactly this shape; the window covers days 8-10 → 3 of 10 partitions
+    val scoped = spark.read.parquet(s"$wh/fact_events").filter(window)
+    assert(Warehouse.partitionsRead(scoped) == 3,
+      "scanPredicate window must partition-prune the existing-side read")
+
+    // run 2: re-deliver days 9-10 (already present) plus new days 11-12 —
+    // in-window duplicates must be dropped, new days appended, partitioned
+    runner(wh, rows(9, 12)).run()
+    val all2 = spark.read.parquet(s"$wh/fact_events")
+    assert(all2.count() == 36, "6 new rows (days 11-12), 6 dups dropped")
+    assert(all2.select("snap_id").distinct().count() == 36)
+    assert(Warehouse.partitionsRead(all2) == 12,
+      "delta append must preserve the partition layout")
+
+    // the appended days are themselves prunable
+    val newDays = spark.read.parquet(s"$wh/fact_events")
+      .filter("event_date >= date'2026-01-11'")
+    assert(Warehouse.partitionsRead(newDays) == 2)
+    assert(newDays.count() == 6)
+  }
+
+  test("full refresh rebuilds the partitioned table from scratch") {
+    val wh = tmpDir("incr-prune-fr")
+    runner(wh, rows(1, 10)).run()
+    runner(wh, rows(5, 6)).run(fullRefresh = true)
+    val all = spark.read.parquet(s"$wh/fact_events")
+    assert(all.count() == 6)
+    assert(Warehouse.partitionsRead(all) == 2)
+  }
+}
