@@ -63,7 +63,16 @@ object StatusStreamPipeline {
         timestamp_seconds(col("station.last_reported")).as("report_time"),
         col("last_updated"), col("ttl"), col("version"))
       .withWatermark("report_time", WatermarkDelay)
-      .dropDuplicates("station_id", "report_time")
+      // dropDuplicatesWithinWatermark, not dropDuplicates: state is
+      // guaranteed evicted once the watermark passes an entry's event
+      // time + delay, whatever the key shape — the bounded-state contract
+      // a 24/7 pipeline needs. With report_time part of the key the
+      // OUTPUT is identical to dropDuplicates (a duplicate arriving
+      // after its state was evicted is by definition older than the
+      // watermark and dropped as late), so the dedup semantics of
+      // reference realtime_pubsub_to_spark.py:152-153 are preserved;
+      // StreamingSpec pins within-batch, cross-batch, and late cases.
+      .dropDuplicatesWithinWatermark("station_id", "report_time")
 
   /** ST3 (reference `enrich_data`, `:162-186`): stream-static left join
     * against explicitly broadcast station metadata. The static side is

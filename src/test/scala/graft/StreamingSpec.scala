@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -143,6 +144,35 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("avg_bikes") - 6.0) < 1e-12)
       assert(r.getAs[java.sql.Timestamp]("hour_start").toString
         .startsWith("2025-05-11 21:00:00"))
+    } finally q.stop()
+  }
+
+  test("stateful dedup runs on the RocksDB state store with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val mem = MemoryStream[String]
+    val payloads = mem.toDF().select(col("value").cast("binary").as("data"))
+    val q = StatusStreamPipeline.clean(payloads)
+      .writeStream.format("memory").queryName("rocksdb_dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      mem.addData(
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T)),
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T)))
+      q.processAllAvailable()
+      mem.addData(
+        envelope(T + 60, GbfsFixtures.station("s1", 5, 10, reported = T),
+          GbfsFixtures.station("s1", 6, 9, reported = T + 60)))
+      q.processAllAvailable()
+      // identical dedup semantics to dropDuplicates on the event-time key
+      assert(spark.table("rocksdb_dedup_out").count() == 2)
+      // the state operator is the watermark-bounded dedup variant and its
+      // state really lives in RocksDB (provider-specific metrics present)
+      val op = q.lastProgress.stateOperators.head
+      assert(op.operatorName == "dedupeWithinWatermark")
+      assert(op.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
     } finally q.stop()
   }
 
