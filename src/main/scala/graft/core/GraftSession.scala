@@ -41,6 +41,16 @@ object GraftSession {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` above
+      // every explode and pushdown re-substitutes the array expression
+      // into both conjuncts — our exploded arrays are computed (shingles,
+      // band keys, tokens), so the map stage would evaluate the expensive
+      // expression 3x per row (measured: +50% on the shingle-join path).
+      // The rule is a pure pre-generate pruning optimization (Generate
+      // itself drops null/empty arrays), and our generators never produce
+      // them by construction, so exclusion trades nothing for the win.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -58,6 +68,8 @@ object GraftSession {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark
   }
 }

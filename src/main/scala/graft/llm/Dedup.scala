@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.functions.roundDet
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -210,8 +211,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the pair dedup: hamming is a pure map-side check,
+      // so the dedup shuffle only carries true near-dup pairs instead of
+      // every 16-bit chunk coincidence (which at corpus scale outnumber
+      // real candidates by orders of magnitude)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard for a GIVEN candidate pair set: re-attaches both
@@ -263,13 +268,47 @@ object Dedup {
     * misses a transitive pair: a chain a–b, b–c without the a–c pair
     * must still collapse to one survivor.
     */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
+      driverMaxPairs: Long = 1000000L): DataFrame = {
     // materialize the pair set once: the loop issues several actions and
     // would otherwise re-run the candidate/verify pipeline behind `pairs`
     // on every one of them
     val p = pairs.select("id_a", "id_b").localCheckpoint(true)
-    if (p.isEmpty) // clean corpus: skip the propagation loop entirely
+    val nPairs = p.count() // cheap: counts the checkpointed blocks
+    if (nPairs == 0) // clean corpus: skip the propagation loop entirely
       return p.select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+    // Small-pair fast path: the VERIFIED near-dup pair set is proportional
+    // to the corpus's actual duplication, not its size — on most corpora
+    // it is thousands of rows while the distributed loop still pays
+    // O(log diameter) full job rounds. Below the cap (≤ ~16 MB of ids,
+    // bounded driver state like the IVF centroids), collect and run
+    // union-find with path compression; the loop remains the path for
+    // genuinely massive duplication.
+    val integralIds = p.schema.fields.forall(_.dataType == LongType)
+    if (integralIds && nPairs <= driverMaxPairs) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r))) // path halving
+          r = parent.get(r)
+        }
+        r
+      }
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // union-to-min: the root of a component is always its minimum id
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val sp = p.sparkSession
+      import sp.implicits._
+      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.longValue, find(id.longValue))).toSeq
+      return labels.toDF("id", "cluster_id")
+    }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()

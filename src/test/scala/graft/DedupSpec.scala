@@ -76,12 +76,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("duplicateClusters resolves transitive chains; dropNearDuplicates keeps one per cluster") {
-    // chain 0-1, 1-2 WITHOUT the 0-2 pair, plus isolated pair 5-6
+    // chain 0-1, 1-2 WITHOUT the 0-2 pair, plus isolated pair 5-6 —
+    // asserted on BOTH paths: the driver union-find fast path (default)
+    // and the distributed propagation loop (forced via driverMaxPairs=0)
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
-    val clusters = Dedup.duplicateClusters(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L)
-    assert(clusters(5L) == 5L && clusters(6L) == 5L)
+    for (cap <- Seq(1000000L, 0L)) {
+      val clusters = Dedup.duplicateClusters(pairs, driverMaxPairs = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L,
+        s"cap=$cap")
+      assert(clusters(5L) == 5L && clusters(6L) == 5L, s"cap=$cap")
+    }
 
     // end-to-end: three mutual near-dups + one distinct doc → 2 survivors
     val n = nearDup.replace("crimson", "scarlet")
@@ -97,7 +102,10 @@ class DedupSpec extends SparkSpec {
     // 63 rounds and would blow the 20-round cap; pointer doubling must
     // finish well inside it
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val clusters = Dedup.duplicateClusters(chain, maxIterations = 20)
+    // driverMaxPairs = 0 forces the distributed loop — the path this
+    // test exists to pin (the fast path has no round cap to blow)
+    val clusters = Dedup.duplicateClusters(chain, maxIterations = 20,
+        driverMaxPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(clusters.length == 64)
     assert(clusters.forall(_._2 == 0L))
