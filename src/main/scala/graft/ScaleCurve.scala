@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve harness: `runMain graft.ScaleCurve [sfDir] [mult] [workDir]`
+  * materializes a `mult`× documents/embeddings corpus derived from sfDir
+  * and times the dedup/ANN gate queries at 1× and `mult`×, printing a
+  * ratio table (PLANS.md records the results). The claim under test: the
+  * capped/blocked candidate generators grow ≲ linearly in corpus size —
+  * the property that makes them 100 TB-viable.
+  *
+  * Corpus construction: copy k suffixes every token with `_k` (so content
+  * across copies is genuinely distinct — same per-document shingle
+  * profile, disjoint shingle space, like a bigger crawl) and offsets ids;
+  * embeddings rotate components by k (norm-preserving, new directions).
+  * Copy 0 is the original, so 1× ⊂ mult× and the probe sets (vec_id < 8)
+  * exist at both scales.
+  */
+object ScaleCurve {
+  private val DocStep = 10000000L // twin offset 1e9 still clears 10 copies
+  private val VecStep = 100000L   // twin offset 1e6 still clears 10 copies
+
+  private def timeQuery(spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => DataFrame, runs: Int = 3): Double = {
+    fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+    spark.catalog.clearCache()
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_scale")
+    val spark = graft.core.GraftSession.local("graft-scale", cores = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val bigDir = s"$workDir/x$mult"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    (0 until mult).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * DocStep)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    (0 until mult).map { k =>
+      if (k == 0) embs
+      else embs.select(
+        (col("vec_id") + lit(k * VecStep)).as("vec_id"),
+        concat(
+          slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+          slice(col("embedding"), lit(1), lit(k))).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    val names = Seq("x_ngram_jaccard", "x_minhash_candidates", "x_simhash",
+      "x_multimodal_dedup", "x_embed_dup_pairs", "x_cosine_ann_lsh",
+      "x_cosine_ann_ivf", "x_dedup_exact", "x_decontaminate_bloom")
+    println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = timeQuery(spark, sfDir, fn)
+      val tn = timeQuery(spark, bigDir, fn)
+      println(f"SCALE $name%-28s $t1%6.3f  $tn%6.3f  ${tn / t1}%5.2f")
+    }
+    // the production (capped) jaccard path, not just the exact gate form
+    val capped = (s: SparkSession, d: String) =>
+      graft.llm.Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(s, d), minJaccard = 0.2)
+    val t1 = timeQuery(spark, sfDir, capped)
+    val tn = timeQuery(spark, bigDir, capped)
+    println(f"SCALE ${"x_ngram_jaccard(capped)"}%-28s $t1%6.3f  $tn%6.3f  ${tn / t1}%5.2f")
+    spark.stop()
+  }
+}
