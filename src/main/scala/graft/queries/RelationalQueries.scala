@@ -322,6 +322,42 @@ object RelationalQueries {
         to_json(struct(col("event_id"), col("event_type"))).as("js"))
     }),
 
+    // J+ — backward as-of join (union + one keyed shuffle + running
+    // window; no join operator): each purchase attaches the same user's
+    // latest view at or before it. DuckDB mirrors with ASOF LEFT JOIN.
+    "j7_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts_ns"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ns"), col("value").as("view_value"))
+      graft.operators.Joins.asOf(purchases, views, keys = Seq("user_id"),
+          leftTime = "ts_ns", rightTime = "ts_ns",
+          rightValues = Seq("view_value"), matchedTimeAlias = "view_ns")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("purchase_ts"),
+          date_trunc("second",
+            timestamp_micros(expr("view_ns div 1000"))).as("view_ts"),
+          col("view_value"))
+    }),
+
+    // J+ — point-in-interval range join via interval blocking (bucketed
+    // equi-join, no nested loop): clicks attributed to purchases of the
+    // same user within the preceding hour, half-open (p-1h ≤ c < p).
+    "j8_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourNs = 3600L * 1000000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns").as("click_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts_ns") - hourNs).as("w_start"), col("ts_ns").as("w_end"))
+      graft.operators.Joins.rangeJoin(clicks, "click_ns", purchases,
+          "w_start", "w_end", bucketWidth = hourNs, keys = Seq("user_id"))
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks_1h"))
+    }),
+
     // W+ — gap-based sessionization: lag + running conditional sum frames
     // (the batch form of streaming session windows)
     "w2_sessionize" -> ((s, dir) => {
@@ -638,6 +674,24 @@ object RelationalQueries {
       """SELECT event_id,
          to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
            AS js FROM events""",
+
+    "j7_asof_join" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'view')
+         SELECT l.event_id, l.user_id,
+           date_trunc('second', l.ts) AS purchase_ts,
+           date_trunc('second', r.ts) AS view_ts,
+           r.value AS view_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    "j8_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*)::BIGINT AS n_clicks_1h
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+         GROUP BY 1""",
 
     "w2_sessionize" ->
       """WITH flagged AS (
