@@ -292,6 +292,22 @@ object RelationalQueries {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // session window batch analog: Spark's native session_window with a
+    // 30-minute gap (an event at t extends its session to t+gap; a later
+    // event merges iff it starts strictly before that end). The oracle
+    // recomputes the identical sessions with lag + running sum — the
+    // merge condition `diff < gap` maps to `new session iff diff >= gap`.
+    "st_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          roundDet(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_trunc("second", col("session_window.start")).as("session_start"),
+          date_trunc("second", col("session_window.end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // sliding (hopping) window batch analog: 1 h windows every 30 min —
     // each event lands in exactly two windows. Same operator drives the
     // streaming hourly-stats path with a watermark.
@@ -651,6 +667,26 @@ object RelationalQueries {
          event_type, count(*)::BIGINT AS n,
          floor(sum(value) * 100 + 0.5) / 100 AS sum_value
          FROM events GROUP BY 1, 2, 3""",
+
+    "st_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessions AS (
+           SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id,
+           date_trunc('second', min(ts)) AS session_start,
+           date_trunc('second', max(ts) + INTERVAL 30 MINUTE) AS session_end,
+           count(*)::BIGINT AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+         FROM sessions GROUP BY user_id, sid""",
 
     "st_hopping_window" ->
       """SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,

@@ -147,6 +147,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within-gap events and emit past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val payloads = mem.toDF().select(col("value").cast("binary").as("data"))
+    val sessions = StatusStreamPipeline.clean(payloads)
+      .groupBy(session_window(col("report_time"), "10 minutes"), col("station_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("station_id"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      // two reports 60 s apart: one merged session [T, T+60+600)
+      mem.addData(
+        envelope(T, GbfsFixtures.station("s1", 5, 10, reported = T)),
+        envelope(T + 60, GbfsFixtures.station("s1", 6, 9, reported = T + 60)))
+      q.processAllAvailable()
+      assert(spark.table("session_out").count() == 0) // watermark not past end
+      // a report 40 min later closes the session (watermark delay 2 min)
+      mem.addData(envelope(T + 2400,
+        GbfsFixtures.station("s1", 2, 13, reported = T + 2400)))
+      q.processAllAvailable()
+      mem.addData(envelope(T + 2500,
+        GbfsFixtures.station("s1", 3, 12, reported = T + 2500)))
+      q.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n") == 2L)
+      val span = (rows(0).getAs[java.sql.Timestamp]("e").getTime -
+        rows(0).getAs[java.sql.Timestamp]("s").getTime) / 1000
+      assert(span == 60 + 600) // last event + gap
+    } finally q.stop()
+  }
+
   test("stateful dedup runs on the RocksDB state store with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
