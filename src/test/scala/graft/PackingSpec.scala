@@ -48,6 +48,23 @@ class PackingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("NULL source and NULL doc_id rows survive the offset join") {
+    // the two-level offset re-attach must be null-safe: a plain equi-join
+    // on (source, shard) would silently drop the NULL groups
+    val df = Seq(
+      (Some(0L), Option("a"), 60L), (Some(1L), Option("a"), 50L),
+      (Some(2L), Option.empty[String], 110L), (Some(3L), Option.empty[String], 40L),
+      (Option.empty[Long], Option("a"), 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Packing.packSequences(df, budgetTokens = 100L)
+    assert(out.count() == 5, "no rows may be dropped")
+    val nullSrc = out.filter(col("source").isNull)
+      .select("doc_id", "seq_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NULL source packs as its own group: doc starts 0, 110 -> seqs 0, 1
+    assert(nullSrc(2L) == 0L && nullSrc(3L) == 1L)
+  }
+
   test("caller-supplied monotone shard expression matches the default path") {
     val df = (0L until 300L).map(id => (id, "one", 7L))
       .toDF("doc_id", "source", "n_tokens")
