@@ -16,6 +16,7 @@ import graft.expr._
   *   word_shingles(tokens, n)           → array<string>
   *   minhash_signature(shingles, k)     → array<long>
   *   simhash64(tokens)                  → long
+  *   rolling_hash64(tokens)             → long
   *   array_dot(a, b)                    → double
   *   sign_sketches(vec, tables, bits)   → array<long>
   *   lang_id(tokens)                    → string
@@ -48,6 +49,8 @@ object GraftExtensions {
     "minhash_signature" -> (es => { arity(es, 2, "minhash_signature")
       MinHashSignature(es(0), intArg(es(1), "k")) }),
     "simhash64" -> (es => { arity(es, 1, "simhash64"); SimHash64(es(0)) }),
+    "rolling_hash64" -> (es => { arity(es, 1, "rolling_hash64")
+      RollingHash64(es(0)) }),
     "array_dot" -> (es => { arity(es, 2, "array_dot"); ArrayDot(es(0), es(1)) }),
     "sign_sketches" -> (es => { arity(es, 3, "sign_sketches")
       SignSketches(es(0), intArg(es(1), "nTables"), intArg(es(2), "nBits")) }),

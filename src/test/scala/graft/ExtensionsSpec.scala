@@ -15,6 +15,7 @@ class ExtensionsSpec extends SparkSpec {
         size(word_shingles(split(text, ' '), 3)) AS n_shingles,
         size(minhash_signature(word_shingles(split(text, ' '), 3), 16)) AS sig_len,
         simhash64(split(text, ' ')) AS sim,
+        rolling_hash64(split(text, ' ')) AS rh,
         array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         size(sign_sketches(array(1.0d, -1.0d), 2, 4)) AS n_sketches,
         lang_id(split('the cat and the dog is here', ' ')) AS lang,
@@ -22,6 +23,7 @@ class ExtensionsSpec extends SparkSpec {
       FROM ext_docs""").head()
     assert(r.getAs[Int]("n_shingles") == 5) // 7 trigrams, 2 repeated
     assert(r.getAs[Int]("sig_len") == 16)
+    assert(r.getAs[Long]("rh") != 0L)
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Int]("n_sketches") == 2)
     assert(r.getAs[String]("lang") == "en")
