@@ -269,4 +269,45 @@ object Similarity {
         roundDet(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Per-vector scalar int8 quantization — the storage/bandwidth arm of
+    * an ANN system: codes are 4× smaller than float32 (32× smaller than
+    * the float64 compute form), and at 100 TB the index scan reads codes
+    * while only the re-rank tail touches full vectors.
+    *
+    * Each vector is encoded against its own [min, max] range:
+    * `code_i = floor((x_i - min) / (max - min) * 255 + 0.5)` (the
+    * deterministic floor-rounding used everywhere in this engine);
+    * degenerate constant vectors encode to all-zero codes. Emitted per
+    * vector: the range, order-insensitive code checksums (sum, sum of
+    * squares), and the round-trip reconstruction MSE — the quality
+    * metric that tells an operator whether SQ8 is safe for their
+    * embedding distribution. Shape: posexplode → codegen'd arithmetic →
+    * one aggregation shuffle; the exploded rows of a vector never leave
+    * their scan partition before the partial agg.
+    */
+  def quantizeInt8Stats(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_v"),
+      array_min(col(vecCol).cast("array<double>")).as("_lo"),
+      array_max(col(vecCol).cast("array<double>")).as("_hi"))
+    val exploded = base
+      .select(col(idCol), col("_lo"), col("_hi"),
+        posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .withColumn("_code",
+        when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+          floor((col("_x") - col("_lo")) / (col("_hi") - col("_lo"))
+            * 255.0 + 0.5).cast("long")))
+      .withColumn("_recon",
+        col("_lo") + col("_code") * (col("_hi") - col("_lo")) / 255.0)
+    exploded.groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_dims"),
+        roundDet(min(col("_lo")), 6).as("v_min"),
+        roundDet(max(col("_hi")), 6).as("v_max"),
+        sum(col("_code")).as("code_sum"),
+        sum(col("_code") * col("_code")).as("code_sumsq"),
+        roundDet(avg(pow(col("_x") - col("_recon"), 2)), 9).as("recon_mse"))
+  }
 }

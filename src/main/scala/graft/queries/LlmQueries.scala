@@ -202,6 +202,11 @@ object LlmQueries {
           aggregate(col("embedding").cast("array<double>"), lit(0.0),
             (acc, x) => acc + x) / size(col("embedding")), 6).as("mean_comp"))),
 
+    // int8 scalar quantization stats: per-vector range encode + code
+    // checksums + round-trip MSE (the storage arm of ANN at 100 TB)
+    "x_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8Stats(embs(s, dir))),
+
     // exact cosine top-k for a fixed probe set (vec_id < 8)
     "x_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -531,6 +536,28 @@ object LlmQueries {
            * 1000000 + 0.5) / 1000000 AS l2_norm,
          floor(list_sum(embedding::DOUBLE[]) / len(embedding) * 1000000 + 0.5) / 1000000 AS mean_comp
          FROM embeddings""",
+
+    "x_embed_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS lo,
+             list_max(embedding::DOUBLE[]) AS hi
+           FROM embeddings)
+         SELECT vec_id, len(v)::BIGINT AS n_dims,
+           floor(lo * 1000000 + 0.5) / 1000000 AS v_min,
+           floor(hi * 1000000 + 0.5) / 1000000 AS v_max,
+           list_sum(list_transform(v, x -> CASE WHEN hi = lo THEN 0
+             ELSE floor((x - lo) / (hi - lo) * 255 + 0.5)::BIGINT END))::BIGINT
+             AS code_sum,
+           list_sum(list_transform(v, x -> CASE WHEN hi = lo THEN 0 ELSE
+             floor((x - lo) / (hi - lo) * 255 + 0.5)::BIGINT *
+             floor((x - lo) / (hi - lo) * 255 + 0.5)::BIGINT END))::BIGINT
+             AS code_sumsq,
+           floor(list_avg(list_transform(v, x -> pow(x - (lo +
+             (CASE WHEN hi = lo THEN 0
+              ELSE floor((x - lo) / (hi - lo) * 255 + 0.5)::BIGINT END)
+             * (hi - lo) / 255.0), 2))) * 1000000000 + 0.5) / 1000000000
+             AS recon_mse
+         FROM b""",
 
     "x_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -338,6 +338,39 @@ object RelationalQueries {
         to_json(struct(col("event_id"), col("event_type"))).as("js"))
     }),
 
+    // A+ — hierarchical rollup: subtotals per (returnflag, linestatus),
+    // per returnflag, and grand total in ONE pass (Expand + single
+    // aggregation shuffle — not three scans), with grouping_id
+    // distinguishing the levels. DuckDB mirrors with GROUP BY ROLLUP.
+    "a11_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          roundDet(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    }),
+
+    // W+ — the full analytic-window surface over customer order
+    // histories: lead/lag, ranks, ntile quartiles, distribution
+    // functions, and running first/last frames, all on one window pass.
+    "w3_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        roundDet(percent_rank().over(w), 6).as("pct_rank"),
+        roundDet(cume_dist().over(w), 6).as("cum_dist"),
+        roundDet(first(col("o_totalprice")).over(run), 2).as("first_price"),
+        roundDet(sum(col("o_totalprice")).over(run), 2).as("run_total"))
+    }),
+
     // J+ — backward as-of join (union + one keyed shuffle + running
     // window; no join operator): each purchase attaches the same user's
     // latest view at or before it. DuckDB mirrors with ASOF LEFT JOIN.
@@ -710,6 +743,30 @@ object RelationalQueries {
       """SELECT event_id,
          to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
            AS js FROM events""",
+
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+         count(*)::BIGINT AS n,
+         floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "w3_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+         lag(o_orderkey, 1) OVER w AS prev_order,
+         lead(o_orderkey, 1) OVER w AS next_order,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         (ntile(4) OVER w)::BIGINT AS quartile,
+         floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+         floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cum_dist,
+         floor(first_value(o_totalprice) OVER wr * 100 + 0.5) / 100
+           AS first_price,
+         floor(sum(o_totalprice) OVER wr * 100 + 0.5) / 100 AS run_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "j7_asof_join" ->
       """WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
