@@ -338,6 +338,35 @@ object RelationalQueries {
         to_json(struct(col("event_id"), col("event_type"))).as("js"))
     }),
 
+    // A+ — set operations: customers who ordered in 1995 INTERSECT/EXCEPT
+    // those who ordered in 1996 (both compile to aggregate/anti-join
+    // shapes, not row-by-row comparisons). UNION ALL + labels keeps one
+    // result relation.
+    "a12_set_ops" -> ((s, dir) => {
+      def buyers(year: Int) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val y95 = buyers(1995); val y96 = buyers(1996)
+      y95.intersect(y96).withColumn("set_op", lit("both"))
+        .unionByName(y95.except(y96).withColumn("set_op", lit("only_1995")))
+        .unionByName(y96.except(y95).withColumn("set_op", lit("only_1996")))
+    }),
+
+    // A+ — pivot: per-user event-type counts as columns. The value list
+    // is explicit, so the plan is a single groupBy with conditional
+    // aggregates (no extra pass to discover the pivot domain).
+    "a13_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("signup", "click", "view", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("signup").as("n_signup"),
+          col("click").as("n_click"), col("view").as("n_view"),
+          col("purchase").as("n_purchase"), col("error").as("n_error"))
+    }),
+
     // A+ — hierarchical rollup: subtotals per (returnflag, linestatus),
     // per returnflag, and grand total in ONE pass (Expand + single
     // aggregation shuffle — not three scans), with grouping_id
@@ -743,6 +772,31 @@ object RelationalQueries {
       """SELECT event_id,
          to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
            AS js FROM events""",
+
+    "a12_set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01')
+         SELECT o_custkey, 'both' AS set_op FROM (
+           SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+         UNION ALL
+         SELECT o_custkey, 'only_1995' FROM (
+           SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+         UNION ALL
+         SELECT o_custkey, 'only_1996' FROM (
+           SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)""",
+
+    "a13_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+         count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+         count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+         count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error
+         FROM events GROUP BY 1""",
 
     "a11_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -147,6 +147,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to purchases with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming form of the j8_range_join attribution: two watermarked
+    // streams, inner join on user + a time-range condition — watermarks
+    // bound both sides' state so the join survives unbounded input
+    val memC = MemoryStream[(Long, Long)] // (user_id, epoch s)
+    val memP = MemoryStream[(Long, Long, Long)] // (purchase_id, user_id, epoch s)
+    val clicks = memC.toDF().toDF("c_user", "c_epoch")
+      .select(col("c_user"), timestamp_seconds(col("c_epoch")).as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+    val purchases = memP.toDF().toDF("purchase_id", "p_user", "p_epoch")
+      .select(col("purchase_id"), col("p_user"),
+        timestamp_seconds(col("p_epoch")).as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              c_time >= p_time - INTERVAL 1 HOUR AND c_time < p_time"""))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      // user 1: two clicks inside the hour before the purchase, one after,
+      // user 2: click 2 h before its purchase (outside the window)
+      memC.addData((1L, T), (1L, T + 1800), (1L, T + 4000), (2L, T))
+      memP.addData((100L, 1L, T + 3600), (200L, 2L, T + 7200))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_out")
+        .select("purchase_id", "c_user").collect()
+      assert(rows.map(_.getLong(0)).toSeq.sorted == Seq(100L, 100L))
+      assert(rows.forall(_.getLong(1) == 1L))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within-gap events and emit past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
