@@ -36,12 +36,16 @@ object Joins {
     * @param tolerance keep-match predicate over (leftTime, matchedTime),
     *                  e.g. `(lt, rt) => lt - rt <= lit(3600L)`; failing
     *                  matches become NULL (no-match)
+    * @param forward false (default): latest right ≤ left (backward);
+    *                true: earliest right ≥ left (forward) — the same
+    *                union+window pass with the sort reversed
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       rightValues: Seq[String] = Nil,
       matchedTimeAlias: String = "matched_time",
-      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+      tolerance: Option[(Column, Column) => Column] = None,
+      forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     val rv = if (rightValues.nonEmpty) rightValues
       else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
@@ -58,9 +62,14 @@ object Joins {
       .withColumn("_lv", lit(null).cast(lPacked.schema("_lv").dataType))
       .unionByName(lPacked)
     // right rows sort before left rows at the same time (side 0 < 1), so
-    // a right row AT the left time is visible — the ≤ in the contract
+    // a right row AT the left time is visible — the ≤/≥ in the contract.
+    // Forward mode reverses the time sort (the window machinery is
+    // direction-agnostic); ties then prefer the SMALLEST packed value so
+    // the match is the earliest-at-or-after.
+    val timeOrd = if (forward) col("_t").desc else col("_t").asc
+    val valOrd = if (forward) col("_rv").desc else col("_rv").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc, col("_rv").asc)
+      .orderBy(timeOrd, col("_side").asc, valOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))

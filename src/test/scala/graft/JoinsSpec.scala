@@ -40,6 +40,23 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOf forward matches brute-force earliest-at-or-after per key") {
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "t", "v")
+    val got = Joins.asOf(left, right, keys = Seq("k"),
+        leftTime = "t", rightTime = "t", matchedTimeAlias = "mt",
+        forward = true)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    leftRows.foreach { case (id, k, t) =>
+      val expect = rightRows.filter(r => r._1 == k && r._2 >= t)
+        .sortBy(_._2).headOption
+      assert(got(id) == ((expect.map(_._2), expect.map(_._3))),
+        s"left row $id (k=$k, t=$t)")
+    }
+  }
+
   test("asOf tolerance nulls out stale matches") {
     val left = Seq((1L, "a", 100L), (2L, "a", 500L)).toDF("id", "k", "t")
     val right = Seq(("a", 90L, 9.0)).toDF("k", "t", "v")
