@@ -108,8 +108,12 @@ object Bench {
       val spread = r4(ts.map(math.abs).max - ts.map(math.abs).min)
       s""""$n":{"median":${r4(m)},"runs":$runs,"spread":$spread}"""
     }.mkString("{", ",", "}")
+    // plan-floor sum (min across passes per query): robust to ambient
+    // host noise — when `value` and `min_total` diverge sharply the
+    // machine was loaded during some passes, not the plans slower
+    val minTotal = r4(byQuery.map { case (_, ts) => ts.map(math.abs).min }.sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
     Seq("/tmp/bench.json", "bench_latest.json").foreach { p =>
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
