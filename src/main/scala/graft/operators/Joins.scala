@@ -39,13 +39,27 @@ object Joins {
     * @param forward false (default): latest right ≤ left (backward);
     *                true: earliest right ≥ left (forward) — the same
     *                union+window pass with the sort reversed
+    * @param timeShard optional MONOTONE shard function over the time
+    *                  column (e.g. `t => floor(t / 3600e9)` for hourly
+    *                  buckets of an ns epoch). Without it, one window
+    *                  partition per key — correct whenever key
+    *                  cardinality scales with the data (users, stations).
+    *                  WITH it, the pass goes two-level exactly like
+    *                  [[graft.llm.Packing]]'s cumsum: within-(key, shard)
+    *                  windows over bounded row ranges, plus a per-shard
+    *                  last-match carry over the tiny (key × shard)
+    *                  relation — for the few-keys/billions-of-rows shape
+    *                  (per-instrument quotes) where a single per-key task
+    *                  would otherwise sort the whole history.
+    *                  Bit-identical output (JoinsSpec proves it).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       rightValues: Seq[String] = Nil,
       matchedTimeAlias: String = "matched_time",
       tolerance: Option[(Column, Column) => Column] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      timeShard: Option[Column => Column] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     val rv = if (rightValues.nonEmpty) rightValues
       else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
@@ -68,12 +82,53 @@ object Joins {
     // the match is the earliest-at-or-after.
     val timeOrd = if (forward) col("_t").desc else col("_t").asc
     val valOrd = if (forward) col("_rv").desc else col("_rv").asc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrd, col("_side").asc, valOrd)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    val matched = timeShard match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(timeOrd, col("_side").asc, valOrd)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+          .filter(col("_side") === 1)
+      case Some(shardFn) =>
+        // Two-level: the shard key is a function of _t, so shards
+        // partition the global (_t, _side, _rv) order into contiguous
+        // runs — the global running last-match is exactly
+        // coalesce(within-shard match, last match of any earlier shard).
+        val sharded = unioned.withColumn("_sh", shardFn(col("_t")))
+        val wIn = Window.partitionBy((keys :+ "_sh").map(col): _*)
+          .orderBy(timeOrd, col("_side").asc, valOrd)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inShard = sharded
+          .withColumn("_m_in", last(col("_rv"), ignoreNulls = true).over(wIn))
+        // per-(key, shard) final right match: under the backward order the
+        // window's last = max(struct(_t, _rv)); forward = min — tiny
+        // relation (#keys × #shards), extended to right-less shards so the
+        // carry still reaches them
+        val shardLastAgg =
+          if (forward) min(struct(col("_t"), col("_rv")))
+          else max(struct(col("_t"), col("_rv")))
+        val shardLast = sharded.filter(col("_side") === 0)
+          .groupBy((keys :+ "_sh").map(col): _*)
+          .agg(shardLastAgg.getField("_rv").as("_sh_last"))
+        val allShards = sharded.select((keys :+ "_sh").map(col): _*).distinct()
+        val lastByShard = allShards.join(shardLast, (keys :+ "_sh").map(c =>
+          allShards(c) <=> shardLast(c)).reduce(_ && _), "left")
+          .select(allShards.columns.map(allShards(_)) :+ shardLast("_sh_last"): _*)
+        val shardOrd = if (forward) col("_sh").desc else col("_sh").asc
+        val wCarry = Window.partitionBy(keys.map(col): _*)
+          .orderBy(shardOrd)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = lastByShard
+          .withColumn("_carry", last(col("_sh_last"), ignoreNulls = true).over(wCarry))
+          .select((keys.map(c => col(c).as(s"_ck_$c")) :+
+            col("_sh").as("_ck_sh") :+ col("_carry")): _*)
+        inShard.join(broadcast(carry),
+            (keys.map(c => col(c) <=> col(s"_ck_$c")) :+
+              (col("_sh") <=> col("_ck_sh"))).reduce(_ && _))
+          .withColumn("_m", coalesce(col("_m_in"), col("_carry")))
+          .filter(col("_side") === 1)
+    }
     val kept = tolerance match {
       case Some(pred) => matched.withColumn("_m",
         when(col("_m").isNotNull &&

@@ -68,6 +68,23 @@ class JoinsSpec extends SparkSpec {
     assert(got(2L) == None)     // 410 behind: stale
   }
 
+  test("time-sharded asOf is bit-identical to the single-window form, both directions") {
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "t", "v")
+    for (fwd <- Seq(false, true)) {
+      val plain = Joins.asOf(left, right, Seq("k"), "t", "t",
+          matchedTimeAlias = "mt", forward = fwd)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      // width 64 over t in [0,1000) forces ~16 shards, so within-shard
+      // misses genuinely exercise the cross-shard carry
+      val sharded = Joins.asOf(left, right, Seq("k"), "t", "t",
+          matchedTimeAlias = "mt", forward = fwd,
+          timeShard = Some(t => floor(t / 64).cast("long")))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(sharded == plain, s"forward=$fwd")
+    }
+  }
+
   test("asOf plans one keyed window, no join operator") {
     val left = leftRows.toDF("id", "k", "t")
     val right = rightRows.toDF("k", "t", "v")
