@@ -437,7 +437,13 @@ object RelationalQueries {
     }),
 
     // W+ — gap-based sessionization: lag + running conditional sum frames
-    // (the batch form of streaming session windows)
+    // (the batch form of streaming session windows). Scale note: the
+    // per-user window is right whenever user cardinality scales with the
+    // data; for a few-keys/deep-history shape, apply the two-level
+    // time-shard pattern (within-shard lag/cumsum + boundary carry) used
+    // by Packing.packSequences and Joins.asOf(timeShard), or move to the
+    // stateful session_window path (st_session_window), whose state store
+    // scales by key count rather than history depth.
     "w2_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id")
         .orderBy(col("ts_ns"), col("event_id"))
