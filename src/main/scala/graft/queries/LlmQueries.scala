@@ -7,10 +7,13 @@ import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator coverage (BASELINE.json extensions) over the
-  * `documents` and `embeddings` tables. Queries without an oracle entry
-  * (MinHash/SimHash/LSH — their hash families aren't expressible in
-  * DuckDB SQL) get the driver's rows-only check and are additionally
-  * pinned by ScalaTest specs on synthesized near-duplicate fixtures.
+  * `documents` and `embeddings` tables. Hash-family-dependent operators
+  * (MinHash/SimHash/sign-LSH/IVF) are oracle-paired through planted-twin
+  * constructions that reduce their gate output to an equality-derived
+  * pair set DuckDB can recompute; only `x_approx_vocab` (engine-specific
+  * HLL estimates) and `x_curation_pipeline` (contains the MinHash CC
+  * stage) keep the driver's rows-only check, both additionally pinned by
+  * ScalaTest specs on synthesized fixtures.
   */
 object LlmQueries {
 
@@ -31,6 +34,37 @@ object LlmQueries {
       assert_true(id < lit(offset),
         lit(s"planted-twin construction requires max(id) < $offset")).cast("long"),
       lit(0L))
+
+  /** ANN recall-gate body, shared by the LSH and IVF gates: plant an
+    * exact twin (offset id, identical vector) of every probe vector into
+    * the corpus, run the ANN, keep the cosine-1.0 hits, and verify exact
+    * vector equality by re-attaching both vectors by id. An identical
+    * vector hashes/assigns identically under ANY sign-plane family or
+    * trained quantizer, so the twin is guaranteed surfaced at cos 1.0
+    * (rank 1); the equality verify drops any coincidental rounds-to-1.0
+    * near-pair, so the output is exactly the vector-equality pair set
+    * over (probes × corpus+twins) — which the DuckDB oracle recomputes
+    * with no knowledge of planes or centroids. Only the |probes| twins
+    * are planted, so the corpus (and the bench cost) grows by 8 rows,
+    * not 2×.
+    */
+  private def annTwinGate(e0: DataFrame,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 8)
+    val corpus = e.union(probes.select(
+      twinId(col("vec_id"), 1000000L).as("vec_id"), col("embedding")))
+    val vecs = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    ann(corpus, probes)
+      .filter(col("cos_sim") === 1.0)
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+        Seq("neighbor_id"))
+      .filter(col("qv") === col("cv"))
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups: content-hash → survivor + multiplicity
@@ -213,21 +247,26 @@ object LlmQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
-    // LSH-bucketed approximate variant (rows-only: hash-derived planes)
-    "x_cosine_ann_lsh" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        nBits = 6, nTables = 8)
-    }),
+    // LSH-bucketed approximate variant, oracle-paired through planted
+    // twins ([[annTwinGate]]): identical vectors land in identical sign
+    // buckets in EVERY table regardless of the plane family, so LSH
+    // recall on the twin set is exactly 1 and the cos=1.0 output is the
+    // vector-equality pair set — recomputable by DuckDB with no
+    // knowledge of the planes. The approximate near-neighbor surface
+    // (recall vs brute force on natural pairs) stays pinned by
+    // SimilaritySpec.
+    "x_cosine_ann_lsh" -> ((s, dir) =>
+      annTwinGate(embs(s, dir), (c, q) =>
+        Similarity.lshTopK(c, q, k = 5, nBits = 6, nTables = 8))),
 
-    // IVF approximate variant (rows-only: cell membership depends on the
-    // trained quantizer); recall vs brute force is pinned by
-    // SimilaritySpec
-    "x_cosine_ann_ivf" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
-        nCentroids = 16, nProbe = 4)
-    }),
+    // IVF approximate variant, oracle-paired the same way: the nearest-
+    // centroid assignment is a deterministic function of the vector, so
+    // a planted twin shares its probe's cell and is guaranteed found in
+    // the nProbe>=1 probe scan. Quantizer-dependent cell membership and
+    // recall stay pinned by SimilaritySpec.
+    "x_cosine_ann_ivf" -> ((s, dir) =>
+      annTwinGate(embs(s, dir), (c, q) =>
+        Similarity.ivfTopK(c, q, k = 5, nCentroids = 16, nProbe = 4))),
 
     // embedding near-dup pairs via block→exact-verify, oracle-paired
     // through a planted-twin construction: the corpus is doubled with
@@ -576,6 +615,35 @@ object LlmQueries {
          SELECT query_id, rank::BIGINT AS rank, neighbor_id,
            floor(cos_raw * 1000000 + 0.5) / 1000000 AS cos_sim
          FROM ranked WHERE rank <= 5""",
+
+    // planted-twin ANN ground truth (see annTwinGate): the gate output
+    // is the vector-equality pair set over (probes x corpus+twins),
+    // independent of the LSH plane family / IVF quantizer
+    "x_cosine_ann_lsh" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    "x_cosine_ann_ivf" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
 
     "x_source_datacard" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
