@@ -142,6 +142,36 @@ object Dedup {
       bench, idCol, minShared)
   }
 
+  /** Per-document contamination SCORES: the fraction of a corpus
+    * document's distinct shingles that appear anywhere in the benchmark
+    * (n-gram overlap fraction, the usual eval-decontamination report
+    * column). Same plan shape as [[contaminatedDocs]] plus one per-doc
+    * size aggregate re-joined on the id: two hash shuffles (shingle,
+    * then id), both partial-aggregated map-side. Documents sharing no
+    * shingle are omitted (they'd all be 0.0 — at crawl scale that is
+    * nearly every row).
+    *
+    * @param minFrac keep only documents at or above this overlap
+    *                fraction (applied to the 4-decimal rounded value)
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, minFrac: Double = 0.0): DataFrame = {
+    val cs = shingleHashes(corpus, textCol, idCol, shingleN)
+    val sizes = cs.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val bench = shingleHashes(benchmark, textCol, idCol, shingleN)
+      .select("sh").distinct()
+    cs.join(bench, Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("id"))
+      .withColumn("overlap_frac",
+        roundDet(col("n_shared").cast("double") / col("n_sh"), 4))
+      .filter(col("overlap_frac") >= minFrac)
+      .select(col("id").as(idCol), col("n_sh"), col("n_shared"),
+        col("overlap_frac"))
+  }
+
   /** Bloom-prefiltered decontamination: byte-identical results to
     * [[contaminatedDocs]] (verified: identical 118,840 hits on a 200k-doc
     * probe), with corpus shingles screened map-side against a Bloom

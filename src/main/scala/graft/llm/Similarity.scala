@@ -310,4 +310,24 @@ object Similarity {
         sum(col("_code") * col("_code")).as("code_sumsq"),
         roundDet(avg(pow(col("_x") - col("_recon"), 2)), 9).as("recon_mse"))
   }
+
+  /** Per-label embedding centroids, one row per (label, dimension):
+    * element-wise mean component plus the label's vector count — the
+    * class-prototype table behind nearest-centroid classification and
+    * the seed state for IVF-style coarse quantizers.
+    *
+    * Scale design (100 TB): the posexplode is a map-side Generate and
+    * the (label, dim) average partial-aggregates BEFORE the exchange, so
+    * the shuffle carries only |labels| × dim × partitions partial sums —
+    * never the exploded corpus. No driver collect (contrast with the IVF
+    * trainer, which materializes its k×dim centroids as config state).
+    */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_x")))
+      .groupBy(col("label"), col("_pos").cast("long").as("dim_idx"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        roundDet(avg(col("_x")), 6).as("centroid_comp"))
 }

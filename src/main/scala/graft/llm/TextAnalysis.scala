@@ -117,6 +117,25 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     regexp_extract(url, "https?://([^/ ]+)", 1)
 
+  /** Canonical domain for a URL: lowercased host with a leading `www.`
+    * stripped — the key for host-level crawl statistics and URL-level
+    * dedup. Pure expressions (Java∩RE2 regex subset).
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(lower(urlHost(url)), "^www\\.", "")
+
+  /** Canonical text normalization for normalized-form dedup: lowercase,
+    * strip everything but letters/digits/spaces (Unicode categories, so
+    * non-Latin scripts survive), collapse whitespace runs, trim. The
+    * \\p{L}\\p{N} classes are in the Java∩RE2 common subset, so the same
+    * pattern reproduces in DuckDB/BigQuery oracles. One codegen'd
+    * projection — the 100 TB path is scan → normalize → hash.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "),
+      " +", " "))
+
   /** Boilerplate detector: word n-grams occurring in more than
     * `minDocs` distinct documents (headers/footers/licenses in a crawl).
     * One explode + one count shuffle; feed the result to a filter or to

@@ -164,6 +164,48 @@ object LlmQueries {
     "x_repeated_ngrams" -> ((s, dir) =>
       TextAnalysis.repeatedNgrams(docs(s, dir), n = 3, minDocs = 3)),
 
+    // sliding-window context-length chunking (map-side Generate, no
+    // shuffle; chunk hashes are the downstream dedup keys)
+    "x_chunk_sliding" -> ((s, dir) =>
+      graft.llm.Chunking.slidingChunks(docs(s, dir),
+        chunkTokens = 64, strideTokens = 48)),
+
+    // corpus-unigram-LM quality proxy: per-doc mean token log-probability
+    "x_unigram_logprob" -> ((s, dir) =>
+      graft.llm.LanguageModel.unigramLogProb(docs(s, dir))),
+
+    // normalized-form dedup: canonical text (lowercase, punctuation
+    // stripped, whitespace collapsed) → exact groups on the normal form
+    "x_normalize_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(TextAnalysis.normalizeText(col("text"))).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))),
+
+    // per-doc benchmark-overlap fraction (decontamination score report);
+    // threshold applies to the rounded value, mirrored in the oracle
+    "x_contam_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationScores(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        minFrac = 0.01)
+    }),
+
+    // domain-level crawl statistics over normalized URLs (planted URLs as
+    // in x_url_extract, including a www. variant the normalizer strips)
+    "x_domain_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.extractUrls(concat_ws(" ", col("text"),
+          concat(lit("https://example"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".org/d/"), col("doc_id").cast("string")),
+          concat(lit("https://www.example"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".org/alt/"), col("doc_id").cast("string")),
+          lit("http://mirror.example.net/x")))).as("url"))
+        .select(col("doc_id"), TextAnalysis.urlDomain(col("url")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+
     // benchmark decontamination: corpus docs sharing n-grams with a
     // held-out set (here: doc_id < 10 plays the benchmark)
     "x_decontaminate" -> ((s, dir) => {
@@ -240,6 +282,11 @@ object LlmQueries {
     // checksums + round-trip MSE (the storage arm of ANN at 100 TB)
     "x_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8Stats(embs(s, dir))),
+
+    // per-label centroid components (class prototypes / nearest-centroid
+    // seed state; partial-aggregated before the exchange)
+    "x_embed_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(embs(s, dir))),
 
     // exact cosine top-k for a fixed probe set (vec_id < 8)
     "x_cosine_topk" -> ((s, dir) => {
@@ -568,6 +615,83 @@ object LlmQueries {
          SELECT s.doc_id, count(*)::BIGINT AS n_shared
          FROM sh s JOIN bench USING (sh)
          WHERE s.doc_id >= 10 GROUP BY 1""",
+
+    "x_chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 48)) AS cs
+               FROM t)
+         SELECT doc_id, (cs // 48)::BIGINT AS chunk_idx,
+           cs::BIGINT AS chunk_start,
+           least(64, len(toks) - cs)::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, cs + 1, cs + 64), ' '))
+             AS chunk_hash
+         FROM s""",
+
+    "x_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         f AS (SELECT word, count(*)::DOUBLE AS cnt FROM t GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM f)
+         SELECT t.doc_id,
+           floor(avg(ln(f.cnt / tot.total)) * 10000 + 0.5) / 10000
+             AS avg_logp
+         FROM t JOIN f USING (word) CROSS JOIN tot
+         GROUP BY t.doc_id""",
+
+    "x_normalize_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "x_contam_score" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)) AS sh
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh
+                   WHERE doc_id >= 10 GROUP BY 1),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         shared AS (SELECT s.doc_id, count(*)::BIGINT AS n_shared
+                    FROM sh s JOIN bench USING (sh)
+                    WHERE s.doc_id >= 10 GROUP BY 1)
+         SELECT shared.doc_id, sizes.n_sh, shared.n_shared,
+           floor(n_shared::DOUBLE / sizes.n_sh * 10000 + 0.5) / 10000
+             AS overlap_frac
+         FROM shared JOIN sizes USING (doc_id)
+         WHERE floor(n_shared::DOUBLE / sizes.n_sh * 10000 + 0.5) / 10000
+               >= 0.01""",
+
+    "x_domain_stats" ->
+      """WITH u AS (SELECT doc_id,
+             unnest(regexp_extract_all(
+               text || ' https://example' || (doc_id % 7)::VARCHAR
+                    || '.org/d/' || doc_id::VARCHAR
+                    || ' https://www.example' || (doc_id % 7)::VARCHAR
+                    || '.org/alt/' || doc_id::VARCHAR
+                    || ' http://mirror.example.net/x',
+               'https?://[^ ]+', 0)) AS url
+           FROM documents)
+         SELECT regexp_replace(lower(regexp_extract(url,
+             'https?://([^/ ]+)', 1)), '^www\.', '') AS domain,
+           count(*)::BIGINT AS n_urls,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM u GROUP BY 1""",
+
+    "x_embed_centroids" ->
+      """WITH e AS (SELECT label::BIGINT AS label,
+             unnest(embedding::DOUBLE[]) AS comp,
+             unnest(range(0, len(embedding))) AS pos
+           FROM embeddings)
+         SELECT label, pos::BIGINT AS dim_idx, count(*)::BIGINT AS n_vecs,
+           floor(avg(comp) * 1000000 + 0.5) / 1000000 AS centroid_comp
+         FROM e GROUP BY 1, 2""",
 
     "x_embed_stats" ->
       """SELECT vec_id, len(embedding)::BIGINT AS dim,

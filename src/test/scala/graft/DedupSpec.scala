@@ -129,6 +129,25 @@ class DedupSpec extends SparkSpec {
       hits.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("contaminationScores reports the per-doc overlap fraction") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 7 distinct trigrams, 2 shared with the benchmark → 2/7
+      (0L, "intro words then alpha beta gamma delta closing remarks"),
+      (1L, "totally clean document with none of those evaluation items"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.contaminationScores(corpus, bench).collect()
+    assert(rows.length == 1) // zero-overlap docs are omitted
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 0L)
+    assert(r.getAs[Long]("n_sh") == 7L)
+    assert(r.getAs[Long]("n_shared") == 2L)
+    assert(math.abs(r.getAs[Double]("overlap_frac") - 0.2857) < 1e-9)
+    // threshold above the fraction drops the row
+    assert(Dedup.contaminationScores(corpus, bench, minFrac = 0.5).count() == 0)
+  }
+
   test("simhashCandidates surfaces only close pairs") {
     val c = Dedup.simhashCandidates(docs, maxHamming = 10).collect()
     val keys = c.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

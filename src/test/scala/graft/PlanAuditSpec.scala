@@ -44,8 +44,15 @@ class PlanAuditSpec extends SparkSpec {
               !spineAggregated(w.child) =>
           s"low-cardinality-window(${w.partitionSpec.map(_.sql).mkString(",")})"
       }
+      // a condition-less join whose build side is provably ≤1 row is a
+      // scalar broadcast attach (e.g. a corpus-total aggregate), not a
+      // quadratic blowup — Catalyst's maxRows proves it statically
+      def scalarSide(j: Join): Boolean =
+        j.left.maxRows.exists(_ <= 1) || j.right.maxRows.exists(_ <= 1)
       val crosses = plan.collect {
-        case j: Join if j.joinType == Cross || j.condition.isEmpty => "cross-join"
+        case j: Join
+            if (j.joinType == Cross || j.condition.isEmpty) &&
+              !scalarSide(j) => "cross-join"
       }.filterNot(_ => allowedCross(name))
       (globalWindows ++ lowCardWindows ++ crosses).map(kind => s"$name: $kind")
     }

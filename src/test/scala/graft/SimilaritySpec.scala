@@ -78,6 +78,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.contains(1L))
   }
 
+  test("labelCentroids averages element-wise per label") {
+    val df = Seq(
+      (0L, Seq(1.0f, 3.0f), 0),
+      (1L, Seq(3.0f, 5.0f), 0),
+      (2L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df).collect()
+      .map(r => ((r.getAs[Long]("label"), r.getAs[Long]("dim_idx")),
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_comp")))).toMap
+    assert(got((0L, 0L)) == (2L, 2.0))
+    assert(got((0L, 1L)) == (2L, 4.0))
+    assert(got((1L, 0L)) == (1L, 10.0))
+    assert(got((1L, 1L)) == (1L, 20.0))
+    assert(got.size == 4)
+  }
+
   test("cosineDupPairs reports the identical pair at cos 1.0") {
     val p = Similarity.cosineDupPairs(vecs, minCos = 0.99)
     val rows = p.collect()

@@ -114,6 +114,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hosts == Seq("docs.example.com", "x.org"))
   }
 
+  test("normalizeText lowercases, strips punctuation, collapses spaces") {
+    val df = Seq(
+      (0L, "  Hello,   WORLD! — it's fine.  "),
+      (1L, "hello world it s fine"),
+      (2L, "中文 文本! 保留。")).toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.normalizeText(col("text")))
+      .as[String].collect().toSeq
+    assert(got(0) == "hello world it s fine")
+    // rows 0 and 1 collapse to the same normal form (dedup key)
+    assert(got(0) == got(1))
+    // non-Latin letters survive (\p{L} is Unicode-aware)
+    assert(got(2) == "中文 文本 保留")
+    // idempotent: normalizing a normal form is a no-op
+    val again = df.select(
+      TextAnalysis.normalizeText(TextAnalysis.normalizeText(col("text"))))
+      .as[String].collect().toSeq
+    assert(again == got)
+  }
+
+  test("urlDomain lowercases the host and strips leading www.") {
+    val df = Seq(
+      (0L, "https://WWW.Example.ORG/path?q=1"),
+      (1L, "http://example.org/other"),
+      (2L, "https://wwwx.example.net/")).toDF("doc_id", "url")
+    val got = df.select(TextAnalysis.urlDomain(col("url")))
+      .as[String].collect().toSeq
+    assert(got(0) == "example.org")
+    assert(got(1) == "example.org")
+    // only a literal "www." prefix is stripped
+    assert(got(2) == "wwwx.example.net")
+  }
+
+  test("unigramLogProb scores rare-token documents lower") {
+    // corpus: "common" appears 6x, "rare" once; total 7 tokens
+    val df = Seq(
+      (0L, "common common common common common"),
+      (1L, "common rare")).toDF("doc_id", "text")
+    val got = df.transform(graft.llm.LanguageModel.unigramLogProb(_))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p = (x: Double) => math.log(x / 7.0)
+    def round4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got(0L) == round4(p(6)))
+    assert(got(1L) == round4((p(6) + p(1)) / 2.0))
+    assert(got(1L) < got(0L))
+  }
+
   test("qualityScore favors longer, content-heavy docs") {
     val df = Seq(
       (0L, Seq.fill(120)("word").mkString(" ")),
