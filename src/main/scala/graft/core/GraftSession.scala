@@ -31,6 +31,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // 64 MB broadcast threshold (vs the 10 MB default): any executor
+      // profile this engine targets (≥4 GB heap) holds a 64 MB hash
+      // relation comfortably, and replacing a shuffle exchange with a
+      // broadcast removes a whole stage boundary. Joins above the
+      // threshold still shuffle — the 100 TB fact⋈fact path is unchanged.
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       // RocksDB state store: streaming state (dedup keys, window aggs,
       // custom state) lives off-heap and spills to local disk instead of
       // filling executor heap — the difference between "state fits this
@@ -63,6 +69,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(

@@ -74,6 +74,24 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSigs(df, textCol, idCol, shingleN, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** (id, sig) MinHash signature table for [[minhashCandidatesFromSigs]] —
+    * exposed so callers that can derive signatures cheaper than a full
+    * recompute (e.g. planted exact twins, which share their source's
+    * signature by construction) can skip the k min-hash passes.
+    */
+  def minhashSigs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSignature(shingles(TextAnalysis.tokens(col(textCol)), shingleN), k)
+        .as("sig"))
+
+  /** LSH candidate generation over a precomputed (id, sig) table. */
+  def minhashCandidatesFromSigs(sigTable: DataFrame,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     // persist: the signature subtree feeds bucketing AND both sides of
@@ -82,10 +100,7 @@ object Dedup {
     // orders of magnitude smaller than the documents they summarize.
     // Caller owns the lifetime: unpersist/clearCache after materializing
     // in a long-lived session.
-    val sigs = df
-      .select(col(idCol).as("id"),
-        minhashSignature(shingles(TextAnalysis.tokens(col(textCol)), shingleN), k)
-          .as("sig"))
+    val sigs = sigTable
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only through the bucket join and pair dedup — signatures
     // re-attach by key for the agreement estimate, so the hot shuffles
@@ -226,9 +241,19 @@ object Dedup {
     * Hamming distance ≤ 3 by pigeonhole), then verify with bit_count.
     */
   def simhashCandidates(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame =
+    simhashCandidatesFromSigs(
+      df.select(col(idCol).as("id"),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("sim")),
+      maxHamming)
+
+  /** Candidate generation over a precomputed (id, sim) signature table —
+    * the reuse hook for callers whose signatures are derivable without a
+    * recompute (planted exact twins share their source's simhash).
+    */
+  def simhashCandidatesFromSigs(sigTable: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = sigTable
     val chunked = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

