@@ -462,9 +462,8 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("arr"))
     val sh0 = base
-      .select(col("id"), size(col("arr")).cast("long").as("n_sh"),
-        explode(col("arr")).as("shs"))
-      .select(col("id"), col("n_sh"), xxhash64(col("shs")).as("sh"))
+      .select(col("id"), explode(col("arr")).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
     val sh = maxDocFreq match {
       case None => sh0
       case Some(cap) =>
@@ -474,13 +473,22 @@ object Dedup {
           .filter(col("df") > cap).select("sh")
         sh0.join(hot, Seq("sh"), "left_anti")
     }
-    val a = sh.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = sh.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    // ids-only through the posting-list join and the pair aggregation —
+    // the two big shuffles carry (sh, id) / (id_a, id_b) and nothing
+    // else; per-doc set sizes re-attach afterwards from a tiny (id, n_sh)
+    // aggregate (broadcast at any corpus size where it fits; it is one
+    // row per doc, derived from the same exchange as the join sides).
+    // NB: sizes come from sh0 (pre-cap) so a capped run still reports
+    // jaccard against the FULL set sizes (lower bound, as documented).
+    val sizes = sh0.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("sh"), col("id").as("id_a"))
+    val b = sh.select(col("sh"), col("id").as("id_b"))
     a.join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared"),
-        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         roundDet(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 4))
