@@ -66,7 +66,9 @@ object ScaleCurve {
 
     val names = Seq("x_ngram_jaccard", "x_minhash_candidates", "x_simhash",
       "x_multimodal_dedup", "x_embed_dup_pairs", "x_cosine_ann_lsh",
-      "x_cosine_ann_ivf", "x_dedup_exact", "x_decontaminate_bloom")
+      "x_cosine_ann_ivf", "x_dedup_exact", "x_decontaminate_bloom",
+      "x_chunk_sliding", "x_unigram_logprob", "x_contam_score",
+      "x_normalize_dedup", "x_embed_centroids")
     println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -171,6 +171,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("slidingChunks covers every token exactly; stride=chunk tiles without overlap") {
+    import org.apache.spark.sql.functions._
+    // random-ish doc lengths across the boundary cases
+    val docs = Seq(1, 2, 47, 48, 49, 63, 64, 65, 96, 97, 100, 200).zipWithIndex
+      .map { case (n, i) => (i.toLong, (0 until n).map(t => s"w$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val chunks = graft.llm.Chunking.slidingChunks(docs,
+      chunkTokens = 64, strideTokens = 48).collect()
+    val nTokens = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val n = nTokens(id)
+      // every token index in [0, n) is inside some [start, start+len)
+      val covered = rows.flatMap { r =>
+        val s = r.getAs[Long]("chunk_start").toInt
+        s until (s + r.getAs[Long]("n_chunk_tokens").toInt)
+      }.toSet
+      assert(covered == (0 until n).toSet, s"doc $id coverage hole")
+      // no chunk is empty and none starts at/after the end
+      assert(rows.forall(_.getAs[Long]("n_chunk_tokens") > 0))
+      assert(rows.forall(_.getAs[Long]("chunk_start") < n))
+    }
+    // stride == chunk: a partition (no overlap, total length == n)
+    val tiled = graft.llm.Chunking.slidingChunks(docs,
+      chunkTokens = 48, strideTokens = 48).collect()
+    tiled.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      assert(rows.map(_.getAs[Long]("n_chunk_tokens")).sum == nTokens(id))
+    }
+  }
+
   test("hashSplit buckets are engine-portable (matches a pure-Scala md5)") {
     val ids = samples(Gen.choose(0L, 1000000L), 100).distinct
     val df = ids.map(Tuple1(_)).toDF("doc_id")

@@ -244,6 +244,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gate + content dedup compose unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.TextAnalysis
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source", "ts")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+    // the batch curation stages are pure projections/filters, so they are
+    // streaming-safe verbatim; exact dedup swaps the groupBy for the
+    // watermark-bounded stateful variant (same content-hash key)
+    val curated = TextAnalysis.textStats(docs)
+      .withColumn("quality",
+        TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio")))
+      .filter(col("quality") >= 0.05)
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("event_time", "2 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = curated.select("doc_id", "source", "quality")
+      .writeStream.format("memory").queryName("stream_curation_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      val good = "a genuinely informative document about spark streaming pipelines"
+      mem.addData(
+        (0L, good, "web", T),
+        (1L, good, "web", T),                         // exact dup: dropped
+        (2L, "the the the the the the", "web", T))    // stopword soup: gated
+      q.processAllAvailable()
+      assert(spark.table("stream_curation_out").count() == 1)
+      mem.addData((3L, good + " second edition", "books", T + 30))
+      q.processAllAvailable()
+      val rows = spark.table("stream_curation_out").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming pipeline: dedup within+across batches, drop late, enrich, partition sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
