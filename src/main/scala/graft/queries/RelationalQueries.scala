@@ -571,18 +571,21 @@ object RelationalQueries {
       val orders = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       val cust = t(s, dir, "customer")
-      val notNull = orders.filter(col("o_orderkey").isNull)
-        .agg(count(lit(1)).as("violations"))
-        .select(lit("not_null_orders_o_orderkey").as("test_name"), col("violations"))
+      // the two row-level tests on orders fuse into ONE scan+aggregate
+      // (the shape a test runner wants at scale: all per-row predicates
+      // of a table in a single pass), then unpivot to (test, violations)
+      val rowLevel = orders.agg(
+          count(when(col("o_orderkey").isNull, 1)).as("nn"),
+          count(when(col("o_orderstatus").isNotNull &&
+            !col("o_orderstatus").isin("F", "O", "P"), 1)).as("av"))
+        .select(explode(map(
+          lit("not_null_orders_o_orderkey"), col("nn"),
+          lit("accepted_values_o_orderstatus"), col("av")))
+          .as(Seq("test_name", "violations")))
       val unique = orders.groupBy(col("o_orderkey")).count()
         .filter(col("count") > 1)
         .agg(count(lit(1)).as("violations"))
         .select(lit("unique_orders_o_orderkey").as("test_name"), col("violations"))
-      val accepted = orders
-        .filter(col("o_orderstatus").isNotNull &&
-          !col("o_orderstatus").isin("F", "O", "P"))
-        .agg(count(lit(1)).as("violations"))
-        .select(lit("accepted_values_o_orderstatus").as("test_name"), col("violations"))
       val relationships = li.select(col("l_orderkey"))
         .join(orders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
@@ -593,7 +596,7 @@ object RelationalQueries {
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit("relationships_orders_customer").as("test_name"), col("violations"))
-      notNull.union(unique).union(accepted).union(relationships).union(fkCust)
+      rowLevel.union(unique).union(relationships).union(fkCust)
     })
   )
 
