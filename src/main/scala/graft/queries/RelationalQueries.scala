@@ -567,6 +567,37 @@ object RelationalQueries {
 
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
+    // A14 — correlated EXISTS / NOT EXISTS subqueries (native Spark SQL;
+    // Catalyst rewrites them to a left-semi + left-anti join pair)
+    "a14_exists_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+      """)
+    }),
+
+    // W4 — RANGE frame (value-based sliding window): per customer, the
+    // trailing-30-day order total/count. RANGE frames include peer rows,
+    // so the result is deterministic under date ties (contrast ROWS).
+    "w4_range_frame" -> ((s, dir) => {
+      val ordDay = datediff(col("o_orderdate"), lit("1992-01-01"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("ord_day"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          ordDay.cast("long").as("ord_day"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("ord_day"),
+          roundDet(sum(col("o_totalprice")).over(w), 2).as("sum_30d"),
+          count(lit(1)).over(w).cast("long").as("n_30d"))
+    }),
+
     "d7_schema_tests" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
@@ -937,6 +968,26 @@ object RelationalQueries {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+
+    "a14_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'O')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'F')""",
+
+    "w4_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT
+             AS ord_day,
+           floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS sum_30d,
+           (count(*) OVER w)::BIGINT AS n_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
 
     "d7_schema_tests" ->
       """SELECT 'not_null_orders_o_orderkey' AS test_name,
