@@ -416,6 +416,17 @@ object LlmQueries {
           countDistinct(col("word")).as("exact_words"),
           approx_count_distinct(col("word"), 0.02).as("approx_words"))),
 
+    // per-source top-5 documents by quality score via the two-level
+    // salted top-k aggregation (no per-source window funnel — the
+    // skew-proof shape for low-cardinality group keys at corpus scale)
+    "x_topk_per_source" -> ((s, dir) =>
+      graft.operators.TopK.grouped(
+        TextAnalysis.textStats(docs(s, dir))
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio"))
+              .as("quality")),
+        keyCol = "source", orderCol = "quality", idCol = "doc_id", k = 5)),
+
     // dataset "data card": per-source corpus composition report
     "x_source_datacard" -> ((s, dir) =>
       TextAnalysis.textStats(docs(s, dir))
@@ -817,6 +828,23 @@ object LlmQueries {
            ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
          WHERE q.vec_id < 8
            AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    "x_topk_per_source" ->
+      """WITH scored AS (
+           SELECT source, doc_id,
+             floor(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) *
+               (1.0 - floor(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+                     / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS quality
+           FROM documents),
+         ranked AS (
+           SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id DESC) AS rn
+           FROM scored)
+         SELECT source, rn::BIGINT AS rank, quality, doc_id
+         FROM ranked WHERE rn <= 5""",
 
     "x_source_datacard" ->
       """SELECT source, count(*)::BIGINT AS n_docs,

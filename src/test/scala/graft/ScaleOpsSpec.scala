@@ -29,6 +29,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted("hot") == 2000L)
   }
 
+  test("TopK.grouped equals the window formulation, without a window node") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // skewed: group g0 holds 1000 of 1003 rows; ties on v exercise the
+    // id tie-break
+    val df = ((0 until 1000).map(i => ("g0", i.toLong, (i % 7).toDouble)) ++
+      Seq(("g1", 2000L, 5.0), ("g1", 2001L, 5.0), ("g2", 3000L, 1.0)))
+      .toDF("k", "id", "v")
+    val got = graft.operators.TopK.grouped(df, "k", "v", "id", k = 3)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").desc)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3).select("k", "rank", "v", "id")
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+    // k larger than a group emits the whole (sorted) group, no padding
+    assert(got.filter(col("k") === "g2").count() == 1)
+    // the scalable shape: two aggregations, zero Window operators
+    assert(got.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty)
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val out = tmpDir("wh-part") + "/events"
     val df = Tables.eventsLike(spark)
