@@ -280,9 +280,16 @@ object Dedup {
     * how clustered the duplicates are.
     */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("arr"))
+      idCol: String = "doc_id", shingleN: Int = 3): DataFrame =
+    verifyJaccardFromShingles(pairs,
+      df.select(col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("arr")))
+
+  /** Per-pair exact Jaccard over a precomputed (id, arr) shingle table —
+    * the reuse hook for callers that already hold the arrays (e.g. a
+    * pipeline that derived signatures from them one line earlier).
+    */
+  def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs.select("id_a", "id_b")
       .join(sh.select(col("id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
@@ -292,7 +299,6 @@ object Dedup {
         roundDet(col("n_shared").cast("double") /
           (size(col("arr_a")) + size(col("arr_b")) - col("n_shared")), 4)
           .as("jaccard"))
-  }
 
   /** The scalable exact near-dup pipeline: MinHash-LSH candidate
     * generation (sub-quadratic in cluster size) → per-pair exact Jaccard

@@ -416,6 +416,37 @@ object LlmQueries {
           countDistinct(col("word")).as("exact_words"),
           approx_count_distinct(col("word"), 0.02).as("approx_words"))),
 
+    // END-TO-END near-dup removal (MinHash candidates → exact Jaccard
+    // verify → connected components → min-id survivor per cluster),
+    // oracle-paired through a planted-TRIPLET construction: at
+    // minJaccard = 1.0 a verified pair means IDENTICAL distinct-shingle
+    // sets, and identical sets collide in every LSH band (recall 1), so
+    // the surviving ids are exactly min(doc_id) per shingle-set-equality
+    // class — recomputable by DuckDB as a canonical-fingerprint GROUP BY
+    // with no knowledge of the hash family. Triplets (two twins per doc)
+    // force multi-edge clusters through the CC stage, so transitivity
+    // and cluster-min selection are on the oracle path, not just spec'd.
+    "x_neardup_survivors" -> ((s, dir) => {
+      // shingle arrays + signatures computed ONCE on the base corpus;
+      // twin copies are re-keyed unions of the computed state (legal by
+      // the construction's identical-text guarantee), persisted because
+      // candidates, verify, and the survivor anti-join all reference it
+      val state0 = docs(s, dir).select(col("doc_id").as("id"),
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
+        .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+      def rekey(off: Long) = state0.select(
+        twinId(col("id"), off).as("id"), col("arr"), col("sig"))
+      val state = state0.union(rekey(1000000000L)).union(rekey(2000000000L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
+      val pairs = Dedup.verifyJaccardFromShingles(cands, state)
+        .filter(col("jaccard") >= 1.0)
+      val losers = Dedup.duplicateClusters(pairs)
+        .filter(col("id") =!= col("cluster_id")).select("id")
+      state.select("id").join(losers, Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"))
+    }),
+
     // per-source top-5 documents by quality score via the two-level
     // salted top-k aggregation (no per-source window funnel — the
     // skew-proof shape for low-cardinality group keys at corpus scale)
@@ -828,6 +859,23 @@ object LlmQueries {
            ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
          WHERE q.vec_id < 8
            AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    // canonical-fingerprint recomputation of the triplet survivor set:
+    // min id per identical distinct-shingle-set class
+    "x_neardup_survivors" ->
+      """WITH tripled AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000000, text FROM documents
+           UNION ALL SELECT doc_id + 2000000000, text FROM documents),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)), '|')) AS f
+           FROM tripled)
+         SELECT min(doc_id) AS doc_id FROM fp GROUP BY f""",
 
     "x_topk_per_source" ->
       """WITH scored AS (
