@@ -58,4 +58,30 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("filters and projections reach the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    def scans(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    // predicate pushdown: q6's range predicates hit the lineitem scan
+    assert(scans("tpch_q6_revenue_delta").exists(
+      _.metadata("PushedFilters").contains("GreaterThanOrEqual")),
+      "q6 range filters not pushed")
+    // the decontamination corpus/benchmark id splits push to both scans
+    assert(scans("x_decontaminate").exists(
+      _.metadata("PushedFilters").contains("GreaterThanOrEqual(doc_id,10)")),
+      "decontaminate corpus-side filter not pushed")
+    // column pruning: the quality scorer touches 2 of documents' 5 columns
+    val qs = scans("x_quality_score")
+    assert(qs.nonEmpty &&
+      qs.forall(_.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
+      s"expected (doc_id, text) scan, got ${qs.map(_.requiredSchema.fieldNames.mkString(","))}")
+    // and the embedding stats never read the label column
+    val es = scans("x_embed_stats")
+    assert(es.nonEmpty &&
+      es.forall(!_.requiredSchema.fieldNames.contains("label")),
+      "x_embed_stats reads the unused label column")
+  }
 }
