@@ -227,6 +227,64 @@ object Dedup {
     contaminationTail(pre, bench, idCol, minShared)
   }
 
+  // ---------------------------------------------------------- line dedup
+
+  /** (id, pos, line) — documents split into trimmed non-empty lines on
+    * `sepRegex` (sentence/line boundaries), position-preserving.
+    */
+  def docLines(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\\.\\s+"): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+
+  /** Line-level dedup statistics (the CCNet/RefinedWeb boilerplate
+    * signal): for each document, how many of its lines appear in more
+    * than `maxDocs` documents corpus-wide. Lines shuffle as 64-bit
+    * hashes; two shuffles (line-hash doc frequency, then per-doc
+    * aggregate), both partial-aggregated map-side.
+    */
+  def lineStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\\.\\s+",
+      maxDocs: Long = 1L): DataFrame = {
+    val lines = docLines(df, textCol, idCol, sepRegex)
+      .select(col("id"), col("pos"), xxhash64(col("line")).as("lh"))
+    val dfreq = lines.select("id", "lh").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_docs"))
+    lines.join(dfreq, Seq("lh"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("line_docs") > maxDocs, 1)).as("n_common_lines"))
+      .withColumn("common_frac",
+        roundDet(col("n_common_lines").cast("double") / col("n_lines"), 4))
+  }
+
+  /** Remove boilerplate lines: keep only lines appearing in at most
+    * `maxDocs` documents and reconstruct each document in original line
+    * order. A document whose every line is boilerplate disappears (its
+    * group is empty) — the desired crawl-cleaning behavior. The
+    * reconstruction re-attaches line TEXT by (id, pos) after the
+    * hash-keyed frequency join, so the wide strings ride only the final
+    * per-document aggregation.
+    */
+  def dropCommonLines(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\\.\\s+",
+      maxDocs: Long = 1L): DataFrame = {
+    val lines = docLines(df, textCol, idCol, sepRegex)
+      .select(col("id"), col("pos"), col("line"), xxhash64(col("line")).as("lh"))
+    val keep = lines.select("id", "lh").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("line_docs"))
+      .filter(col("line_docs") <= maxDocs)
+      .select("lh")
+    lines.join(keep, Seq("lh"))
+      .groupBy(col("id").as(idCol))
+      .agg(concat_ws(". ",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as(textCol))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over

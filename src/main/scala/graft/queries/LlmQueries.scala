@@ -416,6 +416,24 @@ object LlmQueries {
           countDistinct(col("word")).as("exact_words"),
           approx_count_distinct(col("word"), 0.02).as("approx_words"))),
 
+    // line-level dedup statistics (CCNet/RefinedWeb boilerplate signal).
+    // The synthetic corpus has no sentence structure, so the gate plants
+    // one corpus-wide footer line and one per-doc unique line (mirrored
+    // in the oracle, like the planted-PII gates) — the footer is the
+    // boilerplate the operator must flag in every document.
+    "x_line_stats" -> ((s, dir) =>
+      Dedup.lineStats(docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(". the common footer line. unique marker "),
+          col("doc_id").cast("string")).as("text")))),
+
+    // boilerplate line REMOVAL: drop lines shared across documents and
+    // reconstruct each document in original line order (hash compared)
+    "x_line_dedup" -> ((s, dir) =>
+      Dedup.dropCommonLines(docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(". the common footer line. unique marker "),
+          col("doc_id").cast("string")).as("text")))
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"))),
+
     // END-TO-END near-dup removal (MinHash candidates → exact Jaccard
     // verify → connected components → min-id survivor per cluster),
     // oracle-paired through a planted-TRIPLET construction: at
@@ -859,6 +877,44 @@ object LlmQueries {
            ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
          WHERE q.vec_id < 8
            AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    "x_line_stats" ->
+      """WITH planted AS (SELECT doc_id,
+             text || '. the common footer line. unique marker '
+                  || doc_id::VARCHAR AS t
+           FROM documents),
+         l0 AS (SELECT doc_id,
+             unnest(string_split_regex(t, '\.\s+')) AS line,
+             unnest(range(0, len(string_split_regex(t, '\.\s+')))) AS pos
+           FROM planted),
+         l AS (SELECT doc_id, pos, trim(line) AS line FROM l0
+               WHERE length(trim(line)) > 0),
+         fr AS (SELECT line, count(DISTINCT doc_id) AS line_docs
+                FROM l GROUP BY 1)
+         SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+           (count(*) FILTER (WHERE fr.line_docs > 1))::BIGINT
+             AS n_common_lines,
+           floor((count(*) FILTER (WHERE fr.line_docs > 1))::DOUBLE
+             / count(*) * 10000 + 0.5) / 10000 AS common_frac
+         FROM l JOIN fr USING (line) GROUP BY 1""",
+
+    "x_line_dedup" ->
+      """WITH planted AS (SELECT doc_id,
+             text || '. the common footer line. unique marker '
+                  || doc_id::VARCHAR AS t
+           FROM documents),
+         l0 AS (SELECT doc_id,
+             unnest(string_split_regex(t, '\.\s+')) AS line,
+             unnest(range(0, len(string_split_regex(t, '\.\s+')))) AS pos
+           FROM planted),
+         l AS (SELECT doc_id, pos, trim(line) AS line FROM l0
+               WHERE length(trim(line)) > 0),
+         fr AS (SELECT line, count(DISTINCT doc_id) AS line_docs
+                FROM l GROUP BY 1),
+         keep AS (SELECT line FROM fr WHERE line_docs <= 1)
+         SELECT doc_id,
+           md5(string_agg(line, '. ' ORDER BY pos)) AS clean_hash
+         FROM l JOIN keep USING (line) GROUP BY doc_id""",
 
     // canonical-fingerprint recomputation of the triplet survivor set:
     // min id per identical distinct-shingle-set class

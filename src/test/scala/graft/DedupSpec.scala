@@ -129,6 +129,26 @@ class DedupSpec extends SparkSpec {
       hits.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("line dedup flags and strips corpus-wide boilerplate lines") {
+    val df = Seq(
+      (0L, "alpha unique thoughts. SHARED FOOTER. more original text"),
+      (1L, "different document body. SHARED FOOTER"),
+      (2L, "SHARED FOOTER")).toDF("doc_id", "text")
+    val stats = Dedup.lineStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_common_lines"))).toMap
+    assert(stats(0L) == (3L, 1L))
+    assert(stats(1L) == (2L, 1L))
+    assert(stats(2L) == (1L, 1L))
+    val cleaned = Dedup.dropCommonLines(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // order preserved, footer gone
+    assert(cleaned(0L) == "alpha unique thoughts. more original text")
+    assert(cleaned(1L) == "different document body")
+    // a document that was ALL boilerplate disappears
+    assert(!cleaned.contains(2L))
+  }
+
   test("contaminationScores reports the per-doc overlap fraction") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
