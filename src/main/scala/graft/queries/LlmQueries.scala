@@ -10,10 +10,11 @@ import graft.sources.Tables
   * `documents` and `embeddings` tables. Hash-family-dependent operators
   * (MinHash/SimHash/sign-LSH/IVF) are oracle-paired through planted-twin
   * constructions that reduce their gate output to an equality-derived
-  * pair set DuckDB can recompute; only `x_approx_vocab` (engine-specific
-  * HLL estimates) and `x_curation_pipeline` (contains the MinHash CC
-  * stage) keep the driver's rows-only check, both additionally pinned by
-  * ScalaTest specs on synthesized fixtures.
+  * pair set DuckDB can recompute; `x_approx_vocab` pairs through its
+  * tolerance contract (exact counts + a within-5% bit the oracle asserts
+  * true). Only `x_curation_pipeline` (its MinHash-LSH candidate set is
+  * genuinely hash-family-dependent) keeps the driver's rows-only check,
+  * pinned by ScalaTest specs on synthesized fixtures.
   */
 object LlmQueries {
 
@@ -405,16 +406,24 @@ object LlmQueries {
           sum(col("n_tokens")).as("n_tokens"))),
 
     // sketch-based cardinality: HLL++ approximate distinct words per
-    // source next to the exact count (rows-only: HLL estimates are
-    // engine-specific). At 100 TB the approx path is a map-side sketch
-    // merge; the exact path is a full distinct shuffle.
+    // source next to the exact count. The raw estimate is
+    // engine-specific, so the gate exports the TOLERANCE CONTRACT
+    // instead: the oracle recomputes exact_words and asserts the
+    // within-5% bit is true — if the sketch ever drifts out of
+    // tolerance the hash compare fails. (rsd = 0.02, so 5% is >2 sigma;
+    // the tighter distributional check lives in the ScalaTest spec.)
+    // At 100 TB the approx path is a map-side sketch merge; the exact
+    // path is a full distinct shuffle.
     "x_approx_vocab" -> ((s, dir) =>
       docs(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy("source")
         .agg(
           countDistinct(col("word")).as("exact_words"),
-          approx_count_distinct(col("word"), 0.02).as("approx_words"))),
+          approx_count_distinct(col("word"), 0.02).as("approx_words"))
+        .select(col("source"), col("exact_words"),
+          (abs(col("approx_words") - col("exact_words")).cast("double") /
+            col("exact_words") <= 0.05).as("approx_within_5pct"))),
 
     // line-level dedup statistics (CCNet/RefinedWeb boilerplate signal).
     // The synthetic corpus has no sentence structure, so the gate plants
@@ -877,6 +886,15 @@ object LlmQueries {
            ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
          WHERE q.vec_id < 8
            AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    // the HLL estimate itself is engine-specific; the oracle pins the
+    // exact side and the tolerance contract (see the gate comment)
+    "x_approx_vocab" ->
+      """SELECT source, count(DISTINCT word)::BIGINT AS exact_words,
+           true AS approx_within_5pct
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY 1""",
 
     "x_line_stats" ->
       """WITH planted AS (SELECT doc_id,
