@@ -174,6 +174,22 @@ object LlmQueries {
         budgetTokens = 2048L)
         .select("doc_id", "source", "seq_id")),
 
+    // chunk → pack composition: the full context-window prep path (split
+    // long documents into overlapping chunks, then pack chunks into
+    // fixed-token training sequences per source). Chunk ids are
+    // id-monotone (doc_id·10⁵ + chunk_idx), so packing's two-level
+    // cumsum sharding applies unchanged.
+    "x_chunk_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = graft.llm.Chunking.slidingChunks(d, 64, 48)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select((col("doc_id") * 100000 + col("chunk_idx")).as("chunk_id"),
+          col("source"), col("n_chunk_tokens").as("n_tokens"))
+      graft.llm.Packing.packSequences(chunks, budgetTokens = 2048L,
+        byCol = "source", idCol = "chunk_id")
+        .select("chunk_id", "source", "seq_id")
+    }),
+
     // n-gram Jaccard near-dup pairs (shingle-join blocking, exact verify).
     // maxDocFreq = None: the DuckDB oracle computes EXACT jaccard, so the
     // boilerplate cap (a lower-bound approximation when any shingle's
@@ -746,6 +762,20 @@ object LlmQueries {
            md5(array_to_string(list_slice(toks, cs + 1, cs + 64), ' '))
              AS chunk_hash
          FROM s""",
+
+    "x_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, source, toks,
+                 unnest(range(0, greatest(len(toks), 1), 48)) AS cs
+               FROM t),
+         c AS (SELECT doc_id * 100000 + cs // 48 AS chunk_id, source,
+                 least(64, len(toks) - cs)::BIGINT AS n_tokens
+               FROM s)
+         SELECT chunk_id, source,
+           ((sum(n_tokens) OVER (PARTITION BY source ORDER BY chunk_id)
+             - n_tokens) // 2048)::BIGINT AS seq_id
+         FROM c""",
 
     "x_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
