@@ -107,6 +107,7 @@ class LoadersSpec extends SparkSpec {
     assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
     assert(bad.count() == 1)
     assert(bad.select("_corrupt_record").as[String].head().contains("missing comma"))
+    df.unpersist() // shared test session: don't leak storage across suites
   }
 
   test("schema evolution: mergeSchema reads old+new parquet with nulls for added columns") {
