@@ -98,10 +98,15 @@ object Dedup {
     // the pair re-attach join — uncached, the k min-hash passes over the
     // full corpus would run three times. Signatures are ~8k bytes/doc,
     // orders of magnitude smaller than the documents they summarize.
-    // Caller owns the lifetime: unpersist/clearCache after materializing
-    // in a long-lived session.
-    val sigs = sigTable
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skipped when the caller already persisted the table (storageLevel
+    // != NONE) — a second cache entry of near-identical data buys
+    // nothing. Caller owns the lifetime either way: unpersist/clearCache
+    // after materializing in a long-lived session.
+    val sigs =
+      if (sigTable.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        sigTable
+      else sigTable
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only through the bucket join and pair dedup — signatures
     // re-attach by key for the agreement estimate, so the hot shuffles
     // never carry the k-long arrays

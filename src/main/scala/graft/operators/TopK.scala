@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Scalable per-group top-k.
   *
@@ -10,33 +11,30 @@ import org.apache.spark.sql.functions._
   * low-cardinality keys (a handful of sources/languages over billions of
   * rows) that is the single-reducer bottleneck PlanAuditSpec rejects.
   *
-  * This operator aggregates instead: a salted first level keeps per-task
-  * state bounded at k rows per (key, salt) and combines map-side; the
-  * second level merges the ≤ `nSalts`·k survivors per key. Both levels
-  * are ordinary hash aggregations — no window, no skew, shuffle volume
-  * ≤ keys·salts·k rows regardless of input size.
+  * This operator aggregates with a partial buffer that is HARD-CAPPED at
+  * k rows: `ColumnBridge.collectTopK` wraps Spark's bounded top-k
+  * aggregate, whose aggregation state is a k-element
+  * `BoundedPriorityQueue`. Map-side partials therefore hold at most k
+  * rows per (task, key) regardless of input size, the exchange carries
+  * ≤ mapTasks·keys·k rows, and the per-key merge combines bounded
+  * partials in O(log k) per element — no window, no skew funnel, no
+  * unbounded `collect_list` buffer. (An earlier version salted the key
+  * and sliced AFTER the aggregate; that bounded the reduce fan-in but
+  * the partial buffers still carried every row. The bounded buffer
+  * makes salting unnecessary.)
   */
 object TopK {
-
-  private def topSlice(items: Column, k: Int): Column =
-    slice(reverse(array_sort(items)), 1, k)
 
   /** Top `k` rows per `keyCol`, ordered by (`orderCol`, `idCol`)
     * descending — the id is the deterministic tie-break. Returns
     * (keyCol, rank 1..k, orderCol, idCol).
     */
   def grouped(df: DataFrame, keyCol: String, orderCol: String,
-      idCol: String, k: Int, nSalts: Int = 32): DataFrame = {
-    require(k > 0 && nSalts > 0)
-    val partial = df
-      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(nSalts)))
-      .groupBy(col(keyCol), col("_salt"))
-      .agg(topSlice(collect_list(struct(col(orderCol), col(idCol))), k)
-        .as("part"))
-      .select(col(keyCol), explode(col("part")).as("s"))
-    partial
-      .groupBy(col(keyCol))
-      .agg(topSlice(collect_list(col("s")), k).as("top"))
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    df.groupBy(col(keyCol))
+      .agg(ColumnBridge.collectTopK(
+        struct(col(orderCol), col(idCol)), k).as("top"))
       .select(col(keyCol), posexplode(col("top")).as(Seq("_r", "s")))
       .select(col(keyCol), (col("_r") + 1).cast("long").as("rank"),
         col(s"s.$orderCol").as(orderCol), col(s"s.$idCol").as(idCol))

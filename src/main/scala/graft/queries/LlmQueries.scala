@@ -12,9 +12,10 @@ import graft.sources.Tables
   * constructions that reduce their gate output to an equality-derived
   * pair set DuckDB can recompute; `x_approx_vocab` pairs through its
   * tolerance contract (exact counts + a within-5% bit the oracle asserts
-  * true). Only `x_curation_pipeline` (its MinHash-LSH candidate set is
-  * genuinely hash-family-dependent) keeps the driver's rows-only check,
-  * pinned by ScalaTest specs on synthesized fixtures.
+  * true). `x_curation_pipeline` pairs through the fingerprint-class
+  * reduction at nearDupJaccard = 1.0 (identical shingle sets ⇒ LSH
+  * recall 1), so every gate is oracle-paired — none fall back to the
+  * driver's rows-only check.
   */
 object LlmQueries {
 
@@ -48,9 +49,17 @@ object LlmQueries {
     * with no knowledge of planes or centroids. Only the |probes| twins
     * are planted, so the corpus (and the bench cost) grows by 8 rows,
     * not 2×.
+    *
+    * The construction is only engine-independent while every probe has
+    * ≤ k exact-equal corpus rows: the oracle enumerates ALL equality
+    * pairs, but the ANN output is cut at top-k, so a probe vector
+    * duplicated more than k times in the corpus would make both sides
+    * "right" yet disagree. Guarded with assert_true (house style,
+    * mirroring twinId): the gate fails loudly instead of flaking if the
+    * data ever grows such a natural duplicate cluster.
     */
   private def annTwinGate(e0: DataFrame,
-      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      ann: (DataFrame, DataFrame) => DataFrame, k: Int): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"))
     val probes = e.filter(col("vec_id") < 8)
     // persisted: the ANN body and both vector-equality verify joins all
@@ -61,6 +70,10 @@ object LlmQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // per-distinct-vector corpus multiplicity (equi-join on the array,
+    // no cross join); the assertion rides the output projection so
+    // Catalyst cannot prune it
+    val dupCounts = vecs.groupBy(col("v")).agg(count(lit(1)).as("n_eq"))
     ann(corpus, probes)
       .filter(col("cos_sim") === 1.0)
       .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
@@ -68,7 +81,13 @@ object LlmQueries {
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
         Seq("neighbor_id"))
       .filter(col("qv") === col("cv"))
-      .select("query_id", "neighbor_id", "cos_sim")
+      .join(dupCounts.withColumnRenamed("v", "qv"), Seq("qv"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("cos_sim") + coalesce(
+          assert_true(col("n_eq") <= lit(k),
+            lit(s"annTwinGate parity requires <= $k exact-equal corpus " +
+              "rows per probe; raise k or dedup the corpus")).cast("double"),
+          lit(0.0))).as("cos_sim"))
   }
 
   /** Deterministic stand-in for an offline-trained IVF coarse quantizer:
@@ -177,13 +196,19 @@ object LlmQueries {
     // chunk → pack composition: the full context-window prep path (split
     // long documents into overlapping chunks, then pack chunks into
     // fixed-token training sequences per source). Chunk ids are
-    // id-monotone (doc_id·10⁵ + chunk_idx), so packing's two-level
-    // cumsum sharding applies unchanged.
+    // id-monotone (doc_id·10⁵ + chunk_idx) ONLY while chunk_idx stays
+    // under 10⁵ (a ≥4.8M-token document at stride 48 would silently
+    // collide into the next doc's id range), so the construction is
+    // asserted like twinId's.
     "x_chunk_pack" -> ((s, dir) => {
       val d = docs(s, dir)
       val chunks = graft.llm.Chunking.slidingChunks(d, 64, 48)
         .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select((col("doc_id") * 100000 + col("chunk_idx")).as("chunk_id"),
+        .select((col("doc_id") * 100000 + col("chunk_idx") + coalesce(
+          assert_true(col("chunk_idx") < 100000,
+            lit("chunk_id construction requires chunk_idx < 100000 " +
+              "(document too long for the 10^5 id stride)")).cast("long"),
+          lit(0L))).as("chunk_id"),
           col("source"), col("n_chunk_tokens").as("n_tokens"))
       graft.llm.Packing.packSequences(chunks, budgetTokens = 2048L,
         byCol = "source", idCol = "chunk_id")
@@ -362,7 +387,7 @@ object LlmQueries {
     // SimilaritySpec.
     "x_cosine_ann_lsh" -> ((s, dir) =>
       annTwinGate(embs(s, dir), (c, q) =>
-        Similarity.lshTopK(c, q, k = 5, nBits = 6, nTables = 8))),
+        Similarity.lshTopK(c, q, k = 5, nBits = 6, nTables = 8), k = 5)),
 
     // IVF approximate variant, oracle-paired the same way: the nearest-
     // centroid assignment is a deterministic function of the vector, so
@@ -375,7 +400,8 @@ object LlmQueries {
     "x_cosine_ann_ivf" -> ((s, dir) =>
       annTwinGate(embs(s, dir), (c, q) =>
         Similarity.ivfTopK(c, q, k = 5, nCentroids = 16, nProbe = 4,
-          pretrained = Some(pseudorandomCentroids(n = 16, dim = 64))))),
+          pretrained = Some(pseudorandomCentroids(n = 16, dim = 64))),
+        k = 5)),
 
     // embedding near-dup pairs via block→exact-verify, oracle-paired
     // through a planted-twin construction: the corpus is doubled with
@@ -413,13 +439,36 @@ object LlmQueries {
         Map("en" -> 0.5))
         .groupBy("lang").agg(count(lit(1)).as("n"))),
 
-    // end-to-end curation pipeline summary (rows-only)
-    "x_curation_pipeline" -> ((s, dir) =>
-      graft.llm.CurationPipeline.curate(docs(s, dir),
-        graft.llm.CurationPipeline.Config(minQuality = 0.1))
+    // end-to-end curation pipeline summary, oracle-paired through the
+    // same fingerprint-class reduction as x_neardup_survivors: at
+    // nearDupJaccard = 1.0 the near-dup stage keeps exactly min(doc_id)
+    // per identical-distinct-shingle-set class (identical sets collide
+    // in every LSH band, recall 1), and every other stage (quality gate,
+    // langid, exact dedup, md5-bucket split) is already deterministic
+    // SQL — so the whole composed pass is DuckDB-recomputable. To put
+    // the near-dup stage ON the oracle path (exact dedup alone would
+    // otherwise make it a no-op on a clean corpus), 8 twin pairs are
+    // planted with DIFFERENT text but the SAME shingle set: period-3
+    // token repetition at two lengths ("u v z"×5 vs ×6) shares the
+    // cyclic shingle set {uvz, vzu, zuv} while surviving exact dedup.
+    "x_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val probe = d.filter(col("doc_id") < 8)
+      def plant(off: Long, reps: Int) = probe.select(
+        twinId(col("doc_id"), off).as("doc_id"),
+        concat_ws(" ", flatten(array_repeat(array(
+          concat(lit("plantw"), col("doc_id").cast("string")),
+          concat(lit("plantx"), col("doc_id").cast("string")),
+          concat(lit("planty"), col("doc_id").cast("string"))), reps)))
+          .as("text"))
+      graft.llm.CurationPipeline.curate(
+        d.union(plant(1000000000L, 5)).union(plant(2000000000L, 6)),
+        graft.llm.CurationPipeline.Config(minQuality = 0.1,
+          nearDupJaccard = 1.0))
         .groupBy("split", "predicted_lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"))),
+          sum(col("n_tokens")).as("n_tokens"))
+    }),
 
     // sketch-based cardinality: HLL++ approximate distinct words per
     // source next to the exact count. The raw estimate is
@@ -584,6 +633,80 @@ object LlmQueries {
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          count(*)::BIGINT AS n_dups FROM documents GROUP BY 1""",
+
+    // full curation pass recomputed stage-by-stage: planted twin pairs
+    // (same cyclic shingle set, different text) mirror the Spark gate;
+    // at jaccard 1.0 the near-dup survivor set is min(doc_id) per
+    // distinct-shingle-set fingerprint — no hash-family knowledge needed
+    "x_curation_pipeline" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000,
+             rtrim(repeat('plantw' || doc_id::VARCHAR || ' plantx' ||
+               doc_id::VARCHAR || ' planty' || doc_id::VARCHAR || ' ', 5))
+           FROM documents WHERE doc_id < 8
+           UNION ALL
+           SELECT doc_id + 2000000000,
+             rtrim(repeat('plantw' || doc_id::VARCHAR || ' plantx' ||
+               doc_id::VARCHAR || ' planty' || doc_id::VARCHAR || ' ', 6))
+           FROM documents WHERE doc_id < 8),
+         scored AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             floor(least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0) *
+               (1.0 - floor(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+                     / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS quality
+           FROM corpus),
+         profiles(plang, markers) AS (VALUES
+           ('de', ['der','die','das','und','ist','nicht','ein']),
+           ('en', ['the','and','of','to','is','in','that']),
+           ('es', ['el','los','las','y','es','que','un']),
+           ('fr', ['le','les','et','est','que','une','dans']),
+           ('zh', ['的','是','了','在','和','有','我'])),
+         langed AS (
+           SELECT doc_id,
+             CASE WHEN score > 0 THEN plang ELSE 'und' END AS predicted_lang
+           FROM (SELECT c.doc_id, p.plang,
+                   len(list_filter(string_split(lower(c.text), ' '),
+                     t -> list_contains(p.markers, t))) AS score,
+                   row_number() OVER (PARTITION BY c.doc_id
+                     ORDER BY len(list_filter(string_split(lower(c.text), ' '),
+                       t -> list_contains(p.markers, t))) DESC, p.plang DESC)
+                     AS rn
+                 FROM corpus c CROSS JOIN profiles p)
+           WHERE rn = 1),
+         gated AS (
+           SELECT s.doc_id, s.text, s.n_tokens, l.predicted_lang
+           FROM scored s JOIN langed l USING (doc_id)
+           WHERE s.quality >= 0.1),
+         exact AS (
+           SELECT g.* FROM gated g
+           JOIN (SELECT min(doc_id) AS keep_id FROM gated GROUP BY md5(text)) k
+             ON g.doc_id = k.keep_id),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)), '|')) AS f
+           FROM exact),
+         survivors AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         final AS (
+           SELECT n_tokens, predicted_lang, CASE
+               WHEN b < 980000 THEN 'train'
+               WHEN b < 990000 THEN 'val'
+               ELSE 'test' END AS split
+           FROM (SELECT e.n_tokens, e.predicted_lang,
+                   ('0x' || substr(md5('split:' || e.doc_id::VARCHAR), 25, 8))::BIGINT
+                     % 1000000 AS b
+                 FROM exact e JOIN survivors USING (doc_id)))
+         SELECT split, predicted_lang, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens
+         FROM final GROUP BY 1, 2""",
 
     "x_token_percentiles" ->
       """SELECT source,

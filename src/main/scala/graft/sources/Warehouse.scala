@@ -57,26 +57,45 @@ object Warehouse {
     * One shuffle keyed on the partition column co-locates each partition
     * value in a single task, so every partition directory compacts to one
     * file (plus `maxRecordsPerFile` splits for oversized partitions).
-    * The rewrite stages into a sibling temp directory and swaps via two
-    * renames — readers racing the swap see the old OR new listing, never
-    * a partial mix of both.
+    *
+    * Swap semantics — be precise about what the two renames give you:
+    * each rename is atomic on HDFS and local filesystems, but BETWEEN
+    * them the table path does not exist, so a reader that lists exactly
+    * in that window gets FileNotFound (a brief unavailability window,
+    * NOT a partial mix — it never sees old and new files together). A
+    * crash inside the window leaves the data intact at `.compact-old`;
+    * recovery is a manual rename back, and this method fails fast on a
+    * stale `.compact-old` rather than silently nesting the live table
+    * inside it (Hadoop's rename-into-existing-directory semantics would
+    * otherwise MOVE `path` under the stale dir instead of failing).
+    * On object stores (S3A) rename is a non-atomic O(n) copy — do not
+    * use this there; a metastore/manifest pointer swap (catalog `ALTER
+    * TABLE SET LOCATION`) is the correct primitive for true atomicity.
     */
   def compact(spark: SparkSession, path: String,
       partitionCol: String = "p_date",
       maxRecordsPerFile: Long = 1L << 22): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = path + ".compact-tmp"
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".compact-tmp")
+    val old = new Path(path + ".compact-old")
+    // Stale .compact-old means a previous swap crashed mid-flight and
+    // the ORIGINAL data may live there — never delete it, make the
+    // operator resolve it first.
+    require(!fs.exists(old),
+      s"compact: stale $old exists (a prior compact crashed mid-swap); " +
+        "inspect and restore/remove it before compacting")
+    // Stale .compact-tmp is always a discardable partial rewrite.
+    fs.delete(tmp, true)
     spark.read.parquet(path)
       .repartition(col(partitionCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
-      .parquet(tmp)
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(path + ".compact-old")
+      .parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: could not stage $path aside")
-    require(fs.rename(new Path(tmp), p), s"compact: could not swap in $tmp")
+    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
     fs.delete(old, true)
   }
 

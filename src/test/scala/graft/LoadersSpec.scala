@@ -140,4 +140,23 @@ class LoadersSpec extends SparkSpec {
     val afterRows = spark.read.parquet(dir).orderBy("id").collect()
     assert(afterRows.map(_.toSeq).toSeq == beforeRows.map(_.toSeq).toSeq)
   }
+
+  test("Warehouse.compact fails fast on a stale .compact-old, cleans stale tmp") {
+    val dir = tmpDir("compact-stale") + "/t"
+    Seq((1L, "2025-01-01", 1.0)).toDF("id", "p_date", "v")
+      .write.partitionBy("p_date").parquet(dir)
+    // stale tmp from an aborted rewrite: silently discarded
+    Files.createDirectories(Paths.get(dir + ".compact-tmp/junk"))
+    graft.sources.Warehouse.compact(spark, dir)
+    assert(!Files.exists(Paths.get(dir + ".compact-tmp")))
+    assert(spark.read.parquet(dir).count() == 1)
+    // stale .compact-old means a prior swap crashed with the original
+    // data staged aside — compact must refuse, not nest the live table
+    Files.createDirectories(Paths.get(dir + ".compact-old"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Warehouse.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("compact-old"))
+    assert(spark.read.parquet(dir).count() == 1) // table untouched
+  }
 }
