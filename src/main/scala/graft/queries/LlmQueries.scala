@@ -224,6 +224,20 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), minJaccard = 0.2,
         maxDocFreq = None)),
 
+    // the CAPPED production mode (hot-shingle posting lists dropped from
+    // the pair join, full set sizes kept → documented lower-bound
+    // jaccard), oracle-paired by mirroring the doc-frequency cap in the
+    // DuckDB CTE. A boilerplate footer planted on every document
+    // guarantees >cap shingles exist at any SF, so the cap is ON the
+    // oracle path — affected pairs' jaccard drops below threshold
+    // identically in both engines.
+    "x_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" capfoot alpha capfoot beta capfoot " +
+            "gamma capfoot delta")).as("text")),
+        minJaccard = 0.2, maxDocFreq = Some(100L))),
+
     // boilerplate detection: n-grams shared across ≥3 documents
     "x_repeated_ngrams" -> ((s, dir) =>
       TextAnalysis.repeatedNgrams(docs(s, dir), n = 3, minDocs = 3)),
@@ -823,6 +837,38 @@ object LlmQueries {
          shared AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
+             / 10000 AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
+             / 10000 >= 0.2""",
+
+    // capped mode: shingles with doc-frequency > 100 leave the pair
+    // join; sizes stay full-set (lower-bound jaccard), mirroring
+    // Dedup.ngramJaccardPairs(maxDocFreq = Some(100))
+    "x_ngram_jaccard_capped" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text || ' capfoot alpha capfoot beta capfoot gamma capfoot delta' AS text
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)) AS sh
+           FROM docs2),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         kept AS (
+           SELECT * FROM sh WHERE sh NOT IN (
+             SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100)),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b,
            floor(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) * 10000 + 0.5)
