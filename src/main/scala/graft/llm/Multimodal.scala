@@ -1,18 +1,21 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import Codecs.{BmpCodec, PpmCodec, WavCodec}
 
 /** Multimodal-column plumbing for LLM training-data pipelines.
   *
   * Media (image/audio/video) is carried as an opaque `binary` payload
-  * column plus a typed metadata struct; decode/feature-extraction runs as
-  * a partition-local batch transform (`mapPartitions` over an Arrow-sized
-  * iterator), which is the Scala analogue of `mapInPandas`: the Spark-side
-  * contract — schema, partitioning, batch shape — is real; only the codec
-  * call itself is stubbed (no image/audio libraries in this environment,
-  * see the builder brief) behind [[StubCodec]].
+  * column plus a typed metadata struct; decode/feature-extraction runs
+  * as a partition-local batch transform (`mapPartitions` over the row
+  * iterator — the Scala analogue of `mapInPandas`). The decode itself is
+  * REAL: [[Codecs.PpmCodec]] / [[Codecs.BmpCodec]] parse actual image
+  * byte layouts (netpbm P6, 24-bit BMP) and [[Codecs.WavCodec]] parses
+  * RIFF/WAVE PCM — width/height/sample-rate in the output come from the
+  * bytes, not from trusted metadata.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is a
   * map stage pinned to the scan; metadata-only columns are projected for
@@ -41,59 +44,144 @@ object Multimodal {
         lit(64).cast("int").as("height"),
         lit(0L).as("duration_ms")))
 
-  /** The stubbed codec boundary. Deterministic fake "decode": summarises
-    * the payload bytes. A real deployment swaps this object for JNI/
-    * library calls with the same signature; nothing else changes.
+  /** Attach a REAL binary PPM (P6) payload synthesized from the text
+    * bytes: header `P6\n<w> <h>\n255\n` + w·h·3 pixel bytes (the text,
+    * truncated/space-padded). Dimensions vary per id (w ∈ 8..16,
+    * h ∈ 8..14) so a downstream decode must genuinely parse them back
+    * out of the header — and an oracle can recompute them from the id.
+    * Pure Catalyst expressions: the construction is codegen'd and
+    * engine-portable (the DuckDB twin is the same string algebra).
     */
-  object StubCodec {
-    /** "Decode" → fixed-length feature vector (byte histogram over 8
-      * bins, L1-normalised) + basic stats. Deterministic in the payload.
-      */
-    def decodeFeatures(payload: Array[Byte], bins: Int = 8): Array[Double] = {
-      val counts = new Array[Double](bins)
-      var i = 0
-      while (i < payload.length) {
-        counts((payload(i) & 0xFF) * bins / 256) += 1.0
-        i += 1
-      }
-      val n = math.max(payload.length, 1).toDouble
-      counts.map(_ / n)
+  def withPpmPayload(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.withColumn("_w", (col(idCol) % 9 + 8).cast("int"))
+      .withColumn("_h", (col(idCol) % 7 + 8).cast("int"))
+      .withColumn("_npx", col("_w") * col("_h") * 3)
+      .withColumn("payload", concat(
+        lit("P6\n"), col("_w").cast("string"), lit(" "),
+        col("_h").cast("string"), lit("\n255\n"),
+        expr(s"rpad(substring($textCol, 1, _npx), _npx, ' ')")).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("image").as("kind"),
+        lit("image/x-portable-pixmap").as("format"),
+        col("_w").as("width"),
+        col("_h").as("height"),
+        lit(0L).as("duration_ms")))
+      .drop("_w", "_h", "_npx")
+
+  /** L1-normalised byte histogram — the feature extractor fed by the
+    * decoded pixel/sample bytes.
+    */
+  def byteHistogram(bytes: Array[Byte], bins: Int): Array[Double] = {
+    val counts = new Array[Double](bins)
+    var i = 0
+    while (i < bytes.length) {
+      counts((bytes(i) & 0xFF) * bins / 256) += 1.0
+      i += 1
     }
-
-    /** "Frame-sample": every `stride`-th byte window stands in for a video
-      * frame grab.
-      */
-    def sampleFrames(payload: Array[Byte], stride: Int, frameLen: Int): Seq[Array[Byte]] =
-      payload.grouped(stride).map(_.take(frameLen)).toSeq
-
-    /** "Resize": truncate/pad to the target byte budget. */
-    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] =
-      java.util.Arrays.copyOf(payload, targetBytes)
+    val n = math.max(bytes.length, 1).toDouble
+    counts.map(_ / n)
   }
 
-  /** Schema of [[decodeFeatures]] output rows. */
-  def featureSchema: StructType = StructType(Seq(
+  /** Schema of [[decodeImage]] output rows. */
+  def imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", LongType),
+    StructField("valid", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
     StructField("feature", ArrayType(DoubleType))))
 
-  /** Partition-local decode: the `mapInPandas` analogue. Input must have
-    * (doc_id: long, payload: binary); output one feature row per media
-    * item. Runs entirely executor-side, no shuffle.
+  /** Partition-local REAL image decode (the `mapInPandas` analogue):
+    * sniffs PPM then BMP, parses width/height out of the payload bytes,
+    * and histograms the decoded RGB pixels into a `bins`-long feature.
+    * Malformed payloads yield `valid = false` with null dims/feature —
+    * a corrupt media file must quarantine, not kill a 100 TB pass.
+    * Input needs (doc_id: long, payload: binary); runs entirely
+    * executor-side, no shuffle.
     */
-  def decodeFeatures(df: DataFrame, bins: Int = 8)
+  def decodeImage(df: DataFrame, bins: Int = 64)
       (implicit spark: SparkSession): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
     df.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          // NULL media ⇒ empty payload (0 bytes, all-zero histogram)
           val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          Row(id, payload.length.toLong, StubCodec.decodeFeatures(payload, bins))
+          PpmCodec.decode(payload).orElse(BmpCodec.decode(payload)) match {
+            case Some((w, h, rgb)) =>
+              Row(id, payload.length.toLong, true, w, h, byteHistogram(rgb, bins))
+            case None =>
+              Row(id, payload.length.toLong, false, null, null, null)
+          }
         }
       }(enc)
   }
+
+  /** Schema of [[decodeAudio]] output rows. */
+  def audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("valid", BooleanType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("rms", DoubleType)))
+
+  /** Partition-local REAL audio decode: RIFF/WAVE PCM16 parse →
+    * sample-rate/duration from the chunks, RMS amplitude from the
+    * samples. Same quarantine contract as [[decodeImage]].
+    */
+  def decodeAudio(df: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          WavCodec.decode(payload) match {
+            case Some((rate, samples)) =>
+              Row(id, payload.length.toLong, true, rate, samples.length.toLong,
+                WavCodec.durationMs(rate, samples.length), WavCodec.rms(samples))
+            case None =>
+              Row(id, payload.length.toLong, false, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Real nearest-neighbour image resize: decode (PPM or BMP) →
+    * resample → re-encode as PPM. None when the payload doesn't parse.
+    */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    PpmCodec.decode(payload).orElse(BmpCodec.decode(payload)).map {
+      case (w, h, rgb) =>
+        val out = new Array[Byte](outW * outH * 3)
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * w / outW
+            var c = 0
+            while (c < 3) {
+              out((y * outW + x) * 3 + c) = rgb((sy * w + sx) * 3 + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        PpmCodec.encode(outW, outH, out)
+    }
+
+  /** Frame sampling over a raw byte stream: every `stride`-th window
+    * stands in for a video frame grab (no public pure-JVM video codec —
+    * the honest byte-level stand-in, clearly labeled).
+    */
+  def sampleFrames(payload: Array[Byte], stride: Int, frameLen: Int): Seq[Array[Byte]] =
+    payload.grouped(stride).map(_.take(frameLen)).toSeq
 
   /** Metadata-only projection for shuffle-heavy downstream work: at scale,
     * join/group on this and re-attach payloads last via the id.

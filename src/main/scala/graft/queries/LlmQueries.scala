@@ -70,10 +70,15 @@ object LlmQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    // per-distinct-vector corpus multiplicity (equi-join on the array,
-    // no cross join); the assertion rides the output projection so
-    // Catalyst cannot prune it
-    val dupCounts = vecs.groupBy(col("v")).agg(count(lit(1)).as("n_eq"))
+    // per-PROBE-vector corpus multiplicity: semi-join the corpus to the
+    // (broadcast, ≤8-row) probe vector set first, so the guard costs a
+    // map-side filter + tiny agg instead of a full corpus groupBy on the
+    // array key. The assertion rides the output projection so Catalyst
+    // cannot prune it.
+    val dupCounts = vecs
+      .join(broadcast(probes.select(col("embedding").cast("array<double>")
+        .as("v")).distinct()), Seq("v"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("n_eq"))
     ann(corpus, probes)
       .filter(col("cos_sim") === 1.0)
       .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
@@ -578,28 +583,37 @@ object LlmQueries {
 
     // multimodal payload plumbing: metadata-only projection of a
     // binary-carrying table (byte counts through the binary path)
-    "x_multimodal_bytes" -> ((s, dir) =>
-      graft.llm.Multimodal.withSyntheticPayload(docs(s, dir))
-        .select(col("doc_id"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          ceil(octet_length(col("payload")) / 65536.0).cast("long")
-            .as("n_chunks"))),
+    // REAL image decode on the oracle path: payloads are genuine binary
+    // PPMs with per-id dimensions, and width/height/n_bytes in the
+    // output come from Codecs.PpmCodec PARSING the bytes — the oracle
+    // recomputes them from the id arithmetic + the same string algebra,
+    // so a decoder that trusted metadata instead of bytes (or botched
+    // the header scan) hash-mismatches immediately.
+    "x_multimodal_bytes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.llm.Multimodal.decodeImage(
+        graft.llm.Multimodal.withPpmPayload(docs(s, dir)))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          (col("width") * col("height") * 3).cast("long").as("n_pixel_bytes"))
+    }),
 
-    // multimodal dedup composition: partition-local decode (the
-    // mapInPandas analogue) → feature vectors → exact-feature duplicate
-    // pairs. The corpus is doubled with offset ids so every payload has
-    // exactly one planted twin. Blocking is the exact feature hash, NOT
-    // sign-LSH: histogram features all point the same general direction,
-    // so LSH buckets degenerate and the candidate set goes quadratic
-    // (measured: this very gate timed out at sf0.1 under cosineDupPairs)
+    // multimodal dedup composition: partition-local REAL decode (PPM
+    // parse → pixel-byte histogram) → feature vectors → exact-feature
+    // duplicate pairs. The corpus is doubled with offset ids so every
+    // payload has exactly one planted twin. Blocking is the exact
+    // feature hash, NOT sign-LSH: histogram features all point the same
+    // general direction, so LSH buckets degenerate and the candidate set
+    // goes quadratic (measured: this very gate timed out at sf0.1 under
+    // cosineDupPairs)
     "x_multimodal_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val media = graft.llm.Multimodal.withSyntheticPayload(d)
+      val media = graft.llm.Multimodal.withPpmPayload(d)
       // decode ONCE, then union the re-keyed twin features: the payload
-      // and its histogram are deterministic in the text bytes, so a twin
-      // decodes to its source's exact feature vector by construction
-      val feats0 = graft.llm.Multimodal.decodeFeatures(media, bins = 64)
+      // and its pixel histogram are deterministic in (id, text), so a
+      // twin decodes to its source's exact feature vector by construction
+      val feats0 = graft.llm.Multimodal.decodeImage(media, bins = 64)
+        .filter(col("valid"))
         .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
       val feats = feats0.union(feats0.select(
         twinId(col("vec_id"), 1000000000L).as("vec_id"), col("embedding")))
@@ -1175,10 +1189,17 @@ object LlmQueries {
          min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          FROM documents GROUP BY 1""",
 
+    // the decoded header fields recomputed from the id arithmetic + the
+    // same PPM string construction the Spark side encodes
     "x_multimodal_bytes" ->
-      """SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
-         ceil(octet_length(text::BLOB) / 65536.0)::BIGINT AS n_chunks
-         FROM documents""",
+      """SELECT doc_id,
+         octet_length(('P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR ||
+           chr(10) || '255' || chr(10) ||
+           rpad(substr(text, 1, w*h*3), (w*h*3)::INT, ' '))::BLOB)::BIGINT AS n_bytes,
+         w::INT AS width, h::INT AS height,
+         (w*h*3)::BIGINT AS n_pixel_bytes
+         FROM (SELECT doc_id, text, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+               FROM documents)""",
 
     // planted-twin ground truth: identical text ⇒ identical signature ⇒
     // LSH recall 1 on the twin set; the equality verify reduces the
@@ -1207,14 +1228,25 @@ object LlmQueries {
     // planted-twin ground truth: the synthetic payload and its histogram
     // feature are deterministic in the text bytes, so exact-feature pairs
     // over the doubled corpus are exactly the text-equality pairs
+    // feature equality ⇔ decoded-pixel-byte-multiset equality; the
+    // oracle compares the constructed payloads (header pins (w,h), so
+    // payload equality = same dims + same pixel string — the class the
+    // planted twins and natural exact-dups fall into)
     "x_multimodal_dedup" ->
-      """WITH doubled AS (
-           SELECT doc_id, text FROM documents
+      """WITH p AS (
+           SELECT doc_id,
+             'P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10) ||
+               '255' || chr(10) ||
+               rpad(substr(text, 1, w*h*3), (w*h*3)::INT, ' ') AS payload
+           FROM (SELECT doc_id, text, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+                 FROM documents)),
+         doubled AS (
+           SELECT doc_id, payload FROM p
            UNION ALL
-           SELECT doc_id + 1000000000, text FROM documents)
+           SELECT doc_id + 1000000000, payload FROM p)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS cos_sim
          FROM doubled a JOIN doubled b
-           ON a.text = b.text AND a.doc_id < b.doc_id""",
+           ON a.payload = b.payload AND a.doc_id < b.doc_id""",
 
     // exact all-pairs recomputation of the planted 2·v twins: only twin
     // pairs reach cosine 0.999 (random embeddings top out far lower)

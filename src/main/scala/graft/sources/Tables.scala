@@ -16,9 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
+  // Memoized scans: `spark.read.parquet` pays file listing + footer
+  // schema read on EVERY call, and the query entry points re-read their
+  // tables once per invocation — ~500 times across a bench run. The
+  // analyzed scan (with its resolved schema and shared file index) is
+  // immutable, so it is built once per (session, dir, table) and reused.
+  // Assumption (holds for every caller): the scale-factor dirs are
+  // immutable for the session's lifetime — appends would need the
+  // listing refreshed. Mutable paths (warehouse sinks, `{{ this }}`
+  // incremental scans) go through their own spark.read calls, never
+  // this cache.
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** S1 — parquet table scan rooted at a scale-factor dir. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

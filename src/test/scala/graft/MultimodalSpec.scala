@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.llm.Multimodal
+import graft.llm.Codecs.{BmpCodec, PpmCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = Seq((0L, "abcdefgh"), (1L, "x")).toDF("doc_id", "text")
+
+  private def testPixels(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
 
   test("payload + metadata plumbing carries binary with typed meta") {
     val df = Multimodal.withSyntheticPayload(docs)
@@ -17,37 +21,104 @@ class MultimodalSpec extends SparkSpec {
       .getAs[String]("kind") == "image")
   }
 
-  test("decodeFeatures runs partition-local and is deterministic") {
-    implicit val s = spark
-    val feats = Multimodal.decodeFeatures(Multimodal.withSyntheticPayload(docs))
-      .collect().map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Long]("n_bytes"), r.getAs[scala.collection.Seq[Double]]("feature").toSeq)).toMap
-    assert(feats(0L)._1 == 8L)
-    assert(feats(0L)._2.length == 8)
-    assert(math.abs(feats(0L)._2.sum - 1.0) < 1e-12) // L1-normalised
-    // 'a'..'h' are all in byte bin 3 (97..104 * 8 / 256)
-    assert(feats(1L)._2.count(_ > 0) == 1)
+  test("PpmCodec round-trips and parses whitespace/comment headers") {
+    val px = testPixels(5, 3)
+    val enc = PpmCodec.encode(5, 3, px)
+    val Some((w, h, rgb)) = PpmCodec.decode(enc)
+    assert((w, h) == (5, 3) && rgb.toSeq == px.toSeq)
+    // hand-built header with comment + extra whitespace is still legal P6
+    val loose = "P6 # a comment\n  5\t3 \n255\n".getBytes("US-ASCII") ++ px
+    val Some((w2, h2, rgb2)) = PpmCodec.decode(loose)
+    assert((w2, h2) == (5, 3) && rgb2.toSeq == px.toSeq)
+    // malformed: wrong magic, truncated pixels, maxval > 255
+    assert(PpmCodec.decode("P5\n5 3\n255\n".getBytes ++ px).isEmpty)
+    assert(PpmCodec.decode(enc.dropRight(1)).isEmpty)
+    assert(PpmCodec.decode(("P6\n5 3\n65535\n".getBytes ++ px)).isEmpty)
   }
 
-  test("decode → feature-cosine dedup finds identical payloads") {
+  test("BmpCodec round-trips 24-bit rows incl. non-multiple-of-4 widths") {
+    for ((w, h) <- Seq((4, 2), (5, 3), (7, 1))) { // pad 0, 1, 3 bytes
+      val px = testPixels(w, h)
+      val Some((dw, dh, rgb)) = BmpCodec.decode(BmpCodec.encode(w, h, px))
+      assert((dw, dh) == (w, h), s"dims for $w x $h")
+      assert(rgb.toSeq == px.toSeq, s"pixels for $w x $h")
+    }
+    assert(BmpCodec.decode("notbmp".getBytes).isEmpty)
+  }
+
+  test("WavCodec round-trips PCM16 and computes duration/rms") {
+    val samples = Array.tabulate[Short](8000)(i =>
+      (math.sin(i * 2 * math.Pi / 100) * 10000).toShort)
+    val Some((rate, out)) = WavCodec.decode(WavCodec.encode(16000, samples))
+    assert(rate == 16000 && out.toSeq == samples.toSeq)
+    assert(WavCodec.durationMs(16000, samples.length) == 500L)
+    // RMS of a sine at amplitude A is A/sqrt(2)
+    assert(math.abs(WavCodec.rms(samples) - 10000 / math.sqrt(2)) < 100)
+    assert(WavCodec.decode("RIFFxxxx".getBytes).isEmpty)
+  }
+
+  test("decodeImage parses real PPM payloads partition-locally; corrupt rows quarantine") {
     implicit val s = spark
-    import spark.implicits._
+    val good = PpmCodec.encode(4, 2, testPixels(4, 2))
+    val df = Seq((0L, good), (1L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeImage(df, bins = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Boolean]("valid"))
+    assert(rows(0L).getAs[Int]("width") == 4 && rows(0L).getAs[Int]("height") == 2)
+    val feat = rows(0L).getAs[scala.collection.Seq[Double]]("feature")
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0) < 1e-12)
+    assert(!rows(1L).getAs[Boolean]("valid"))
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("feature")))
+  }
+
+  test("withPpmPayload emits decodable PPMs whose parsed dims match the id arithmetic") {
+    implicit val s = spark
+    val d = Seq((0L, "short"), (13L, "longer text with several words here"))
+      .toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImage(Multimodal.withPpmPayload(d))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(0L, 13L)) {
+      assert(decoded(id).getAs[Boolean]("valid"))
+      assert(decoded(id).getAs[Int]("width") == (id % 9 + 8).toInt)
+      assert(decoded(id).getAs[Int]("height") == (id % 7 + 8).toInt)
+    }
+  }
+
+  test("decodeAudio parses synthesized WAVs; resize + frame sampling are real ops") {
+    implicit val s = spark
+    val wav = WavCodec.encode(8000, Array.tabulate[Short](4000)(i => (i % 32).toShort))
+    val rows = Multimodal.decodeAudio(
+      Seq((7L, wav)).toDF("doc_id", "payload")).collect()
+    assert(rows.length == 1 && rows(0).getAs[Boolean]("valid"))
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Long]("duration_ms") == 500L)
+    // nearest-neighbour resize: 4x2 -> 2x1 keeps exact source pixels
+    val px = testPixels(4, 2)
+    val Some(resized) = Multimodal.resizeImage(PpmCodec.encode(4, 2, px), 2, 1)
+    val Some((rw, rh, rgb)) = PpmCodec.decode(resized)
+    assert((rw, rh) == (2, 1))
+    assert(rgb.toSeq == (px.slice(0, 3) ++ px.slice(6, 9)).toSeq)
+    val frames = Multimodal.sampleFrames("0123456789".getBytes, stride = 4, frameLen = 2)
+    assert(frames.map(new String(_)) == Seq("01", "45", "89"))
+  }
+
+  test("decode → feature-dedup finds identical images via exact pixel histograms") {
+    implicit val s = spark
     val d = Seq((0L, "tiger tiger burning"), (1L, "tiger tiger burning"),
       (2L, "completely different 123 !!!")).toDF("doc_id", "text")
-    val feats = Multimodal.decodeFeatures(
-      Multimodal.withSyntheticPayload(d), bins = 64)
-      .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
-        org.apache.spark.sql.functions.col("feature").as("embedding"))
+    // same (w,h) for ids 0 and 1? 0%9=0,1%9=1 differ — so force one dim
+    // set by encoding payloads directly from identical pixels
+    val px = testPixels(6, 6)
+    val media = Seq((0L, PpmCodec.encode(6, 6, px)),
+      (1L, PpmCodec.encode(6, 6, px)),
+      (2L, PpmCodec.encode(6, 6, testPixels(6, 5) ++ testPixels(6, 1))))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeImage(media, bins = 64)
+      .filter(col("valid"))
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
     val pairs = graft.llm.Similarity.exactFeatureDupPairs(feats)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(pairs.toSeq == Seq((0L, 1L)))
-  }
-
-  test("StubCodec resize and frame sampling shapes") {
-    val p = "0123456789".getBytes("UTF-8")
-    assert(Multimodal.StubCodec.resize(p, 4).length == 4)
-    assert(Multimodal.StubCodec.resize(p, 16).length == 16)
-    val frames = Multimodal.StubCodec.sampleFrames(p, stride = 4, frameLen = 2)
-    assert(frames.map(new String(_, "UTF-8")) == Seq("01", "45", "89"))
   }
 }
