@@ -9,10 +9,10 @@ import org.apache.spark.sql.SparkSession
   *   /tmp/bench.json  and  bench_latest.json (CWD).
   *
   * Timing protocol: fixed query order (sorted by name), 5 timed passes
-  * per query, pass-wide outlier discard (a pass whose suite total
-  * exceeds the best pass by >25% measured ambient machine noise, not
-  * the plans — dropped, keeping >= 3 passes), median over the kept
-  * passes. Cache cleared after every query so the persist() calls
+  * per query, per-query estimator = median of the 3 fastest runs
+  * (2nd-smallest of 5 — tolerates two ambient-noise-inflated samples
+  * per query wherever they land; all raw runs reported alongside).
+  * Cache cleared after every query so the persist() calls
   * inside dedup/similarity pipelines can't leak storage into the next
   * measurement. A full warm-up pass AT THE BENCH SF removes one-time
   * JIT/codegen cost (what a long-lived cluster never pays per query)
@@ -82,37 +82,30 @@ object Bench {
     // page-cache locality a real mixed workload doesn't have)
     val passes: Seq[Seq[(String, Double)]] =
       (1 to Runs).map(_ => queries.map { case (n, fn) => (n, timeOnce(n, fn)) })
-    // Pass-wide outlier discard: ambient machine noise (another process
-    // grabbing the box for ~a minute) inflates an ENTIRE pass, and a
-    // 5-sample median only survives two such passes — in round 5 one
-    // spiked pass dragged two query medians up 2-3x with no code change.
-    // A pass whose suite total exceeds the best pass by >25% measured
-    // the machine, not the plans; drop it (keeping at least 3 passes so
-    // the median stays a real median).
-    val passTotals = passes.map(_.map(t => math.abs(t._2)).sum)
-    val bestTotal = passTotals.min
-    val keptIdx0 = passTotals.zipWithIndex
-      .collect { case (t, i) if t <= bestTotal * 1.25 => i }
-    val keptIdx =
-      if (keptIdx0.length >= 3) keptIdx0
-      else passTotals.zipWithIndex.sortBy(_._1).take(3).map(_._2).sorted
-    val droppedPasses = Runs - keptIdx.length
-    val kept = keptIdx.map(passes)
-    val byQuery: Seq[(String, Seq[Double])] =
-      queries.map { case (n, _) => (n, kept.map(p => p.find(_._1 == n).get._2)) }
-    // full-pass stats (pre-discard) still feed min_total + per-run detail
+    // Ambient machine noise (another process grabbing the box for ~a
+    // minute) inflates whole stretches of a run — in round 5 one spiked
+    // pass dragged two query medians up 2-3x with no code change, and
+    // noise windows are NOT pass-aligned, so discarding whole passes is
+    // too coarse. The per-query estimator is therefore the median of
+    // the 3 FASTEST of the 5 runs (= 2nd-smallest): it tolerates up to
+    // two noise-inflated samples per query wherever they land, while
+    // staying above the raw min (which can understate by catching one
+    // lucky page-cache alignment). All 5 raw runs are reported.
     val byQueryAll: Seq[(String, Seq[Double])] =
       queries.map { case (n, _) => (n, passes.map(p => p.find(_._1 == n).get._2)) }
+    val passTotals = passes.map(_.map(t => math.abs(t._2)).sum)
 
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+    // median of the 3 fastest of 5 = 2nd-smallest sample
+    def trimmedMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length >= 2) s(1) else s.head
     }
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
 
-    val rows = byQuery.map { case (n, ts) =>
+    val rows = byQueryAll.map { case (n, ts) =>
       val failed = ts.exists(_ < 0)
-      val med = median(ts.map(math.abs))
+      val med = trimmedMedian(ts.map(math.abs))
       (n, if (failed) -med else med, ts)
     }
     // |dt| so a crashing query can never LOWER the reported total
@@ -124,9 +117,9 @@ object Bench {
     val qsCompact = rows.map { case (n, m, _) => "\"" + n + "\":" + r3(m) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"failed":$failedNames,"sf":"$sfDir","runs":$Runs,"dropped_passes":$droppedPasses}"""
-    // full report (ALL per-run times incl. discarded passes + spread +
-    // per-query min) for the file targets
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
+    // full report (ALL per-run times + spread + per-query min) for the
+    // file targets
     val qsFull = byQueryAll.map { case (n, ts) =>
       val med = rows.find(_._1 == n).get._2
       val runs = ts.map(t => r4(math.abs(t))).mkString("[", ",", "]")
@@ -139,7 +132,7 @@ object Bench {
     // the machine was loaded during some passes, not the plans slower
     val minTotal = r4(byQueryAll.map { case (_, ts) => ts.map(math.abs).min }.sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"dropped_passes":$droppedPasses,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
     Seq("/tmp/bench.json", "bench_latest.json").foreach { p =>
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))

@@ -108,7 +108,7 @@ final class DagRunner(
       // guard below — so the incremental dedup check partition-prunes
       // instead of rescanning full history
       val self = (selfRaw, m.materialization) match {
-        case (Some(df0), Materialization.Incremental(_, Some(p), _)) =>
+        case (Some(df0), Materialization.Incremental(_, Some(p), _, _)) =>
           Some(df0.filter(p))
         case _ => selfRaw
       }
@@ -122,13 +122,57 @@ final class DagRunner(
         case Materialization.Table =>
           df.write.mode("overwrite").parquet(path(name))
           spark.read.parquet(path(name))
-        case Materialization.Incremental(key, _, parts) =>
+        case Materialization.Incremental(key, _, parts, strategy) =>
           def partitioned(w: org.apache.spark.sql.DataFrameWriter[
               org.apache.spark.sql.Row]) =
             if (parts.nonEmpty) w.partitionBy(parts: _*) else w
+          def rmStaged(staged: String): Unit = {
+            val fs = new org.apache.hadoop.fs.Path(staged)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+          }
           self match {
             case None =>
               partitioned(df.write.mode("overwrite")).parquet(path(name))
+            case Some(existing)
+                if strategy == Materialization.IncrementalStrategy.Merge =>
+              // MERGE/upsert: batch rows replace same-key rows. Rewrite
+              // only the partitions the batch touches: survivors =
+              // (existing ⋉ touched partitions) ∖ batch keys, staged
+              // together with the batch, then swapped in via DYNAMIC
+              // partition overwrite — untouched partitions never move,
+              // so cost ∝ churn, not table size. The UNSCOPED existing
+              // table is read here (partition pruning is the scope):
+              // scanPredicate bounds the dedup window, but an in-window
+              // rewrite must not drop out-of-window rows that share a
+              // touched partition. Unpartitioned tables degrade to a
+              // staged full rewrite (documented; give a merge model
+              // partitions).
+              val existingFull = spark.read.parquet(path(name))
+              val survivors =
+                (if (parts.nonEmpty)
+                  existingFull.join(
+                    org.apache.spark.sql.functions.broadcast(
+                      df.select(parts.map(col): _*).distinct()),
+                    parts, "left_semi")
+                else existingFull)
+                  .join(df.select(col(key)), Seq(key), "left_anti")
+              val merged = df.unionByName(
+                survivors.select(df.columns.map(col).toIndexedSeq: _*))
+              val staged = path(name) + "__merge"
+              partitioned(merged.write.mode("overwrite")).parquet(staged)
+              val prevMode =
+                spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+              try {
+                if (parts.nonEmpty)
+                  spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                    "dynamic")
+                partitioned(spark.read.parquet(staged).write.mode("overwrite"))
+                  .parquet(path(name))
+              } finally
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                  prevMode)
+              rmStaged(staged)
             case Some(existing) =>
               // `existing` is already scanPredicate-scoped above.
               // Append-only-new-keys guard (D4); the reference models
@@ -141,9 +185,7 @@ final class DagRunner(
               partitioned(newRows.write.mode("overwrite")).parquet(staged)
               partitioned(spark.read.parquet(staged).write.mode("append"))
                 .parquet(path(name))
-              val fs = new org.apache.hadoop.fs.Path(staged)
-                .getFileSystem(spark.sessionState.newHadoopConf())
-              fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+              rmStaged(staged)
           }
           spark.read.parquet(path(name))
       }

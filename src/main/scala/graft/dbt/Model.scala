@@ -72,7 +72,28 @@ object Materialization {
     */
   final case class Incremental(uniqueKey: String,
       scanPredicate: Option[String] = None,
-      partitionBy: Seq[String] = Nil) extends Materialization
+      partitionBy: Seq[String] = Nil,
+      strategy: IncrementalStrategy = IncrementalStrategy.AppendNewKeys)
+    extends Materialization
+
+  /** How an incremental run reconciles batch rows against existing
+    * output rows sharing a `uniqueKey` — dbt's `incremental_strategy`.
+    */
+  sealed trait IncrementalStrategy
+  object IncrementalStrategy {
+    /** Existing keys win; only NEW keys append (the reference's usage —
+      * its models NOT-IN-filter before insert, so a key never updates:
+      * `models/facts/fact_station_status.sql:30-32`).
+      */
+    case object AppendNewKeys extends IncrementalStrategy
+    /** dbt `merge`: an incoming row REPLACES the existing row with its
+      * key (update-in-place), other rows are preserved. Implemented as
+      * a staged rewrite of only the TOUCHED partitions (dynamic
+      * partition overwrite): at 100 TB, a day's re-delivered snapshots
+      * rewrite that day's partitions, never the table.
+      */
+    case object Merge extends IncrementalStrategy
+  }
 }
 
 /** What a model body can see while building. */

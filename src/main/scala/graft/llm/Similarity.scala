@@ -251,6 +251,18 @@ object Similarity {
   /** Near-duplicate pairs by embedding cosine: block on a coarse sign
     * sketch (two vectors with cosine ≥ minCos almost surely agree on a
     * low-bit sketch in at least one table), verify exactly.
+    *
+    * Sizing the blocking: a sketch bit disagrees between two vectors
+    * with p = arccos(cos)/π, so recall at the threshold is
+    * 1 - (1 - (1-p)^nBits)^nTables while expected bucket occupancy (and
+    * with it the quadratic verify fan-in) shrinks as n/2^nBits per
+    * table. The defaults suit the broad minCos ≈ 0.95 regime
+    * (p ≈ 0.10: 8/6 keeps recall ≈ 0.965 at the boundary); tight
+    * thresholds should buy MUCH deeper blocking with the recall they
+    * don't need — at 0.999 (p ≈ 0.014), 16 bits × 8 tables still
+    * misses only ~3e-6 of true pairs but cuts bucket sizes 256×,
+    * which is what keeps the verify stage near-linear as the corpus
+    * scales.
     */
   def cosineDupPairs(df: DataFrame, minCos: Double = 0.95,
       nBits: Int = 8, nTables: Int = 6,

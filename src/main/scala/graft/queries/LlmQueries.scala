@@ -435,7 +435,13 @@ object LlmQueries {
       val doubled = e.union(e.select(
         twinId(col("vec_id"), 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * 2).as("embedding")))
-      Similarity.cosineDupPairs(doubled, minCos = 0.999)
+      // blocking sized for the 0.999 threshold: at cos 0.999 a sketch
+      // bit flips with p = θ/π ≈ 0.0142, so P(miss) = (1-(1-p)^16)^8
+      // ≈ 3e-6 per true pair while buckets shrink 2^8x vs the 0.95
+      // default (8 bits / 6 tables) — the verify fan-in, not the
+      // sketch explode, is what grows superlinearly with corpus size
+      Similarity.cosineDupPairs(doubled, minCos = 0.999,
+        nBits = 16, nTables = 8)
     }),
 
     // deterministic train/val/test split counts (md5 bucketing is

@@ -77,6 +77,49 @@ class IncrementalPruningSpec extends SparkSpec {
     assert(newDays.count() == 6)
   }
 
+  private def mergeRunner(wh: String, source: DataFrame): DagRunner = {
+    val reg = new ModelRegistry().register(Model(
+      name = "fact_events",
+      deps = Nil,
+      materialization = Incremental("snap_id", Some(window),
+        partitionBy = Seq("event_date"),
+        strategy = Materialization.IncrementalStrategy.Merge),
+      build = ctx => ctx.source("t", "events")))
+    new DagRunner(spark, reg, (_, _) => source, wh)
+  }
+
+  test("Merge strategy updates re-delivered keys in place, rewriting only touched partitions") {
+    val wh = tmpDir("incr-merge-wh")
+
+    // run 1: full build, days 1-10
+    mergeRunner(wh, rows(1, 10)).run()
+    assert(spark.read.parquet(s"$wh/fact_events").count() == 30)
+    val day3FilesBefore = new java.io.File(s"$wh/fact_events")
+      .listFiles().filter(_.getName.startsWith("event_date=2026-01-03"))
+      .flatMap(_.listFiles()).map(_.getName).toSet
+
+    // run 2: re-deliver days 9-10 with CHANGED values (+ days 11-12 new).
+    // Under merge, the re-delivered snapshot_ids must UPDATE, not dup.
+    val redelivered = rows(9, 12)
+      .withColumn("v", col("v") + lit(100000))
+    mergeRunner(wh, redelivered).run()
+    val all = spark.read.parquet(s"$wh/fact_events")
+    assert(all.count() == 36, "no duplicates: 30 + 6 new")
+    assert(all.select("snap_id").distinct().count() == 36)
+    // updated in place: days 9-10 carry the new values ...
+    assert(all.filter("event_date >= date'2026-01-09' and event_date <= date'2026-01-10'")
+      .filter(col("v") < 100000).count() == 0)
+    // ... days 1-8 keep the originals
+    assert(all.filter("event_date < date'2026-01-09'")
+      .filter(col("v") >= 100000).count() == 0)
+    // untouched partitions were NOT rewritten (same physical files)
+    val day3FilesAfter = new java.io.File(s"$wh/fact_events")
+      .listFiles().filter(_.getName.startsWith("event_date=2026-01-03"))
+      .flatMap(_.listFiles()).map(_.getName).toSet
+    assert(day3FilesAfter == day3FilesBefore,
+      "dynamic partition overwrite must leave untouched partitions alone")
+  }
+
   test("full refresh rebuilds the partitioned table from scratch") {
     val wh = tmpDir("incr-prune-fr")
     runner(wh, rows(1, 10)).run()

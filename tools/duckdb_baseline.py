@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Timed DuckDB baseline over the oracle SQL — the pinned protocol.
+
+The 2x bench gate compares Spark's per-query medians against DuckDB
+executing the byte-identical oracle SQL on the same parquet. Because
+measurement details moved the DuckDB number +-0.2x between rounds, the
+protocol is fixed here, in-repo, and BASELINE.md cites this script:
+
+  * views over the scale-factor parquet (same as tools/compare.py)
+  * threads = cpu count (matches Spark's local[32])
+  * one full untimed warm-up pass (page cache + catalog warm, matching
+    Bench.scala's warm-up pass)
+  * 5 timed passes, pass-major order (same as Bench.scala)
+  * per-query median-of-5 plus min; totals for both
+  * results materialized via fetchall() (Spark's noop sink analogue --
+    every output row is produced)
+
+Usage: python3 tools/duckdb_baseline.py <sfDir> <verifyOutDir> [out.json]
+  (verifyOutDir must contain oracle_sql.json from graft.Verify)
+"""
+import json
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+
+def main(sf_dir, out_dir, out_path="/tmp/duckdb_baseline.json"):
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                f"'{sf_dir}/{name}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(oracles)
+
+    def run_pass(timed):
+        times = {}
+        for n in names:
+            t0 = time.perf_counter()
+            try:
+                con.sql(oracles[n]).fetchall()
+                times[n] = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001 - record, keep timing
+                times[n] = float("nan")
+                if timed:
+                    print(f"[ERR] {n}: {e}", file=sys.stderr)
+        return times
+
+    run_pass(timed=False)  # warm-up
+    passes = [run_pass(timed=True) for _ in range(5)]
+    detail = {}
+    for n in names:
+        ts = [p[n] for p in passes]
+        detail[n] = {"median": round(statistics.median(ts), 4),
+                     "min": round(min(ts), 4),
+                     "runs": [round(t, 4) for t in ts]}
+    med_total = round(sum(v["median"] for v in detail.values()), 4)
+    min_total = round(sum(v["min"] for v in detail.values()), 4)
+    report = {"engine": "duckdb", "version": duckdb.__version__,
+              "threads": os.cpu_count(), "sf": sf_dir,
+              "median_total": med_total, "min_total": min_total,
+              "queries": detail}
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"duckdb {duckdb.__version__} threads={os.cpu_count()} "
+          f"queries={len(names)} median_total={med_total} "
+          f"min_total={min_total} -> {out_path}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
