@@ -215,6 +215,48 @@ object Similarity {
         roundDet(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023 —
+    * the public recipe: k-means the embeddings, dedup WITHIN clusters
+    * only): every vector is assigned to its nearest coarse-quantizer
+    * cell (map stage against broadcast centroids — the same
+    * scale-invariant dot/|c| assignment as [[ivfTopK]], so colinear
+    * duplicates always share a cell), candidates are generated only
+    * inside a (cell, sign-sketch bucket) block, and survivors verify by
+    * exact cosine. The cell partition bounds the candidate space the
+    * way SemDeDup's per-cluster pairwise pass does, but the sketch
+    * sub-blocking keeps even a hot cell sub-quadratic — no cross-cell
+    * pair is ever materialized, which is the operator's documented
+    * recall tradeoff (near-pairs straddling a cell boundary are out of
+    * contract; duplicates and near-colinear pairs never straddle).
+    */
+  def semanticDupPairs(df: DataFrame, centroids: Seq[Seq[Double]],
+      minCos: Double = 0.95, nBits: Int = 8, nTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "semanticDupPairs needs a trained quantizer")
+    // persist: assignment+sketch subtree feeds the block join and both
+    // verify re-attach sides (caller owns lifetime, as in the siblings)
+    val base = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(graft.expr.native.arrayDot(col("vec"), col("vec")) > 0)
+      .withColumn("cell", element_at(
+        graft.expr.native.nearestCentroids(col("vec"), centroids, 1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = base.select(col("id"), col("cell"),
+      posexplode(signSketches(col("vec"), nTables, nBits))
+        .as(Seq("tbl", "bucket")))
+    val a = sk.select(col("cell"), col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = sk.select(col("cell"), col("tbl"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("cell", "tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        roundDet(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** Pairs with IDENTICAL feature vectors: block on a 64-bit hash of the
     * vector, verify exact equality (hash-collision guard). This — not
     * sign-LSH — is the correct blocking when the target is identical

@@ -148,4 +148,47 @@ object TextAnalysis {
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Gopher-rules stop set (Rae et al. 2021 §A1.1: "the, be, to, of,
+    * and, that, have, with" — a document must contain ≥ 2 of them).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter signals + verdict (Rae et al. 2021, §A1.1 —
+    * the public rule set every large-scale text pipeline reimplements):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * ('#' and '…'/'...'), fraction of words containing an alphabetic
+    * character, and stop-word presence. Pure codegen'd expressions —
+    * a map over the scan, embarrassingly 100 TB-parallel. Emits each
+    * signal (auditable: a data card wants the WHY, not just the bit)
+    * plus the composite `gopher_pass`.
+    */
+  def gopherFlags(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val nD = n.cast("double")
+    def occurrences(needle: String, len: Int) =
+      ((length(col(textCol)) -
+        length(regexp_replace(col(textCol), lit(java.util.regex.Pattern
+          .quote(needle)), lit("")))) / len).cast("long")
+    val nSymbols = occurrences("#", 1) + occurrences("...", 3) +
+      occurrences("…", 1)
+    val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStopHits = size(filter(
+      array(GopherStopwords.map(lit): _*),
+      s => array_contains(toks, s))).cast("long")
+    df.withColumn("n_words", n)
+      .withColumn("mean_word_len",
+        roundDet((length(col(textCol)) - (n - 1)).cast("double") / nD, 4))
+      .withColumn("symbol_ratio", roundDet(nSymbols.cast("double") / nD, 4))
+      .withColumn("alpha_word_frac", roundDet(nAlphaWords.cast("double") / nD, 4))
+      .withColumn("n_stop_hits", nStopHits)
+      .withColumn("gopher_pass",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2)
+  }
 }

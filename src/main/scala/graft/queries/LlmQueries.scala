@@ -124,6 +124,21 @@ object LlmQueries {
           "stopword_ratio")),
 
     // quality scoring on top of the stats
+    // Gopher quality rules (word-count/word-length bounds, symbol
+    // ratio, alphabetic-word fraction, stop-word presence) with two
+    // planted rule-violating docs so both verdicts are on the oracle
+    // path at any SF
+    "x_gopher_rules" -> ((s, dir) => {
+      val planted = s.range(1)
+        .select(lit(1000000001L).as("doc_id"), lit("tiny").as("text"))
+        .union(s.range(1).select(lit(1000000002L).as("doc_id"),
+          lit(("xx# " * 60).trim).as("text")))
+      TextAnalysis.gopherFlags(
+        docs(s, dir).select(col("doc_id"), col("text")).union(planted))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_word_frac", "n_stop_hits", "gopher_pass")
+    }),
+
     "x_quality_score" -> ((s, dir) =>
       TextAnalysis.textStats(docs(s, dir))
         .select(col("doc_id"),
@@ -442,6 +457,29 @@ object LlmQueries {
       // sketch explode, is what grows superlinearly with corpus size
       Similarity.cosineDupPairs(doubled, minCos = 0.999,
         nBits = 16, nTables = 8)
+    }),
+
+    // SemDeDup-style cluster-scoped semantic dedup, oracle-paired by
+    // the equality reduction: identical vectors share their nearest-
+    // centroid cell under ANY quantizer (assignment is a deterministic
+    // scale-invariant function of the vector) and every sign-sketch
+    // bucket, so planted identical twins are always candidates; the
+    // cos==1.0 + exact-equality verify reduces the output to the
+    // vector-equality pair set, which DuckDB enumerates with no
+    // knowledge of centroids or planes.
+    "x_semantic_dedup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(e.filter(col("vec_id") < 32).select(
+        twinId(col("vec_id"), 1000000L).as("vec_id"), col("embedding")))
+      val vecs = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      Similarity.semanticDupPairs(corpus,
+        pseudorandomCentroids(n = 16, dim = 64), minCos = 0.999)
+        .filter(col("cos_sim") === 1.0)
+        .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+        .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+        .filter(col("va") === col("vb"))
+        .select("id_a", "id_b", "cos_sim")
     }),
 
     // deterministic train/val/test split counts (md5 bucketing is
@@ -810,6 +848,41 @@ object LlmQueries {
                  / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
            * 10000 + 0.5) / 10000 AS quality
          FROM documents""",
+
+    // Gopher rules recomputed signal-by-signal; planted literals mirror
+    // the Spark gate's union
+    "x_gopher_rules" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 1000000001, 'tiny'
+           UNION ALL SELECT 1000000002, rtrim(repeat('xx# ', 60))),
+         sig AS (
+           SELECT doc_id,
+             len(string_split(text,' '))::BIGINT AS n_words,
+             floor((length(text) - (len(string_split(text,' ')) - 1))::DOUBLE
+                   / len(string_split(text,' ')) * 10000 + 0.5) / 10000
+               AS mean_word_len,
+             floor(((length(text) - length(replace(text,'#','')))
+                    + (length(text) - length(replace(text,'...','')))//3
+                    + (length(text) - length(replace(text,'…',''))))::DOUBLE
+                   / len(string_split(text,' ')) * 10000 + 0.5) / 10000
+               AS symbol_ratio,
+             floor(len(list_filter(string_split(text,' '),
+                     t -> regexp_matches(t,'[A-Za-z]')))::DOUBLE
+                   / len(string_split(text,' ')) * 10000 + 0.5) / 10000
+               AS alpha_word_frac,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(string_split(text,' '), s)))::BIGINT
+               AS n_stop_hits
+           FROM corpus)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           alpha_word_frac, n_stop_hits,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio <= 0.1
+             AND alpha_word_frac >= 0.8
+             AND n_stop_hits >= 2 AS gopher_pass
+         FROM sig""",
 
     "x_token_counts" ->
       """SELECT doc_id,
@@ -1269,6 +1342,20 @@ object LlmQueries {
              AS cos_sim
          FROM nz a JOIN nz b ON a.vec_id < b.vec_id
          WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000
-               >= 0.999"""
+               >= 0.999""",
+
+    // equality reduction of the cluster-scoped semantic dedup: the
+    // surviving pair set is exactly the vector-equality pairs over
+    // corpus + planted identical twins
+    "x_semantic_dedup" ->
+      """WITH d AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+           WHERE vec_id < 32),
+         nz AS (SELECT * FROM d
+                WHERE list_sum(list_transform(v, x -> x * x)) > 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1.0::DOUBLE AS cos_sim
+         FROM nz a JOIN nz b ON a.v = b.v AND a.vec_id < b.vec_id"""
   )
 }

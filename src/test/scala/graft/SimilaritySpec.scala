@@ -71,6 +71,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("semanticDupPairs: identical vectors share cell+sketches and pair at cos 1.0") {
+    // any fixed quantizer works for the equality contract
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(-1.0, 0.0, 0.0, 0.0))
+    val pairs = Similarity.semanticDupPairs(vecs, cents, minCos = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim")))
+    // only the identical pair (0,1) reaches 0.999; v3 = -v0 is in the
+    // opposite-sign cell AND fails the cosine verify (-1.0)
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("semanticDupPairs never crosses a cell boundary (documented contract)") {
+    // two colinear-ish vectors assigned to DIFFERENT cells by a
+    // quantizer that splits them: near-pair at cos ~0.9998 straddling
+    // the boundary is out of contract and must NOT appear
+    val close = Seq(
+      (0L, Seq(1.0f, 0.02f)), (1L, Seq(1.0f, -0.02f))).toDF("vec_id", "embedding")
+    val splitter = Seq(Seq(1.0, 0.5), Seq(1.0, -0.5))
+    val got = Similarity.semanticDupPairs(close, splitter, minCos = 0.9)
+      .collect()
+    assert(got.isEmpty)
+    // the same pair in ONE cell is found
+    val oneCell = Seq(Seq(1.0, 0.0))
+    val found = Similarity.semanticDupPairs(close, oneCell, minCos = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(found.toSeq == Seq((0L, 1L)))
+  }
+
   test("lshTopK finds identical vectors (same sketch in every table)") {
     val r = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
       nBits = 4, nTables = 3)

@@ -17,6 +17,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.3333) < 1e-9)
   }
 
+  test("gopherFlags computes the rule signals and verdict") {
+    val longText = (("the with have that cats " * 12).trim) // 60 words, mean len 3.8, 4 stop kinds
+    val df = Seq(
+      (0L, longText),                    // passes everything
+      (1L, "tiny"),                      // fails word count + stop hits
+      (2L, ("xx# " * 60).trim),          // fails symbol ratio + stop hits
+      (3L, (("abcdefghijklmnop " * 60).trim))) // fails mean word length (16)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("gopher_pass"))
+    assert(got(0L).getAs[Long]("n_words") == 60L)
+    assert(got(0L).getAs[Long]("n_stop_hits") == 4L)
+    assert(!got(1L).getAs[Boolean]("gopher_pass"))
+    assert(!got(2L).getAs[Boolean]("gopher_pass"))
+    assert(got(2L).getAs[Double]("symbol_ratio") == 1.0)
+    assert(got(2L).getAs[Double]("alpha_word_frac") == 1.0) // xx# has letters
+    assert(!got(3L).getAs[Boolean]("gopher_pass"))
+    assert(got(3L).getAs[Double]("mean_word_len") == 16.0)
+  }
+
   test("langId picks the marker-dominant language, und for none") {
     val df = Seq(
       (0L, "der hund und die katze ist nicht da"),
