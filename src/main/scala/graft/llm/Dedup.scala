@@ -351,17 +351,29 @@ object Dedup {
   /** Per-pair exact Jaccard over a precomputed (id, arr) shingle table —
     * the reuse hook for callers that already hold the arrays (e.g. a
     * pipeline that derived signatures from them one line earlier).
+    *
+    * Shingles are 64-bit-hashed BEFORE the re-attach joins, so the two
+    * pair-side shuffles carry 8-byte elements instead of n-word strings
+    * (~3× fewer bytes at shingleN = 3) and the per-pair intersection
+    * compares longs. Set cardinalities are preserved and a cross-shingle
+    * collision (~|shingles|²/2⁶⁴) is negligible at any corpus size —
+    * the same argument the posting-list path rests on — so the jaccard
+    * values (including the ==1.0 set-equality class the planted oracles
+    * use) are unchanged.
     */
-  def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame =
+  def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("id"),
+      transform(col("arr"), x => xxhash64(x)).as("arr"))
     pairs.select("id_a", "id_b")
-      .join(sh.select(col("id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
       .withColumn("n_shared",
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .select(col("id_a"), col("id_b"),
         roundDet(col("n_shared").cast("double") /
           (size(col("arr_a")) + size(col("arr_b")) - col("n_shared")), 4)
           .as("jaccard"))
+  }
 
   /** The scalable exact near-dup pipeline: MinHash-LSH candidate
     * generation (sub-quadratic in cluster size) → per-pair exact Jaccard
