@@ -280,6 +280,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming multimodal: real image decode runs stateless on a byte-payload stream") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.llm.{Codecs, Multimodal}
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val px = Array.tabulate(4 * 3 * 3)(i => (i * 7).toByte)
+    // decodeImage is select + mapPartitions — stateless, so it composes
+    // onto a stream verbatim; corrupt payloads quarantine in-stream
+    val q = Multimodal.decodeImage(mem.toDF().toDF("doc_id", "payload"), bins = 8)
+      .writeStream.format("memory").queryName("stream_decode_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      mem.addData(
+        (0L, Codecs.PpmCodec.encode(4, 3, px)),
+        (1L, Codecs.BmpCodec.encode(4, 3, px)),
+        (2L, "corrupt bytes".getBytes))
+      q.processAllAvailable()
+      val rows = spark.table("stream_decode_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows.size == 3)
+      assert(rows(0L).getAs[Boolean]("valid") && rows(1L).getAs[Boolean]("valid"))
+      assert(rows(0L).getAs[Int]("width") == 4 && rows(1L).getAs[Int]("height") == 3)
+      // PPM and BMP of the SAME pixels decode to the same feature vector
+      assert(rows(0L).getAs[scala.collection.Seq[Double]]("feature") ==
+        rows(1L).getAs[scala.collection.Seq[Double]]("feature"))
+      assert(!rows(2L).getAs[Boolean]("valid"))
+    } finally q.stop()
+  }
+
   test("streaming pipeline: dedup within+across batches, drop late, enrich, partition sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
