@@ -39,4 +39,52 @@ object LanguageModel {
         avg(log(col("cnt").cast("double") / col("total").cast("double"))), 4)
         .as("avg_logp"))
   }
+
+  /** Per-document mean BIGRAM log-probability with add-k smoothing — the
+    * second-order LM quality signal (KenLM-style scoring reduced to its
+    * simplest public form): for each in-document bigram (w1, w2),
+    *   ln( (c(w1,w2) + k) / (c(w1·) + k·V) )
+    * where c(w1,w2) and c(w1·) are corpus bigram/context occurrence
+    * counts and V is the distinct-word vocabulary size — the textbook
+    * add-k estimator. Documents with < 2 tokens emit no bigrams and are
+    * absent from the output (they carry no second-order evidence).
+    *
+    * Scale design: bigram counts and context counts are two hash
+    * aggregations with map-side partials; the per-document score is one
+    * shuffle join on the bigram key (high-cardinality, skew-free) plus
+    * the document-id aggregation. V is a one-row aggregate broadcast in,
+    * like unigramLogProb's total. Everything is expressible against the
+    * same two-pass shape at 100 TB; the LM table join can swap to a
+    * broadcast top-K + OOV floor exactly like the unigram path.
+    */
+  def bigramLogProb(df: DataFrame, k: Double = 1.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // occurrence bigrams (NOT Dedup.shingles, which is a distinct SET —
+    // an LM needs every repeat to count)
+    val bigrams = df
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_toks) - 1), " +
+          "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"))
+        .as("bigram"))
+    // corpus model: c(w1 w2) per bigram, c(w1 ·) per context word
+    val bgCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val ctxCounts = bgCounts
+      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    bigrams
+      .join(bgCounts, Seq("bigram"))
+      .join(ctxCounts.withColumnRenamed("w1", "_w1"),
+        substring_index(col("bigram"), " ", 1) === col("_w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(roundDet(avg(log(
+        (col("c2").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * col("v").cast("double")))), 4)
+        .as("avg_bigram_logp"))
+  }
 }

@@ -124,6 +124,13 @@ object LlmQueries {
           "stopword_ratio")),
 
     // quality scoring on top of the stats
+    // second-order LM quality scoring: corpus-fit add-1-smoothed bigram
+    // model, per-doc mean bigram log-probability (the KenLM-style
+    // perplexity proxy one order up from x_unigram_logprob)
+    "x_bigram_logprob" -> ((s, dir) =>
+      graft.llm.LanguageModel.bigramLogProb(
+        docs(s, dir).select(col("doc_id"), col("text")))),
+
     // Gopher quality rules (word-count/word-length bounds, symbol
     // ratio, alphabetic-word fraction, stop-word presence) with two
     // planted rule-violating docs so both verdicts are on the oracle
@@ -1049,6 +1056,31 @@ object LlmQueries {
              AS avg_logp
          FROM t JOIN f USING (word) CROSS JOIN tot
          GROUP BY t.doc_id""",
+
+    // add-1-smoothed bigram LM recomputed from the same corpus:
+    // ln((c2 + 1) / (c1 + V)) averaged over in-document bigram
+    // occurrences; V = distinct unigram vocabulary
+    "x_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, unnest(list_transform(
+                  range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                  AS bigram
+                FROM w),
+         c2 AS (SELECT bigram, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1),
+         c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1
+                FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT word)::DOUBLE AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents))
+         SELECT bg.doc_id,
+           floor(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v))) * 10000 + 0.5)
+             / 10000 AS avg_bigram_logp
+         FROM bg
+         JOIN c2 USING (bigram)
+         JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+         CROSS JOIN v
+         GROUP BY bg.doc_id""",
 
     "x_normalize_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -181,6 +181,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) < got(0L))
   }
 
+  test("bigramLogProb matches the hand-computed add-1 estimator") {
+    // bigram occurrences: doc0 = {a b, b a, a b}, doc1 = {a b}
+    // c2: "a b"->3, "b a"->1; c1: a->3, b->1; V = |{a,b,solo}| = 3
+    // (vocabulary spans the whole corpus, including bigram-less docs)
+    val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = df.transform(graft.llm.LanguageModel.bigramLogProb(_))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def round4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val ab = math.log(4.0 / 6.0)  // (3+1)/(3+3)
+    val ba = math.log(2.0 / 4.0)  // (1+1)/(1+3)
+    assert(got(0L) == round4((2 * ab + ba) / 3.0))
+    assert(got(1L) == round4(ab))
+    // single-token doc: no bigrams, absent from output
+    assert(!got.contains(2L) && got.size == 2)
+    // fluent repetition scores higher than the rarer transition
+    assert(got(1L) > got(0L))
+  }
+
   test("qualityScore favors longer, content-heavy docs") {
     val df = Seq(
       (0L, Seq.fill(120)("word").mkString(" ")),
