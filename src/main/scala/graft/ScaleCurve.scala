@@ -37,13 +37,22 @@ object ScaleCurve {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_scale")
+    // optional: probe only the named queries (args 4+); reuse an
+    // existing derived corpus instead of rebuilding (arg "--reuse"
+    // anywhere) — the build is deterministic, so a re-probe of one
+    // noisy row costs seconds instead of minutes
+    val extraArgs = args.drop(3).toSeq
+    val reuse = extraArgs.contains("--reuse")
+    val only = extraArgs.filterNot(_ == "--reuse")
     val spark = graft.core.GraftSession.local("graft-scale", cores = 32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val bigDir = s"$workDir/x$mult"
+    val built = new java.io.File(s"$bigDir/embeddings.parquet").exists()
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    if (!(reuse && built)) {
     (0 until mult).map { k =>
       if (k == 0) docs
       else docs.select(
@@ -63,14 +72,16 @@ object ScaleCurve {
         col("label"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    }
 
-    val names = Seq("x_ngram_jaccard", "x_minhash_candidates", "x_simhash",
+    val allNames = Seq("x_ngram_jaccard", "x_minhash_candidates", "x_simhash",
       "x_multimodal_dedup", "x_embed_dup_pairs", "x_cosine_ann_lsh",
       "x_cosine_ann_ivf", "x_dedup_exact", "x_decontaminate_bloom",
       "x_chunk_sliding", "x_unigram_logprob", "x_contam_score",
       "x_normalize_dedup", "x_embed_centroids", "x_line_stats",
       "x_line_dedup", "x_neardup_survivors", "x_topk_per_source",
-      "x_semantic_dedup", "x_gopher_rules")
+      "x_semantic_dedup", "x_gopher_rules", "x_bigram_logprob")
+    val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
