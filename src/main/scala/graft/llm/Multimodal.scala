@@ -90,29 +90,39 @@ object Multimodal {
     StructField("valid", BooleanType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("pixel_md5", StringType),
     StructField("feature", ArrayType(DoubleType))))
 
   /** Partition-local REAL image decode (the `mapInPandas` analogue):
     * sniffs PPM then BMP, parses width/height out of the payload bytes,
-    * and histograms the decoded RGB pixels into a `bins`-long feature.
-    * Malformed payloads yield `valid = false` with null dims/feature —
-    * a corrupt media file must quarantine, not kill a 100 TB pass.
-    * Input needs (doc_id: long, payload: binary); runs entirely
-    * executor-side, no shuffle.
+    * fingerprints the decoded RGB pixels (`pixel_md5` — the
+    * CONTENT-level identity: the same pixels through PPM or BMP
+    * containers fingerprint identically, which container-level hashing
+    * cannot give you), and histograms them into a `bins`-long feature
+    * (the NEAR-dup signal — histograms deliberately collapse
+    * pixel-order, so exact identity must key on the fingerprint, not
+    * the feature). Malformed payloads yield `valid = false` with null
+    * dims/fingerprint/feature — a corrupt media file must quarantine,
+    * not kill a 100 TB pass. Input needs (doc_id: long, payload:
+    * binary); runs entirely executor-side, no shuffle.
     */
   def decodeImage(df: DataFrame, bins: Int = 64)
       (implicit spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
     df.select(col("doc_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0)
           val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           PpmCodec.decode(payload).orElse(BmpCodec.decode(payload)) match {
             case Some((w, h, rgb)) =>
-              Row(id, payload.length.toLong, true, w, h, byteHistogram(rgb, bins))
+              md.reset()
+              val hex = md.digest(rgb).map("%02x".format(_)).mkString
+              Row(id, payload.length.toLong, true, w, h, hex,
+                byteHistogram(rgb, bins))
             case None =>
-              Row(id, payload.length.toLong, false, null, null, null)
+              Row(id, payload.length.toLong, false, null, null, null, null)
           }
         }
       }(enc)

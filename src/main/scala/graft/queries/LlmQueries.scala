@@ -649,27 +649,38 @@ object LlmQueries {
     }),
 
     // multimodal dedup composition: partition-local REAL decode (PPM
-    // parse → pixel-byte histogram) → feature vectors → exact-feature
-    // duplicate pairs. The corpus is doubled with offset ids so every
-    // payload has exactly one planted twin. Blocking is the exact
-    // feature hash, NOT sign-LSH: histogram features all point the same
-    // general direction, so LSH buckets degenerate and the candidate set
-    // goes quadratic (measured: this very gate timed out at sf0.1 under
-    // cosineDupPairs)
+    // parse) → per-image CONTENT fingerprint → identical-image pairs by
+    // one shuffle on (dims, pixel_md5). Keying on the decoded-pixel
+    // fingerprint — not the histogram feature — is what makes this an
+    // exact-dedup: histograms collapse pixel order, and at sf0.1 the
+    // corpus really does contain byte-permutation collisions (8 pairs
+    // with equal histograms but different pixels). The md5 IS the
+    // verify (2⁻⁶⁴-scale birthday odds over any corpus's pair count,
+    // the same argument as the engine's xxhash64 joins). The corpus is
+    // doubled with offset ids so every image has exactly one planted
+    // twin.
     "x_multimodal_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val media = graft.llm.Multimodal.withPpmPayload(d)
-      // decode ONCE, then union the re-keyed twin features: the payload
-      // and its pixel histogram are deterministic in (id, text), so a
-      // twin decodes to its source's exact feature vector by construction
-      val feats0 = graft.llm.Multimodal.decodeImage(media, bins = 64)
+      // decode ONCE, then union the re-keyed twin fingerprints: the
+      // payload and its pixel md5 are deterministic in (id, text), so a
+      // twin decodes to its source's exact fingerprint by construction
+      val keyed0 = graft.llm.Multimodal.decodeImage(media, bins = 64)
         .filter(col("valid"))
-        .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
-      val feats = feats0.union(feats0.select(
-        twinId(col("vec_id"), 1000000000L).as("vec_id"), col("embedding")))
+        .select(col("doc_id").as("id"), col("width"), col("height"),
+          col("pixel_md5"))
+      val keyed = keyed0.union(keyed0.select(
+        twinId(col("id"), 1000000000L).as("id"), col("width"),
+        col("height"), col("pixel_md5")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Similarity.exactFeatureDupPairs(feats)
+      val k = Seq("width", "height", "pixel_md5")
+      keyed.select(col("width"), col("height"), col("pixel_md5"),
+          col("id").as("id_a"))
+        .join(keyed.select(col("width"), col("height"), col("pixel_md5"),
+          col("id").as("id_b")), k)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("cos_sim"))
     })
   )
 
