@@ -149,6 +149,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Duplicate-n-gram character fraction (Gopher §A1.2 / RefinedWeb's
+    * repetition signals): the fraction of the document's characters
+    * accounted for by n-gram occurrences whose n-gram repeats within
+    * the document, capped at 1 (occurrences overlap). Complements
+    * [[repetitionRatio]] (distinct-token level) with phrase-level
+    * repetition — template/boilerplate spam repeats n-grams long before
+    * it exhausts its vocabulary.
+    *
+    * Shape: positioned n-gram explode (occurrences, not the distinct
+    * set) → one aggregation on (doc, gram) → one on doc. Both keys are
+    * high-cardinality; fan-out is ∝ tokens. 100 TB-safe.
+    */
+  def dupNgramCharFrac(df: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1)
+    val grams = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_chars", length(col(textCol)).cast("double"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), col("_chars"), explode(expr(
+        s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+          s"i -> array_join(slice(_toks, i, $n), ' '))")).as("gram"))
+    grams
+      .groupBy(col(idCol), col("_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), first(length(col("gram"))).as("glen"))
+      .groupBy(col(idCol))
+      .agg(roundDet(least(lit(1.0),
+        sum(when(col("cnt") >= 2, col("cnt") * col("glen")).otherwise(0L))
+          .cast("double") / first(col("_chars"))), 4)
+        .as("dup_ngram_char_frac"))
+  }
+
   /** Gopher-rules stop set (Rae et al. 2021 §A1.1: "the, be, to, of,
     * and, that, have, with" — a document must contain ≥ 2 of them).
     */

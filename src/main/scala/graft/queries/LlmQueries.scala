@@ -124,6 +124,17 @@ object LlmQueries {
           "stopword_ratio")),
 
     // quality scoring on top of the stats
+    // phrase-level repetition: fraction of characters inside repeated
+    // trigram occurrences (Gopher A1.2-style), planted boilerplate doc
+    // guarantees the >=2 branch is on the oracle path at any SF
+    "x_dup_ngram_frac" -> ((s, dir) => {
+      val planted = s.range(1).select(lit(1000000003L).as("doc_id"),
+        lit(("spam ham jam " * 30).trim).as("text"))
+      TextAnalysis.dupNgramCharFrac(
+        docs(s, dir).select(col("doc_id"), col("text")).union(planted),
+        n = 3)
+    }),
+
     // second-order LM quality scoring: corpus-fit add-1-smoothed bigram
     // model, per-doc mean bigram log-probability (the KenLM-style
     // perplexity proxy one order up from x_unigram_logprob)
@@ -1067,6 +1078,29 @@ object LlmQueries {
              AS avg_logp
          FROM t JOIN f USING (word) CROSS JOIN tot
          GROUP BY t.doc_id""",
+
+    // repeated-trigram char coverage, capped at 1; planted boilerplate
+    // mirrored
+    "x_dup_ngram_frac" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 1000000003, rtrim(repeat('spam ham jam ', 30))),
+         g AS (
+           SELECT doc_id, length(text)::DOUBLE AS chars,
+             unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS gram
+           FROM corpus WHERE len(string_split(text,' ')) >= 3),
+         pg AS (
+           SELECT doc_id, chars, gram, count(*) AS cnt
+           FROM g GROUP BY 1, 2, 3)
+         SELECT doc_id,
+           floor(least(1.0::DOUBLE,
+             sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+               / any_value(chars)) * 10000 + 0.5) / 10000
+             AS dup_ngram_char_frac
+         FROM pg GROUP BY doc_id""",
 
     // add-1-smoothed bigram LM recomputed from the same corpus:
     // ln((c2 + 1) / (c1 + V)) averaged over in-document bigram

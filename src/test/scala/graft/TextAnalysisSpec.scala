@@ -200,6 +200,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(0L))
   }
 
+  test("dupNgramCharFrac measures repeated-trigram char coverage, capped at 1") {
+    val df = Seq(
+      (0L, "spam ham jam spam ham jam spam"), // heavy repeat → capped 1.0
+      (1L, "alpha beta gamma delta"),         // no repeated trigram → 0.0
+      (2L, "x y x y x z end"),                // "x y x" twice: 2·5/15 chars
+      (3L, "a b"))                            // < 3 tokens: absent
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.dupNgramCharFrac(df, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == 1.0)
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.6667)
+    assert(!got.contains(3L) && got.size == 3)
+  }
+
   test("qualityScore favors longer, content-heavy docs") {
     val df = Seq(
       (0L, Seq.fill(120)("word").mkString(" ")),
