@@ -148,19 +148,48 @@ final class DagRunner(
               // touched partition. Unpartitioned tables degrade to a
               // staged full rewrite (documented; give a merge model
               // partitions).
+              //
+              // Touched partitions = batch partition values ∪ partitions
+              // that CURRENTLY hold a batch key: dbt merge matches on
+              // key regardless of location, so a re-delivered key whose
+              // partition-column value changed (e.g. a corrected
+              // event_date) must evict its old row from the OLD
+              // partition too. Finding those rows is a column-pruned
+              // (key + partition cols only) scan of the table — the
+              // price of supporting key relocation; when partitions are
+              // a stable function of the key this returns ⊆ batch
+              // partitions and costs one footer-level scan.
               val existingFull = spark.read.parquet(path(name))
+              val batchKeys = df.select(col(key)).distinct()
+              def bc(d: DataFrame): DataFrame =
+                org.apache.spark.sql.functions.broadcast(d)
+              val touched =
+                if (parts.nonEmpty)
+                  df.select(parts.map(col): _*).distinct().unionByName(
+                    existingFull.join(bc(batchKeys), Seq(key), "left_semi")
+                      .select(parts.map(col): _*).distinct()).distinct()
+                else null
               val survivors =
                 (if (parts.nonEmpty)
-                  existingFull.join(
-                    org.apache.spark.sql.functions.broadcast(
-                      df.select(parts.map(col): _*).distinct()),
-                    parts, "left_semi")
+                  existingFull.join(bc(touched), parts, "left_semi")
                 else existingFull)
-                  .join(df.select(col(key)), Seq(key), "left_anti")
+                  .join(batchKeys, Seq(key), "left_anti")
               val merged = df.unionByName(
                 survivors.select(df.columns.map(col).toIndexedSeq: _*))
               val staged = path(name) + "__merge"
               partitioned(merged.write.mode("overwrite")).parquet(staged)
+              // Materialize partition bookkeeping BEFORE the swap: both
+              // plans read the pre-overwrite file listing, which the
+              // dynamic overwrite below invalidates. Bounded by the
+              // touched-partition count (∝ churn, not table size).
+              val vacated: Set[Seq[Any]] =
+                if (parts.isEmpty) Set.empty
+                else {
+                  val stagedParts = spark.read.parquet(staged)
+                    .select(parts.map(col): _*).distinct().collect()
+                    .map(_.toSeq).toSet
+                  touched.collect().map(_.toSeq).toSet -- stagedParts
+                }
               val prevMode =
                 spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
               try {
@@ -172,6 +201,23 @@ final class DagRunner(
               } finally
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                   prevMode)
+              // A partition fully VACATED by relocation (its only rows
+              // moved to other partitions) produces zero output rows, so
+              // dynamic overwrite never visits it — its stale directory
+              // must be dropped explicitly.
+              if (vacated.nonEmpty) {
+                import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                val fs = new org.apache.hadoop.fs.Path(path(name))
+                  .getFileSystem(spark.sessionState.newHadoopConf())
+                for (vals <- vacated) {
+                  val rel = parts.zip(vals).map { case (c, v) =>
+                    val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                            else ExternalCatalogUtils.escapePathName(v.toString)
+                    s"$c=$s"
+                  }.mkString("/")
+                  fs.delete(new org.apache.hadoop.fs.Path(s"${path(name)}/$rel"), true)
+                }
+              }
               rmStaged(staged)
             case Some(existing) =>
               // `existing` is already scanPredicate-scoped above.

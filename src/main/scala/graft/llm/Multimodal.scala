@@ -51,23 +51,32 @@ object Multimodal {
     * out of the header — and an oracle can recompute them from the id.
     * Pure Catalyst expressions: the construction is codegen'd and
     * engine-portable (the DuckDB twin is the same string algebra).
+    *
+    * The pixel section is BYTE-exact: the text is folded to ASCII
+    * (every non-ASCII code point → '?') before the char-counted
+    * substring/rpad, so w·h·3 CHARS is w·h·3 BYTES. Without the fold a
+    * multibyte document (the corpus includes zh text) would inflate the
+    * UTF-8 payload past the decoder's w·h·3-byte read, leaving tail
+    * bytes the pixel fingerprint ignores but a whole-payload oracle
+    * compares — a Spark/oracle divergence class, not a cosmetic one.
     */
   def withPpmPayload(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     df.withColumn("_w", (col(idCol) % 9 + 8).cast("int"))
       .withColumn("_h", (col(idCol) % 7 + 8).cast("int"))
       .withColumn("_npx", col("_w") * col("_h") * 3)
+      .withColumn("_ascii", regexp_replace(col(textCol), "[^\\x01-\\x7F]", "?"))
       .withColumn("payload", concat(
         lit("P6\n"), col("_w").cast("string"), lit(" "),
         col("_h").cast("string"), lit("\n255\n"),
-        expr(s"rpad(substring($textCol, 1, _npx), _npx, ' ')")).cast("binary"))
+        expr("rpad(substring(_ascii, 1, _npx), _npx, ' ')")).cast("binary"))
       .withColumn("media_meta", struct(
         lit("image").as("kind"),
         lit("image/x-portable-pixmap").as("format"),
         col("_w").as("width"),
         col("_h").as("height"),
         lit(0L).as("duration_ms")))
-      .drop("_w", "_h", "_npx")
+      .drop("_w", "_h", "_npx", "_ascii")
 
   /** L1-normalised byte histogram — the feature extractor fed by the
     * decoded pixel/sample bytes.

@@ -1354,7 +1354,9 @@ object LlmQueries {
            rpad(substr(text, 1, w*h*3), (w*h*3)::INT, ' '))::BLOB)::BIGINT AS n_bytes,
          w::INT AS width, h::INT AS height,
          (w*h*3)::BIGINT AS n_pixel_bytes
-         FROM (SELECT doc_id, text, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         FROM (SELECT doc_id,
+                 regexp_replace(text, '[^\x01-\x7F]', '?', 'g') AS text,
+                 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
                FROM documents)""",
 
     // planted-twin ground truth: identical text ⇒ identical signature ⇒
@@ -1394,7 +1396,9 @@ object LlmQueries {
              'P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10) ||
                '255' || chr(10) ||
                rpad(substr(text, 1, w*h*3), (w*h*3)::INT, ' ') AS payload
-           FROM (SELECT doc_id, text, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM (SELECT doc_id,
+                   regexp_replace(text, '[^\x01-\x7F]', '?', 'g') AS text,
+                   8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
                  FROM documents)),
          doubled AS (
            SELECT doc_id, payload FROM p

@@ -22,17 +22,44 @@ object Tables {
   // analyzed scan (with its resolved schema and shared file index) is
   // immutable, so it is built once per (session, dir, table) and reused.
   // Assumption (holds for every caller): the scale-factor dirs are
-  // immutable for the session's lifetime — appends would need the
-  // listing refreshed. Mutable paths (warehouse sinks, `{{ this }}`
-  // incremental scans) go through their own spark.read calls, never
-  // this cache.
+  // immutable while cached — a writer that rewrites a cached path must
+  // call [[invalidate]] to refresh the file listing. Mutable paths
+  // (warehouse sinks, `{{ this }}` incremental scans) go through their
+  // own spark.read calls, never this cache.
+  //
+  // Lifecycle: entries are evicted once their session's SparkContext is
+  // stopped (checked opportunistically on every lookup — the map holds
+  // ≤ sessions × tables entries, so the sweep is a few dozen pointer
+  // reads), so a stopped test session doesn't pin its DataFrames for
+  // the JVM lifetime. A weak-keyed map can't do this job here: the
+  // cached DataFrame strongly references its SparkSession
+  // (`df.sparkSession`), so value→key references would defeat the weak
+  // keys anyway.
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private def evictStopped(): Unit = {
+    val it = scanCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Drop cached scans under `pathOrDir` (exact file or dir prefix), all
+    * sessions — call after rewriting a previously-scanned location.
+    */
+  def invalidate(pathOrDir: String): Unit = {
+    val it = scanCache.keySet.iterator()
+    while (it.hasNext) {
+      val p = it.next()._2
+      if (p == pathOrDir || p.startsWith(pathOrDir + "/")) it.remove()
+    }
+  }
+
   /** S1 — parquet table scan rooted at a scale-factor dir. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evictStopped()
     scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -120,6 +120,37 @@ class IncrementalPruningSpec extends SparkSpec {
       "dynamic partition overwrite must leave untouched partitions alone")
   }
 
+  test("Merge strategy evicts a re-delivered key from its OLD partition when the partition value changed") {
+    val wh = tmpDir("incr-merge-move-wh")
+    mergeRunner(wh, rows(1, 10)).run()
+
+    // corrected event_dates: one snapshot of day 9 moves to day 16, ALL
+    // of day 10 move to day 17 (dbt merge matches on key regardless of
+    // location — the old rows must be evicted, not duplicated)
+    val moved = rows(9, 9, perDay = 1)
+      .withColumn("event_date", lit(day(16)))
+      .withColumn("v", col("v") + lit(100000))
+    val movedAll = rows(10, 10)
+      .withColumn("event_date", lit(day(17)))
+      .withColumn("v", col("v") + lit(100000))
+    mergeRunner(wh, moved.unionByName(movedAll)).run()
+
+    val all = spark.read.parquet(s"$wh/fact_events")
+    assert(all.count() == 30, "pure relocation: row count unchanged")
+    assert(all.select("snap_id").distinct().count() == 30,
+      "exactly one row per key after relocation")
+    assert(all.filter(col("snap_id") === "d9-0")
+      .select("event_date").as[java.sql.Date].head() == day(16))
+    assert(all.filter("event_date = date'2026-01-09'").count() == 2,
+      "old partition keeps its 2 unmoved rows")
+    assert(all.filter("event_date = date'2026-01-17'").count() == 3)
+    // day 10 was fully vacated: zero output rows meant dynamic overwrite
+    // never visited it — the runner must drop the stale directory
+    assert(all.filter("event_date = date'2026-01-10'").count() == 0)
+    assert(!new java.io.File(s"$wh/fact_events/event_date=2026-01-10").exists(),
+      "fully vacated partition directory must be deleted")
+  }
+
   test("full refresh rebuilds the partitioned table from scratch") {
     val wh = tmpDir("incr-prune-fr")
     runner(wh, rows(1, 10)).run()

@@ -141,6 +141,21 @@ class LoadersSpec extends SparkSpec {
     assert(afterRows.map(_.toSeq).toSeq == beforeRows.map(_.toSeq).toSeq)
   }
 
+  test("Tables scan cache memoizes per (session, path) and invalidate refreshes the listing") {
+    val dir = tmpDir("scan-cache")
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/t.parquet")
+    val a = graft.sources.Tables.table(spark, dir, "t")
+    assert(graft.sources.Tables.table(spark, dir, "t") eq a,
+      "repeat scan of an immutable path must be the memoized instance")
+    // rewrite the path, then invalidate: the next scan must see new data
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    graft.sources.Tables.invalidate(dir)
+    val b = graft.sources.Tables.table(spark, dir, "t")
+    assert(!(b eq a))
+    assert(b.count() == 2)
+  }
+
   test("Warehouse.compact fails fast on a stale .compact-old, cleans stale tmp") {
     val dir = tmpDir("compact-stale") + "/t"
     Seq((1L, "2025-01-01", 1.0)).toDF("id", "p_date", "v")

@@ -85,6 +85,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("withPpmPayload is byte-exact under multibyte text (ASCII fold)") {
+    implicit val s = spark
+    val zh = "中文文档测试" * 300 // 3-byte UTF-8 code points
+    val d = Seq((3L, zh)).toDF("doc_id", "text")
+    val payload = Multimodal.withPpmPayload(d)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val (w, h) = ((3 % 9 + 8), (3 % 7 + 8))
+    val header = s"P6\n$w $h\n255\n".getBytes.length
+    assert(payload.length == header + w * h * 3,
+      "pixel section must be exactly w*h*3 BYTES even for multibyte text")
+    val dec = Multimodal.decodeImage(Multimodal.withPpmPayload(d)).head()
+    assert(dec.getAs[Boolean]("valid"))
+    assert(dec.getAs[Int]("width") == w && dec.getAs[Int]("height") == h)
+  }
+
   test("decodeAudio parses synthesized WAVs; resize + frame sampling are real ops") {
     implicit val s = spark
     val wav = WavCodec.encode(8000, Array.tabulate[Short](4000)(i => (i % 32).toShort))

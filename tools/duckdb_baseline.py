@@ -11,7 +11,10 @@ protocol is fixed here, in-repo, and BASELINE.md cites this script:
   * one full untimed warm-up pass (page cache + catalog warm, matching
     Bench.scala's warm-up pass)
   * 5 timed passes, pass-major order (same as Bench.scala)
-  * per-query median-of-5 plus min; totals for both
+  * per-query estimator = 2nd-smallest of 5 (identical to Bench.scala's
+    trimmedMedian), plus min; totals for both. NaN runs (query error)
+    are excluded from the estimator and surfaced in an "errors" list so
+    a failed query can't silently poison the totals.
   * results materialized via fetchall() (Spark's noop sink analogue --
     every output row is produced)
 
@@ -20,7 +23,6 @@ Usage: python3 tools/duckdb_baseline.py <sfDir> <verifyOutDir> [out.json]
 """
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -53,17 +55,29 @@ def main(sf_dir, out_dir, out_path="/tmp/duckdb_baseline.json"):
     run_pass(timed=False)  # warm-up
     passes = [run_pass(timed=True) for _ in range(5)]
     detail = {}
+    errors = []
     for n in names:
-        ts = [p[n] for p in passes]
-        detail[n] = {"median": round(statistics.median(ts), 4),
-                     "min": round(min(ts), 4),
+        ts = sorted(t for p in passes for t in [p[n]] if t == t)  # drop NaN
+        if not ts:
+            errors.append(n)
+            detail[n] = {"median": None, "min": None, "runs": []}
+            continue
+        if len(ts) < 5:
+            errors.append(n)
+        # 2nd-smallest of the successful runs = Bench.scala trimmedMedian
+        est = ts[1] if len(ts) > 1 else ts[0]
+        detail[n] = {"median": round(est, 4),
+                     "min": round(ts[0], 4),
                      "runs": [round(t, 4) for t in ts]}
-    med_total = round(sum(v["median"] for v in detail.values()), 4)
-    min_total = round(sum(v["min"] for v in detail.values()), 4)
+    med_total = round(sum(v["median"] for v in detail.values()
+                          if v["median"] is not None), 4)
+    min_total = round(sum(v["min"] for v in detail.values()
+                          if v["min"] is not None), 4)
     report = {"engine": "duckdb", "version": duckdb.__version__,
               "threads": os.cpu_count(), "sf": sf_dir,
+              "estimator": "2nd-smallest-of-5 (Bench.scala trimmedMedian)",
               "median_total": med_total, "min_total": min_total,
-              "queries": detail}
+              "errors": errors, "queries": detail}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"duckdb {duckdb.__version__} threads={os.cpu_count()} "
