@@ -215,6 +215,67 @@ object Similarity {
         roundDet(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Materialize the IVF index layout the [[ivfTopK]] scaladoc promises:
+    * the corpus with its coarse-cell assignment, hive-partitioned by
+    * `cid`. Written once per corpus (the assignment is one native map —
+    * no shuffle beyond the partitioned write); after that every
+    * [[ivfSearchIndex]] call is a partition-pruned scan of the probed
+    * cells only — at 100 TB, nProbe/nCentroids of the data.
+    */
+  def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(centroids.nonEmpty, "ivfWriteIndex needs a trained quantizer")
+    corpus.select(col(idCol), col(vecCol))
+      .filter(graft.expr.native.arrayDot(
+        col(vecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")) > 0)
+      .withColumn("cid", element_at(graft.expr.native.nearestCentroids(
+        col(vecCol).cast("array<double>"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Search a cell-partitioned index written by [[ivfWriteIndex]]. The
+    * probed cell ids (a bounded |queries|×nProbe collect — the same
+    * config-sized probe state every IVF system ships to its readers)
+    * become a LITERAL partition filter on the index scan, and the method
+    * verifies on the physical plan that the scan really pruned to at
+    * most that many partition directories — a mis-laid-out index (flat
+    * files, renamed partition column) fails fast instead of silently
+    * full-scanning.
+    */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "ivfSearchIndex needs the index's quantizer")
+    val probe = math.min(nProbe, centroids.size)
+    val qBase = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
+    val probes = qBase.withColumn("cid",
+      explode(graft.expr.native.nearestCentroids(col("qvec"), centroids, probe)))
+    val cells = probes.select("cid").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val scan = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(cells.map(Int.box).toIndexedSeq: _*))
+    require(graft.sources.Warehouse.partitionsRead(scan) <= cells.length,
+      s"IVF index scan read more than the ${cells.length} probed cells — " +
+        "is the index hive-partitioned by cid?")
+    val cBase = scan.select(col("cid"), col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val candidates = cBase.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        roundDet(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023 —
     * the public recipe: k-means the embeddings, dedup WITHIN clusters
     * only): every vector is assigned to its nearest coarse-quantizer
@@ -233,6 +294,37 @@ object Similarity {
       minCos: Double = 0.95, nBits: Int = 8, nTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "semanticDupPairs needs a trained quantizer")
+    semanticDupPairsImpl(df, centroids, minCos, nBits, nTables, idCol, vecCol)
+  }
+
+  /** Offline-training mode, symmetric to `ivfTopK(pretrained = None)`:
+    * train the coarse quantizer once on (a sample of) `df` — the same
+    * bounded k×dim driver state as [[trainCentroids]] — then run the
+    * cluster-scoped dedup under it. Production callers training offline
+    * should persist the returned quantizer (via [[trainCentroids]]
+    * directly) and call [[semanticDupPairs]] so repeated passes issue
+    * ZERO training actions; this entry point is the train-and-go
+    * convenience for one-shot jobs. Degrades to an empty pair set on an
+    * empty/all-zero corpus instead of throwing, like the ANN siblings.
+    */
+  def semanticDupPairsTrained(df: DataFrame, nCells: Int = 16,
+      lloydIters: Int = 2, sampleFraction: Double = 1.0,
+      minCos: Double = 0.95, nBits: Int = 8, nTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(df, nCells, lloydIters, sampleFraction,
+      idCol, vecCol)
+    if (cents.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as("id_a"),
+          lit(null).cast("long").as("id_b"),
+          lit(null).cast("double").as("cos_sim"))
+        .limit(0)
+    semanticDupPairsImpl(df, cents, minCos, nBits, nTables, idCol, vecCol)
+  }
+
+  private def semanticDupPairsImpl(df: DataFrame, centroids: Seq[Seq[Double]],
+      minCos: Double, nBits: Int, nTables: Int,
+      idCol: String, vecCol: String): DataFrame = {
     // persist: assignment+sketch subtree feeds the block join and both
     // verify re-attach sides (caller owns lifetime, as in the siblings)
     val base = df.select(col(idCol).as("id"),
@@ -328,6 +420,23 @@ object Similarity {
         roundDet(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Measured recall@k of an ANN result against the exact result — the
+    * quality contract every approximate index owes its operator. Both
+    * inputs are (query_id, neighbor_id, …) top-k tables; the output is
+    * one row: exact pair count, hit count, recall = |approx ∩ exact| /
+    * |exact|. Ids-only semi-join + two tiny aggregates — the vectors
+    * never re-enter. Callers evaluating several ANN variants against one
+    * exact table should persist `exact` (it is scanned per variant).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
 
   /** Per-vector scalar int8 quantization — the storage/bandwidth arm of
     * an ANN system: codes are 4× smaller than float32 (32× smaller than

@@ -101,7 +101,7 @@ object LlmQueries {
     * identical cells regardless), so the gate measures the search path
     * with zero training actions — the production shape.
     */
-  private def pseudorandomCentroids(n: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def pseudorandomCentroids(n: Int, dim: Int): Seq[Seq[Double]] = {
     def splitmix(x0: Long): Long = {
       var z = x0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -112,6 +112,20 @@ object LlmQueries {
       (splitmix(c.toLong * 1000003L + d).toDouble / (1L << 63).toDouble.abs)
     })
   }
+
+  /** Offline-trained coarse quantizer, trained ONCE per (corpus, size)
+    * and reused by every subsequent invocation — the production IVF /
+    * SemDeDup lifecycle (train offline, ship the k×dim matrix as config
+    * state, zero training actions on the search path). Deterministic
+    * (seeded sample + quantized Lloyd means), so memoization never
+    * changes results.
+    */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def trainedQuantizer(s: SparkSession, dir: String,
+      nCells: Int): Seq[Seq[Double]] =
+    quantizerCache.computeIfAbsent(s"$dir#$nCells",
+      _ => Similarity.trainCentroids(embs(s, dir), nCells, lloydIters = 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups: content-hash → survivor + multiplicity
@@ -455,6 +469,50 @@ object LlmQueries {
           pretrained = Some(pseudorandomCentroids(n = 16, dim = 64))),
         k = 5)),
 
+    // ANN recall CONTRACT: the planted-twin gates above prove
+    // exact-duplicate recall only — this gate measures recall@10 of each
+    // approximate path against bruteForceTopK on the NATURAL corpus
+    // (no twins) and signs a floor per method, x_approx_vocab-style:
+    // the oracle pins the exact side (n_exact via the same top-k
+    // window) and asserts the floor bit true, so a plane-family or
+    // quantizer regression that drops recall below contract
+    // hash-mismatches loudly. Floors are from measured behavior at
+    // sf0.001/sf0.01 (RecallProbe: lsh 4x16 = 0.89-0.90, ivf
+    // nProbe=8/16 = 0.69 at both scales) with margin.
+    "x_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def contract(method: String, approx: DataFrame, floor: Double) =
+        Similarity.recallAtK(exact, approx)
+          .select(lit(method).as("method"), col("n_exact"),
+            lit(floor).as("recall_floor"),
+            (col("recall") >= floor).as("recall_ok"))
+      contract("ivf",
+          Similarity.ivfTopK(e, q, k = 10, nCentroids = 16, nProbe = 8,
+            pretrained = Some(pseudorandomCentroids(n = 16, dim = 64))), 0.6)
+        .unionByName(contract("lsh",
+          Similarity.lshTopK(e, q, k = 10, nBits = 4, nTables = 16), 0.8))
+    }),
+
+    // the same IVF search driven END-TO-END through the materialized
+    // index layout: the corpus is written hive-partitioned by cell
+    // (Similarity.ivfWriteIndex) and the search scans the index path
+    // with the probed cells as a literal partition filter —
+    // ivfSearchIndex verifies on the physical plan that the scan pruned
+    // to <= the probed cell count before any row is read. Same planted-
+    // twin oracle as x_cosine_ann_ivf: the layout must not change
+    // results, only the bytes a search touches.
+    "x_cosine_ann_ivf_pruned" -> ((s, dir) => {
+      val cents = pseudorandomCentroids(n = 16, dim = 64)
+      val idx = s"/tmp/graft-ivf-index-${math.abs(dir.hashCode)}"
+      annTwinGate(embs(s, dir), (c, q) => {
+        Similarity.ivfWriteIndex(c, cents, idx)
+        Similarity.ivfSearchIndex(s, idx, q, k = 5, cents, nProbe = 4)
+      }, k = 5)
+    }),
+
     // embedding near-dup pairs via block→exact-verify, oracle-paired
     // through a planted-twin construction: the corpus is doubled with
     // 2·v copies — same direction, so every sketch table collides by
@@ -491,8 +549,14 @@ object LlmQueries {
         twinId(col("vec_id"), 1000000L).as("vec_id"), col("embedding")))
       val vecs = corpus.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+      // production quantizer lifecycle: TRAINED once offline (Lloyd over
+      // the base corpus — deterministic, so oracle-safe) and memoized;
+      // every subsequent search/dedup pass under the same corpus issues
+      // zero training actions. Twin-equality reduction is quantizer-
+      // independent (identical vectors share a cell under ANY quantizer),
+      // so the trained quantizer changes nothing the oracle checks.
       Similarity.semanticDupPairs(corpus,
-        pseudorandomCentroids(n = 16, dim = 64), minCos = 0.999)
+        trainedQuantizer(s, dir, nCells = 16), minCos = 0.999)
         .filter(col("cos_sim") === 1.0)
         .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
         .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
@@ -1244,6 +1308,45 @@ object LlmQueries {
            AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
 
     "x_cosine_ann_ivf" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    // the oracle recomputes the exact-neighbor count through the same
+    // top-k window as x_cosine_topk and pins the per-method floor bits
+    "x_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 8
+                      AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS cos_raw
+           FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+             AND list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)) > 0),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT m.method, count(*)::BIGINT AS n_exact,
+           m.recall_floor, true AS recall_ok
+         FROM ranked,
+           (VALUES ('ivf', 0.6::DOUBLE), ('lsh', 0.8::DOUBLE))
+             AS m(method, recall_floor)
+         WHERE rank <= 10
+         GROUP BY 1, 3""",
+
+    // identical contract to x_cosine_ann_ivf: the partitioned-index
+    // layout changes the bytes a search reads, never its results
+    "x_cosine_ann_ivf_pruned" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL

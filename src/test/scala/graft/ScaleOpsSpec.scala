@@ -96,6 +96,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(probed <= 2, s"probe read $probed of $full cells")
   }
 
+  test("ivfWriteIndex + ivfSearchIndex: search is partition-pruned and result-identical") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val idx = tmpDir("wh-ivf-e2e") + "/index"
+    graft.llm.Similarity.ivfWriteIndex(e, cents, idx)
+    val queries = e.filter(col("vec_id") < 2)
+    // sharp pruning bound: 2 queries x nProbe=2 -> <= 4 of the 8 cells;
+    // ivfSearchIndex also self-asserts <= probed-cell-count on the plan
+    val probes = queries
+      .select(col("embedding").cast("array<double>").as("qvec"))
+      .select(explode(graft.expr.native.nearestCentroids(col("qvec"), cents, 2))
+        .as("cid")).distinct().collect().map(_.getInt(0))
+    val res = graft.llm.Similarity.ivfSearchIndex(spark, idx, queries,
+      k = 5, cents, nProbe = 2)
+    val scan = spark.read.parquet(idx)
+      .filter(col("cid").isin(probes.map(Int.box).toIndexedSeq: _*))
+    assert(Warehouse.partitionsRead(scan) <= probes.length,
+      s"search must read <= ${probes.length} probed cells")
+    // layout must not change results: same rows as the in-memory IVF
+    // search under the same quantizer and probe width
+    val direct = graft.llm.Similarity.ivfTopK(e, queries, k = 5,
+      nProbe = 2, pretrained = Some(cents))
+    assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")

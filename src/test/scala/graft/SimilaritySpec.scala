@@ -100,6 +100,20 @@ class SimilaritySpec extends SparkSpec {
     assert(found.toSeq == Seq((0L, 1L)))
   }
 
+  test("semanticDupPairsTrained: offline-trained quantizer finds identical pairs; empty corpus degrades") {
+    // train-and-dedup one-shot: the Lloyd-trained quantizer assigns
+    // identical vectors to the same cell, so the equality contract holds
+    // without a caller-supplied centroid set
+    val pairs = Similarity.semanticDupPairsTrained(vecs, nCells = 2,
+        lloydIters = 1, minCos = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim")))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+    // an all-zero corpus yields an empty result, not an exception
+    val zeros = Seq((0L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDupPairsTrained(zeros, nCells = 2).count() == 0)
+  }
+
   test("lshTopK finds identical vectors (same sketch in every table)") {
     val r = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2,
       nBits = 4, nTables = 3)
