@@ -96,6 +96,43 @@ object ScaleCurve {
     val t1 = timeQuery(spark, sfDir, capped)
     val tn = timeQuery(spark, bigDir, capped)
     println(f"SCALE ${"x_ngram_jaccard(capped)"}%-28s $t1%6.3f  $tn%6.3f  ${tn / t1}%5.2f")
+
+    // Distributed-CC crossover: a synthetic high-duplication pair set
+    // ABOVE the 1M driver-union-find cap, shaped as long chains (the
+    // worst diameter LSH produces on template corpora: page k links only
+    // to page k±1). Forces the distributed pointer-doubling branch the
+    // corpus gates never reach, proves it converges in O(log diameter)
+    // rounds, and cross-checks its labels against the driver path on the
+    // identical edge set.
+    if (only.isEmpty || only.contains("cc_distributed")) {
+      val chains = 1500
+      val len = 1024L // diameter 1023 → log2 ≈ 10 doubling rounds
+      def chainPairs(s: SparkSession) = s.range(chains * len)
+        .filter(col("id") % len =!= (len - 1))
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val nEdges = chains * (len - 1) // 1.53M > the 1M driver cap
+      def run(maxPairsForDriver: Long): (Double, DataFrame) = {
+        val t0 = System.nanoTime()
+        val labels = graft.llm.Dedup.duplicateClusters(chainPairs(spark),
+          driverMaxPairs = maxPairsForDriver)
+        labels.write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, labels)
+      }
+      val (tDist, distLabels) = run(1000000L) // forced distributed branch
+      val rounds = graft.llm.Dedup.lastCcRounds
+      // every node's cluster must be its chain head: floor(id/len)*len
+      val wrong = distLabels
+        .filter(col("cluster_id") =!= (col("id") - (col("id") % len))).count()
+      val (tDriver, _) = run(Long.MaxValue) // driver union-find, same edges
+      println(f"SCALE ${"cc_distributed(1.53M edges)"}%-28s " +
+        f"$tDriver%6.3f  $tDist%6.3f  ${tDist / tDriver}%5.2f  " +
+        f"rounds=$rounds (diameter ${len - 1}, log2=10) wrong=$wrong " +
+        f"edges=$nEdges")
+      require(wrong == 0, "distributed CC mislabeled nodes")
+      require(rounds <= 14,
+        s"distributed CC took $rounds rounds for diameter ${len - 1} — " +
+          "pointer doubling should converge in ~log2(diameter)")
+    }
     spark.stop()
   }
 }

@@ -404,8 +404,16 @@ object Dedup {
     * misses a transitive pair: a chain a–b, b–c without the a–c pair
     * must still collapse to one survivor.
     */
+  /** Rounds the last [[duplicateClusters]] distributed loop took to
+    * converge (0 when the driver fast path or the empty path ran) —
+    * diagnostic state for the scale-curve's O(log diameter) evidence,
+    * nothing in the engine reads it.
+    */
+  @volatile var lastCcRounds: Int = 0
+
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
       driverMaxPairs: Long = 1000000L): DataFrame = {
+    lastCcRounds = 0
     // materialize the pair set once: the loop issues several actions and
     // would otherwise re-run the candidate/verify pipeline behind `pairs`
     // on every one of them
@@ -484,6 +492,7 @@ object Dedup {
       converged = updated.filter(col("cluster_id") < col("prev")).isEmpty
       labels = updated.drop("prev")
       iter += 1
+      lastCcRounds = iter
     }
     if (!converged)
       throw new IllegalStateException(
