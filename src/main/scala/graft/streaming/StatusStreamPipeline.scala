@@ -43,6 +43,40 @@ object StatusStreamPipeline {
       .select(col("value").cast("binary").as("data"))
   }
 
+  /** S5 Pub/Sub-shaped PUSH source: an unbounded `rate` stream wrapped
+    * into the same binary `data` envelope as the Pub/Sub subscriber
+    * (reference `realtime_pubsub_to_spark.py:99-115` — messages arrive
+    * continuously, not as file drops). Each tick synthesizes one
+    * station_status payload, deterministic in the tick value, with
+    * strictly increasing `last_reported` so event time advances like a
+    * live feed. `rowsPerSecond` is the push-source backpressure lever —
+    * the `maxFilesPerTrigger` analogue: it caps per-micro-batch intake
+    * so a backlog drains at a bounded rate instead of one giant batch
+    * (what a Kafka `maxOffsetsPerTrigger` does in production).
+    */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int,
+      stations: Int = 8): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load() // (timestamp, value)
+      .select(to_json(struct(
+        unix_timestamp(col("timestamp")).as("last_updated"),
+        lit(10).as("ttl"),
+        lit("2.3").as("version"),
+        struct(array(struct(
+          concat(lit("st"), (col("value") % stations).cast("string"))
+            .as("station_id"),
+          (col("value") % 20).cast("int").as("num_bikes_available"),
+          ((col("value") + 7) % 20).cast("int").as("num_docks_available"),
+          lit(true).as("is_installed"),
+          lit(true).as("is_renting"),
+          lit(true).as("is_returning"),
+          // unique, monotone event time per tick: never a dedup-key
+          // collision, never late against the 2-minute watermark
+          (unix_timestamp(col("timestamp")) + col("value"))
+            .as("last_reported"))).as("stations")).as("data")))
+        .cast("binary").as("data"))
+
   /** ST-clean (reference `clean_data`, `realtime_pubsub_to_spark.py:121-156`):
     * bytes → JSON → explode stations → flatten + epoch→timestamp →
     * watermark → stateful dedup.
