@@ -80,7 +80,8 @@ object ScaleCurve {
       "x_chunk_sliding", "x_unigram_logprob", "x_contam_score",
       "x_normalize_dedup", "x_embed_centroids", "x_line_stats",
       "x_line_dedup", "x_neardup_survivors", "x_topk_per_source",
-      "x_semantic_dedup", "x_gopher_rules", "x_bigram_logprob")
+      "x_semantic_dedup", "x_gopher_rules", "x_bigram_logprob",
+      "x_cosine_ann_ivf_pruned")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
     names.foreach { name =>
