@@ -133,6 +133,34 @@ object ScaleCurve {
       require(rounds <= 14,
         s"distributed CC took $rounds rounds for diameter ${len - 1} — " +
           "pointer doubling should converge in ~log2(diameter)")
+
+      // The COMMON duplication shape at the same edge count: 510k
+      // 3-node cliques (diameter 1 — near-dup clusters are stars, not
+      // chains). Delta iteration makes rounds past the first near-free,
+      // so the distributed premium here is what a real corpus above the
+      // driver cap would pay.
+      def starPairs(s: SparkSession) = {
+        val base = s.range(510000)
+        base.select((col("id") * 3).as("id_a"), (col("id") * 3 + 1).as("id_b"))
+          .union(base.select((col("id") * 3).as("id_a"), (col("id") * 3 + 2).as("id_b")))
+          .union(base.select((col("id") * 3 + 1).as("id_a"), (col("id") * 3 + 2).as("id_b")))
+      }
+      def runStars(maxPairsForDriver: Long): (Double, DataFrame) = {
+        val t0 = System.nanoTime()
+        val labels = graft.llm.Dedup.duplicateClusters(starPairs(spark),
+          driverMaxPairs = maxPairsForDriver)
+        labels.write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, labels)
+      }
+      val (tDistS, distS) = runStars(1000000L)
+      val roundsS = graft.llm.Dedup.lastCcRounds
+      val wrongS = distS
+        .filter(col("cluster_id") =!= (col("id") - (col("id") % 3))).count()
+      val (tDriverS, _) = runStars(Long.MaxValue)
+      println(f"SCALE ${"cc_distributed(510k cliques)"}%-28s " +
+        f"$tDriverS%6.3f  $tDistS%6.3f  ${tDistS / tDriverS}%5.2f  " +
+        f"rounds=$roundsS (diameter 1) wrong=$wrongS edges=1530000")
+      require(wrongS == 0, "distributed CC mislabeled star nodes")
     }
     spark.stop()
   }

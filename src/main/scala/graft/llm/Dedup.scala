@@ -453,16 +453,33 @@ object Dedup {
         .map(id => (id.longValue, find(id.longValue))).toSeq
       return labels.toDF("id", "cluster_id")
     }
+    // Edges are shuffled into the join layout ONCE and pinned: every
+    // round's neighbor join keys on `dst`, so a persisted
+    // HashPartitioning(dst) lets each round exchange only the (smaller,
+    // shrinking) label delta instead of re-shuffling the full edge set
+    // O(log diameter) times.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
+    // Delta iteration: a node's label can only improve through a
+    // neighbor whose label improved LAST round (min-propagation never
+    // forgets, so a label that stopped changing has already been seen by
+    // every neighbor) — so the neighbor join streams only the CHANGED
+    // labels against the pinned edges. Round 1: everything "changed".
+    // On low-diameter duplication (star-shaped clusters, the common
+    // corpus case) the delta collapses after round 1 and later rounds
+    // are near-free; on worst-case chains it degrades gracefully to the
+    // full join.
+    var changed = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")),
+        .join(changed.select(col("id").as("dst"), col("cluster_id").as("nbr_label")),
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
@@ -489,11 +506,14 @@ object Dedup {
             coalesce(col("jump"), col("cluster_id"))).as("cluster_id"),
           col("cluster_id").as("prev"))
         .localCheckpoint(true)
-      converged = updated.filter(col("cluster_id") < col("prev")).isEmpty
+      changed = updated.filter(col("cluster_id") < col("prev"))
+        .select("id", "cluster_id")
+      converged = changed.isEmpty
       labels = updated.drop("prev")
       iter += 1
       lastCcRounds = iter
     }
+    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIterations rounds " +
