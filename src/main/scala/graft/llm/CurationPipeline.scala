@@ -50,8 +50,21 @@ object CurationPipeline {
 
     // 4. near-dup removal: MinHash candidates → exact per-pair verify →
     //    connected components → keep each cluster's minimum id (dropping
-    //    per-pair id_b would over-keep when LSH misses a transitive pair)
-    val pairs = Dedup.nearDupPairs(exact, cfg.nearDupJaccard, textCol, idCol)
+    //    per-pair id_b would over-keep when LSH misses a transitive pair).
+    //    Shingle arrays + signatures are computed ONCE and shared by
+    //    candidate generation and the verify re-attach (the nearDupPairs
+    //    convenience would tokenize+shingle the corpus twice); persisted
+    //    because three joins reference the state. Output is identical —
+    //    this is the same (sigs, shingles) pair, derived once.
+    val state = exact.select(col(idCol).as("id"),
+        Dedup.shingles(TextAnalysis.tokens(col(textCol)), 3).as("arr"))
+      .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.verifyJaccardFromShingles(
+      Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
+        .filter(col("est_jaccard") >= cfg.nearDupJaccard / 2),
+      state)
+      .filter(col("jaccard") >= cfg.nearDupJaccard)
     val losers = Dedup.duplicateClusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
