@@ -598,6 +598,35 @@ object RelationalQueries {
           count(lit(1)).over(w).cast("long").as("n_30d"))
     }),
 
+    // D8 (beyond-reference: the reference's snapshots/ dir is empty) —
+    // dbt snapshot SCD2, timestamp strategy, driven through TWO
+    // deliveries: the per-user current state as of a mid-data cut, then
+    // the final state. The oracle recomputes the same two states and
+    // derives the SCD2 table as union + lead() close-out — equivalent
+    // to sequential applyBatch for one-version-per-delivery inputs.
+    // Event times are second-truncated BEFORE snapshotting (file-header
+    // determinism rule) and rank-1 state selection tie-breaks on
+    // event_id in both engines.
+    "d8_snapshot_scd2" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("updated_at"), col("event_id"))
+      def stateAt(cond: org.apache.spark.sql.Column): DataFrame = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("updated_at").desc, col("event_id").desc)
+        e.filter(cond).withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select("user_id", "event_type", "value", "updated_at")
+      }
+      val cut = lit("2024-01-10 00:00:00").cast("timestamp")
+      val snap1 = graft.dbt.Snapshots.applyBatch(None,
+        stateAt(col("updated_at") < cut), "user_id", "updated_at")
+      val snap2 = graft.dbt.Snapshots.applyBatch(Some(snap1),
+        stateAt(lit(true)), "user_id", "updated_at")
+      snap2.select(col("user_id"), col("event_type"), col("value"),
+        col("dbt_valid_from"), col("dbt_valid_to"))
+    }),
+
     "d7_schema_tests" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
@@ -988,6 +1017,29 @@ object RelationalQueries {
          WINDOW w AS (PARTITION BY o_custkey
            ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
+
+    "d8_snapshot_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+             date_trunc('second', ts) AS updated_at, event_id FROM events),
+         s1 AS (SELECT user_id, event_type, value, updated_at FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY user_id
+               ORDER BY updated_at DESC, event_id DESC) AS rn
+             FROM e WHERE updated_at < TIMESTAMP '2024-01-10 00:00:00')
+           WHERE rn = 1),
+         s2 AS (SELECT user_id, event_type, value, updated_at FROM (
+             SELECT e.*, row_number() OVER (PARTITION BY user_id
+               ORDER BY updated_at DESC, event_id DESC) AS rn FROM e)
+           WHERE rn = 1),
+         states AS (
+           SELECT * FROM s1
+           UNION ALL
+           SELECT s2.user_id, s2.event_type, s2.value, s2.updated_at
+           FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+           WHERE s1.user_id IS NULL OR s2.updated_at > s1.updated_at)
+         SELECT user_id, event_type, value, updated_at AS dbt_valid_from,
+           lead(updated_at) OVER (PARTITION BY user_id ORDER BY updated_at)
+             AS dbt_valid_to
+         FROM states""",
 
     "d7_schema_tests" ->
       """SELECT 'not_null_orders_o_orderkey' AS test_name,
