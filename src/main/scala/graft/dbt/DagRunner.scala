@@ -122,6 +122,21 @@ final class DagRunner(
         case Materialization.Table =>
           df.write.mode("overwrite").parquet(path(name))
           spark.read.parquet(path(name))
+        case Materialization.Snapshot(key, updatedAt) =>
+          val existingOpt =
+            if (!fullRefresh && exists(name))
+              Some(spark.read.parquet(path(name)))
+            else None
+          val snap = Snapshots.applyBatch(existingOpt, df, key, updatedAt)
+          // staged: the SCD2 plan reads the existing table's files, so an
+          // in-place overwrite would race its own scan
+          val staged = path(name) + "__snap"
+          snap.write.mode("overwrite").parquet(staged)
+          spark.read.parquet(staged).write.mode("overwrite").parquet(path(name))
+          val fs = new org.apache.hadoop.fs.Path(staged)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+          spark.read.parquet(path(name))
         case Materialization.Incremental(key, _, parts, strategy) =>
           def partitioned(w: org.apache.spark.sql.DataFrameWriter[
               org.apache.spark.sql.Row]) =

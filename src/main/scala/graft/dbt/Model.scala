@@ -76,6 +76,16 @@ object Materialization {
       strategy: IncrementalStrategy = IncrementalStrategy.AppendNewKeys)
     extends Materialization
 
+  /** dbt snapshot (SCD2, `timestamp` strategy): the model body returns
+    * the source's CURRENT state (≤ 1 row per `uniqueKey`); each run
+    * reconciles it against the existing snapshot table via
+    * [[Snapshots.applyBatch]] — versions open/close on strictly newer
+    * `updatedAt`, replays are no-ops. `fullRefresh` rebuilds from the
+    * batch alone (all versions reset), matching dbt's behavior.
+    */
+  final case class Snapshot(uniqueKey: String, updatedAt: String)
+    extends Materialization
+
   /** How an incremental run reconciles batch rows against existing
     * output rows sharing a `uniqueKey` — dbt's `incremental_strategy`.
     */

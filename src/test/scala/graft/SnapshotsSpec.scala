@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.dbt.Snapshots
+import graft.dbt._
 
 /** dbt snapshot (SCD2, timestamp strategy) semantics: version open /
   * close-out / no-op replay, per the dbt contract.
@@ -50,5 +50,42 @@ class SnapshotsSpec extends SparkSpec {
       .toDF("id", "state", "updated_at")
     val s4 = Snapshots.applyBatch(Some(s3), bOld, "id", "updated_at")
     assert(s4.exceptAll(s3).isEmpty && s3.exceptAll(s4).isEmpty)
+  }
+
+  test("Snapshot materialization runs the SCD2 lifecycle through the DAG runner") {
+    val wh = tmpDir("snap-wh")
+    def runWith(source: org.apache.spark.sql.DataFrame) = {
+      val reg = new ModelRegistry().register(Model(
+        name = "snap_users",
+        deps = Nil,
+        materialization = Materialization.Snapshot("id", "updated_at"),
+        build = ctx => ctx.source("t", "users")))
+      new DagRunner(spark, reg, (_, _) => source, wh).run()
+    }
+    runWith(Seq((1L, "a", ts("2024-01-01 00:00:00")))
+      .toDF("id", "state", "updated_at"))
+    assert(spark.read.parquet(s"$wh/snap_users").count() == 1)
+
+    // second delivery: key 1 changed, key 2 new
+    runWith(Seq(
+      (1L, "a2", ts("2024-01-03 00:00:00")),
+      (2L, "b", ts("2024-01-02 00:00:00")))
+      .toDF("id", "state", "updated_at"))
+    val snap = spark.read.parquet(s"$wh/snap_users")
+    assert(snap.count() == 3, "two versions of key 1 + key 2")
+    val closed = snap.filter(col("dbt_valid_to").isNotNull).collect()
+    assert(closed.length == 1 && closed(0).getAs[String]("state") == "a"
+      && closed(0).getAs[java.sql.Timestamp]("dbt_valid_to") ==
+        ts("2024-01-03 00:00:00"))
+
+    // full refresh resets to the delivered batch alone
+    val reg = new ModelRegistry().register(Model(
+      name = "snap_users", deps = Nil,
+      materialization = Materialization.Snapshot("id", "updated_at"),
+      build = ctx => ctx.source("t", "users")))
+    new DagRunner(spark, reg, (_, _) =>
+      Seq((1L, "a2", ts("2024-01-03 00:00:00")))
+        .toDF("id", "state", "updated_at"), wh).run(fullRefresh = true)
+    assert(spark.read.parquet(s"$wh/snap_users").count() == 1)
   }
 }
