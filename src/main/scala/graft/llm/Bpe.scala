@@ -1,0 +1,136 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction — the
+  * tokenizer-training half of a training-data pipeline (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units";
+  * the reference pipeline has no tokenizer, this is north-star surface).
+  *
+  * Scale shape: the corpus is touched ONCE (word-frequency count, one
+  * shuffle); every subsequent merge iteration runs on the DISTINCT-WORD
+  * table, whose size is the corpus vocabulary — bounded by language, not
+  * corpus bytes, so 100 TB of text trains at the same per-iteration cost
+  * as 100 GB once the word table is built. Driver state per iteration is
+  * exactly one row (the argmax pair), k rows total for k merges — the
+  * merge table IS the model, and it is config-sized (30k-100k entries in
+  * practice), like the IVF quantizer.
+  *
+  * Determinism: the argmax pair tie-breaks on (count DESC, left ASC,
+  * right ASC), so training is reproducible run-to-run and cluster-size
+  * independent.
+  */
+object Bpe {
+
+  /** Whitespace word frequencies — the one corpus-wide pass. */
+  def wordFreqs(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Character symbols of a word (Spark `split` on the empty pattern).
+    * NB: splits on Java chars; supplementary-plane code points (outside
+    * the BMP) become surrogate halves. Training on raw unicode text
+    * should pre-filter or pre-normalize; the gate trains on an
+    * ASCII-word slice where Spark and every oracle agree byte-for-byte.
+    */
+  def charSymbols(word: Column): Column = split(word, "")
+
+  /** Adjacent-symbol pair counts, weighted by word frequency. `words`
+    * must carry (`symsCol`: array<string>, freq: long). Partial
+    * aggregation runs map-side, so the exchange carries one row per
+    * distinct pair per task — the classic BPE statistics step as a
+    * two-column hash aggregate.
+    */
+  def pairCounts(words: DataFrame, symsCol: String = "syms"): DataFrame = {
+    val n = size(col(symsCol))
+    words
+      .filter(n >= 2)
+      .select(col("freq"), explode(
+        zip_with(
+          slice(col(symsCol), lit(1), n - 1),
+          slice(col(symsCol), lit(2), n - 1),
+          (a, b) => struct(a.as("left"), b.as("right")))).as("pair"))
+      .groupBy(col("pair.left").as("left"), col("pair.right").as("right"))
+      .agg(sum(col("freq")).as("n"))
+  }
+
+  /** Merge every non-overlapping left-to-right occurrence of the
+    * adjacent pair (a, b) in a symbol array into the single symbol a+b —
+    * the BPE merge rule as a fold with one symbol of carry, fully inside
+    * Catalyst (`aggregate` higher-order function, no UDF):
+    * pending=null → stash s; (pending,s)==(a,b) → emit a+b, clear;
+    * otherwise emit pending, stash s. The carry makes the scan
+    * sequential-with-lookahead-1, which is exactly non-overlapping
+    * left-to-right ("aaa" + merge(a,a) → ["aa","a"], as in reference
+    * BPE implementations).
+    */
+  def mergePair(syms: Column, a: String, b: String): Column = {
+    val empty = lit(Array.empty[String])
+    aggregate(
+      syms,
+      struct(empty.as("out"), lit(null).cast("string").as("pend")),
+      (st, s) => {
+        val out = st.getField("out")
+        val p = st.getField("pend")
+        when(p.isNull, struct(out.as("out"), s.as("pend")))
+          .when(p === lit(a) && s === lit(b),
+            struct(concat(out, array(lit(a + b))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(out, array(p)).as("out"), s.as("pend")))
+      },
+      st => when(st.getField("pend").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"), array(st.getField("pend")))))
+  }
+
+  /** Apply a learned merge list in rank order to a symbol array —
+    * tokenizer application as a folded Catalyst expression. Plan depth
+    * grows linearly with merges; fine for the spec/gate-sized merge
+    * tables exercised here (≲ a few hundred). A production 50k-merge
+    * encoder belongs in a partition-local loop over a broadcast rank
+    * table (same justification as the media codecs).
+    */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => mergePair(c, a, b) }
+
+  /** One learned merge. */
+  final case class Merge(rank: Int, left: String, right: String, n: Long)
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the ranked
+    * merge table. `minCount` stops early once the best pair drops below
+    * it. Each iteration: one map + hash-agg + global top-1 on the word
+    * table (TakeOrdered — one row to the driver), then a lineage-cutting
+    * localCheckpoint of the re-symbolized words so iteration k doesn't
+    * re-execute merges 1..k-1.
+    */
+  def train(df: DataFrame, textCol: String = "text", numMerges: Int = 16,
+      minCount: Long = 2L, wordFilter: Column => Column = _ => lit(true))
+      : Seq[Merge] = {
+    var words = wordFreqs(df, textCol)
+      .filter(wordFilter(col("word")))
+      .select(charSymbols(col("word")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minCount) done = true
+      else {
+        val (a, b, n) = (top(0).getAs[String]("left"),
+          top(0).getAs[String]("right"), top(0).getAs[Long]("n"))
+        merges += Merge(rank, a, b, n)
+        val next = words.select(mergePair(col("syms"), a, b).as("syms"),
+          col("freq")).localCheckpoint(true)
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+}

@@ -603,6 +603,33 @@ object LlmQueries {
         Map("en" -> 0.5))
         .groupBy("lang").agg(count(lit(1)).as("n"))),
 
+    // temperature-weighted mixing (alpha=0.5): downsample every source
+    // to p_s ∝ sqrt(count_s), bound by the scarcest source. alpha=0.5
+    // keeps pow() on the sqrt fast path both engines compute
+    // correctly-rounded, and the unnormalized-weight cap formula avoids
+    // any cross-source float accumulation — frac is bit-identical in
+    // Spark and the oracle.
+    "x_temperature_mix" -> ((s, dir) =>
+      graft.llm.Sampling.temperatureMix(docs(s, dir), alpha = 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n"))),
+
+    // BPE vocabulary induction, statistics step: freq-weighted adjacent
+    // character-pair counts over the distinct-word table (the per-merge
+    // aggregate of distributed BPE training; `BpeSpec` covers the full
+    // merge loop, which is not recursive-SQL-expressible). ASCII-word
+    // slice so character splitting agrees across engines; top 30 with
+    // total (n DESC, left, right) order so the LIMIT boundary is
+    // deterministic.
+    "x_bpe_pair_counts" -> ((s, dir) => {
+      val words = graft.llm.Bpe.wordFreqs(docs(s, dir))
+        .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+        .select(graft.llm.Bpe.charSymbols(col("word")).as("syms"), col("freq"))
+      graft.llm.Bpe.pairCounts(words)
+        .orderBy(col("n").desc, col("left").asc, col("right").asc)
+        .limit(30)
+        .select(col("left").as("sym_l"), col("right").as("sym_r"), col("n"))
+    }),
+
     // end-to-end curation pipeline summary, oracle-paired through the
     // same fingerprint-class reduction as x_neardup_survivors: at
     // nearDupJaccard = 1.0 the near-dup stage keeps exactly min(doc_id)
@@ -813,6 +840,43 @@ object LlmQueries {
                % 1000000
                < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 1000000
          GROUP BY 1""",
+
+    // same cap formula as x_mix_weights with w = pow(c, 0.5); both
+    // engines' pow(x, 0.5) is exactly sqrt (fdlibm and libm special-case
+    // y=0.5), and normalization cancels out of frac, so the per-row
+    // threshold is bit-identical
+    "x_temperature_mix" ->
+      """WITH counts AS (SELECT source, count(*)::DOUBLE AS c
+                         FROM documents GROUP BY 1),
+         w AS (SELECT source, c, pow(c, 0.5) AS wt FROM counts),
+         f AS (SELECT source,
+                 least(1.0, (SELECT min(c2.c / w2.wt) FROM w w2
+                             JOIN counts c2 ON c2.source = w2.source)
+                            * wt / c) AS frac
+               FROM w)
+         SELECT d.source, count(*)::BIGINT AS n
+         FROM documents d JOIN f ON d.source = f.source
+         WHERE ('0x' || substr(md5('tmix:' || d.doc_id::VARCHAR), 25, 8))::BIGINT
+               % 1000000 < f.frac * 1000000
+         GROUP BY 1""",
+
+    // words → characters via per-position substr (DuckDB substr is
+    // character-indexed, matching Spark's split-on-empty-pattern on the
+    // ASCII slice); range(1, len) yields i = 1..len-1, one row per
+    // adjacent pair
+    "x_bpe_pair_counts" ->
+      """WITH words AS (
+           SELECT word, count(*)::BIGINT AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
+           GROUP BY 1),
+         pairs AS (
+           SELECT freq, word, unnest(range(1, length(word))) AS i FROM words)
+         SELECT substr(word, i::INT, 1) AS sym_l,
+                substr(word, i::INT + 1, 1) AS sym_r,
+                sum(freq)::BIGINT AS n
+         FROM pairs GROUP BY 1, 2
+         ORDER BY n DESC, sym_l ASC, sym_r ASC LIMIT 30""",
 
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

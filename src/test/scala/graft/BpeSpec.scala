@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic Sennrich worked example: vocabulary with shared subwords
+  private lazy val corpus = Seq(
+    // "low" x5, "lower" x2, "newest" x6, "widest" x3 as a text corpus
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+  ).toDF("text")
+
+  test("wordFreqs counts whitespace words once per occurrence") {
+    val f = Bpe.wordFreqs(corpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L))
+  }
+
+  test("pairCounts weights adjacent pairs by word frequency") {
+    val words = Bpe.wordFreqs(corpus)
+      .select(Bpe.charSymbols(col("word")).as("syms"), col("freq"))
+    val pc = Bpe.pairCounts(words).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "es" appears in newest(6) + widest(3); "st" the same; "lo" in low+lower
+    assert(pc(("e", "s")) == 9L)
+    assert(pc(("s", "t")) == 9L)
+    assert(pc(("l", "o")) == 7L)
+    assert(pc(("w", "e")) == 8L) // newest(6) + lower(2)
+  }
+
+  test("mergePair merges left-to-right without overlap") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("x"), Seq.empty[String]).toDF("syms")
+    val out = df.select(Bpe.mergePair(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("aa", "a")) // non-overlapping, leftmost first
+    assert(out(1) == Seq("a", "b", "a", "b"))
+    assert(out(2) == Seq("x"))
+    assert(out(3) == Seq.empty[String])
+    val out2 = df.select(Bpe.mergePair(col("syms"), "a", "b").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(out2(1) == Seq("ab", "ab"))
+  }
+
+  test("train learns the reference merge sequence on the worked example") {
+    val merges = Bpe.train(corpus, numMerges = 4)
+    // hand-derived with (count DESC, left ASC, right ASC) tie-break:
+    // 1. (e,s) 9  2. (es,t) 9  3. (l,o) 7  4. (lo,w) 7
+    assert(merges.map(m => (m.left, m.right, m.n)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(merges.map(_.rank) == Seq(0, 1, 2, 3))
+  }
+
+  test("train stops early when the best pair drops below minCount") {
+    val tiny = Seq("ab ab cd").toDF("text")
+    val merges = Bpe.train(tiny, numMerges = 10, minCount = 2)
+    // (a,b) count 2 merges; everything else is count 1 < minCount
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+  }
+
+  test("applyMerges encodes with the learned table; encoding is stable") {
+    val merges = Bpe.train(corpus, numMerges = 4)
+    val table = merges.map(m => (m.left, m.right))
+    val enc = Seq("lowest").toDF("word")
+      .select(Bpe.applyMerges(Bpe.charSymbols(col("word")), table).as("t"))
+      .head().getSeq[String](0)
+    // low + est: (e,s)→es, (es,t)→est, (l,o)→lo, (lo,w)→low
+    assert(enc == Seq("low", "es", "t") || enc == Seq("low", "est"))
+    // exact: merge ranks apply in order; est forms from es+t
+    assert(enc == Seq("low", "est"))
+    // token count never increases under more merges
+    val enc0 = Seq("lowest").toDF("word")
+      .select(Bpe.applyMerges(Bpe.charSymbols(col("word")), table.take(2)).as("t"))
+      .head().getSeq[String](0)
+    assert(enc0.length >= enc.length)
+  }
+
+  test("train is invariant under corpus repartitioning") {
+    val docs = (0 until 50).map(i => s"alpha beta gamma$i alpha").toDF("text")
+    val m1 = Bpe.train(docs, numMerges = 3)
+    val m2 = Bpe.train(docs.repartition(13), numMerges = 3)
+    assert(m1 == m2)
+  }
+}

@@ -68,6 +68,27 @@ class SamplingSpec extends SparkSpec {
     assert(dropped.isEmpty)
   }
 
+  test("temperatureMix tilts toward sqrt proportions, id-stable") {
+    // sources 9000 / 1000: alpha=0.5 targets 3:1 instead of 9:1.
+    // scarce source binds (keeps 100%); big source keeps 3*1000.
+    val df = (0 until 10000).map { i =>
+      (i.toLong, if (i < 9000) "big" else "small")
+    }.toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(df, alpha = 0.5, "source", "doc_id")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 1000L)
+    assert(math.abs(kept("big") - 3000L) < 170, s"big=${kept("big")}")
+    // alpha = 1 keeps the natural distribution (frac 1 everywhere)
+    val nat = Sampling.temperatureMix(df, alpha = 1.0, "source", "doc_id")
+    assert(nat.count() == 10000L)
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(7), 0.5, "source", "doc_id")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("curation pipeline filters, dedups, and splits end-to-end") {
     val base = "the quick brown fox jumps over the lazy dog while the sun " +
       "sets slowly behind distant purple mountains casting long warm shadows"
