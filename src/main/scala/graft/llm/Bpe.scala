@@ -97,12 +97,25 @@ object Bpe {
   /** One learned merge. */
   final case class Merge(rank: Int, left: String, right: String, n: Long)
 
+  /** Free the block-manager state behind a localCheckpoint'ed Dataset.
+    * `Dataset.unpersist()` only drops CacheManager entries; the
+    * checkpoint's RDD blocks live on the RDD itself, reachable through
+    * the `LogicalRDD` leaf the checkpoint returned. Falls back to
+    * ContextCleaner GC if the plan shape ever changes.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.logical.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
   /** Train `numMerges` BPE merges over the corpus. Returns the ranked
     * merge table. `minCount` stops early once the best pair drops below
     * it. Each iteration: one map + hash-agg + global top-1 on the word
     * table (TakeOrdered — one row to the driver), then a lineage-cutting
     * localCheckpoint of the re-symbolized words so iteration k doesn't
-    * re-execute merges 1..k-1.
+    * re-execute merges 1..k-1; the superseded checkpoint's RDD blocks
+    * are freed eagerly via [[freeCheckpoint]].
     */
   def train(df: DataFrame, textCol: String = "text", numMerges: Int = 16,
       minCount: Long = 2L, wordFilter: Column => Column = _ => lit(true))
@@ -125,12 +138,12 @@ object Bpe {
         merges += Merge(rank, a, b, n)
         val next = words.select(mergePair(col("syms"), a, b).as("syms"),
           col("freq")).localCheckpoint(true)
-        words.unpersist()
+        freeCheckpoint(words)
         words = next
         rank += 1
       }
     }
-    words.unpersist()
+    freeCheckpoint(words)
     merges.result()
   }
 }

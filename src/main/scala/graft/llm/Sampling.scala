@@ -76,34 +76,6 @@ object Sampling {
     * deterministic filter over the scan. Survivorship is id-stable: a
     * document that survives one mix run survives every re-run.
     */
-  /** Temperature-weighted mixing (the multilingual-LM standard, e.g.
-    * XLM-R): target proportions p_s ∝ count_s^alpha. alpha=1 keeps the
-    * natural distribution; alpha→0 flattens toward uniform, up-weighting
-    * scarce sources. Downsamples (never oversamples) to the alpha-tilted
-    * mix bound by the scarcest source, via the same cap formula as
-    * [[mixToWeights]]: keep_s = C·w_s with w_s = count_s^alpha and
-    * C = min_s(count_s / w_s) — normalization of w cancels in keep_s/count_s,
-    * so no cross-source floating-point accumulation enters the per-row
-    * filter threshold (bit-reproducible across engines).
-    *
-    * Scale: one count aggregation (driver state = #sources), then a pure
-    * deterministic md5-bucket filter over the scan — zero extra shuffles.
-    */
-  def temperatureMix(df: DataFrame, alpha: Double,
-      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val counts = df.groupBy(srcCol).count()
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return df.filter(lit(false))
-    val w = counts.map { case (s, c) => s -> math.pow(c.toDouble, alpha) }
-    val cap = counts.map { case (s, c) => c.toDouble / w(s) }.min
-    val fracCol = counts.keys.foldLeft(lit(-1.0)) { case (acc, s) =>
-      when(col(srcCol) === s,
-        lit(math.min(1.0, cap * w(s) / counts(s).toDouble))).otherwise(acc)
-    }
-    df.filter(hashBucket(col(idCol), "tmix") < fracCol * Buckets)
-  }
-
   def mixToWeights(df: DataFrame, weights: Map[String, Double],
       srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
@@ -121,5 +93,40 @@ object Sampling {
         lit(math.min(1.0, cap * w / counts(s).toDouble))).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), "mix") < fracCol * Buckets)
+  }
+
+  /** Temperature-weighted mixing (the multilingual-LM standard, e.g.
+    * XLM-R): target proportions p_s ∝ count_s^alpha. alpha=1 keeps the
+    * natural distribution; alpha→0 flattens toward uniform, up-weighting
+    * scarce sources. Downsamples (never oversamples) to the alpha-tilted
+    * mix bound by the scarcest source, via the same cap formula as
+    * [[mixToWeights]]: keep_s = C·w_s with w_s = count_s^alpha and
+    * C = min_s(count_s / w_s) — normalization of w cancels in keep_s/count_s,
+    * so no cross-source floating-point accumulation enters the per-row
+    * filter threshold (bit-reproducible across engines).
+    *
+    * NULL sources are dropped up front, explicitly: `String.valueOf`
+    * would otherwise fold a NULL source into the key "null" (colliding
+    * with a literal 'null' source) while the `col === "null"` filter
+    * could never readmit the NULL rows — and a NULL group entering the
+    * cap min would diverge from SQL twins whose joins drop NULLs.
+    *
+    * Scale: one count aggregation (driver state = #sources), then a pure
+    * deterministic md5-bucket filter over the scan — zero extra shuffles.
+    */
+  def temperatureMix(df: DataFrame, alpha: Double,
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val d = df.filter(col(srcCol).isNotNull)
+    val counts = d.groupBy(srcCol).count()
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.filter(lit(false))
+    val w = counts.map { case (s, c) => s -> math.pow(c.toDouble, alpha) }
+    val cap = counts.map { case (s, c) => c.toDouble / w(s) }.min
+    val fracCol = counts.keys.foldLeft(lit(-1.0)) { case (acc, s) =>
+      when(col(srcCol) === s,
+        lit(math.min(1.0, cap * w(s) / counts(s).toDouble))).otherwise(acc)
+    }
+    d.filter(hashBucket(col(idCol), "tmix") < fracCol * Buckets)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -22,8 +23,31 @@ import org.apache.spark.sql.graft.ColumnBridge
   * and sliced AFTER the aggregate; that bounded the reduce fan-in but
   * the partial buffers still carried every row. The bounded buffer
   * makes salting unnecessary.)
+  *
+  * Version coupling: `CollectTopK` is `private[sql]` Spark internals with
+  * no compatibility contract. A *compile-time* signature change fails the
+  * build (ColumnBridge compiles against it directly); a *runtime* Spark
+  * other than the pinned minor line could change its semantics silently,
+  * so [[grouped]] checks `SPARK_VERSION` at runtime and falls back to the
+  * window plan — slower but public-API-stable — logging the downgrade
+  * once. `ScaleOpsSpec` pins both paths to identical output.
   */
 object TopK {
+
+  /** The Spark minor line `ColumnBridge.collectTopK` was built and
+    * verified against. Bump deliberately (re-running the bridge tests)
+    * when upgrading Spark.
+    */
+  private[graft] val PinnedSparkMinor = "4.1."
+
+  private[graft] def bridgeUsable: Boolean =
+    org.apache.spark.SPARK_VERSION.startsWith(PinnedSparkMinor)
+
+  private lazy val warnOnce: Unit =
+    System.err.println(
+      s"[graft.TopK] Spark ${org.apache.spark.SPARK_VERSION} != pinned " +
+        s"$PinnedSparkMinor*: private CollectTopK bridge unverified, " +
+        "using public window fallback (correct, not bounded-buffer)")
 
   /** Top `k` rows per `keyCol`, ordered by (`orderCol`, `idCol`)
     * descending — the id is the deterministic tie-break. Returns
@@ -32,11 +56,29 @@ object TopK {
   def grouped(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k > 0)
+    if (bridgeUsable) groupedViaBoundedAgg(df, keyCol, orderCol, idCol, k)
+    else { warnOnce; groupedViaWindow(df, keyCol, orderCol, idCol, k) }
+  }
+
+  private[graft] def groupedViaBoundedAgg(df: DataFrame, keyCol: String,
+      orderCol: String, idCol: String, k: Int): DataFrame =
     df.groupBy(col(keyCol))
       .agg(ColumnBridge.collectTopK(
         struct(col(orderCol), col(idCol)), k).as("top"))
       .select(col(keyCol), posexplode(col("top")).as(Seq("_r", "s")))
       .select(col(keyCol), (col("_r") + 1).cast("long").as("rank"),
         col(s"s.$orderCol").as(orderCol), col(s"s.$idCol").as(idCol))
-  }
+
+  /** Public-API fallback: row_number over a window. Identical output
+    * ordering contract ((orderCol, idCol) DESC, rank 1..k); pays the
+    * per-key funnel the bounded aggregate avoids.
+    */
+  private[graft] def groupedViaWindow(df: DataFrame, keyCol: String,
+      orderCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(keyCol), col(orderCol), col(idCol))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(orderCol).desc, col(idCol).desc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(keyCol), col("rank"), col(orderCol), col(idCol))
 }

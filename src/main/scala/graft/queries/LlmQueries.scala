@@ -847,12 +847,10 @@ object LlmQueries {
     // threshold is bit-identical
     "x_temperature_mix" ->
       """WITH counts AS (SELECT source, count(*)::DOUBLE AS c
-                         FROM documents GROUP BY 1),
+                         FROM documents WHERE source IS NOT NULL GROUP BY 1),
          w AS (SELECT source, c, pow(c, 0.5) AS wt FROM counts),
          f AS (SELECT source,
-                 least(1.0, (SELECT min(c2.c / w2.wt) FROM w w2
-                             JOIN counts c2 ON c2.source = w2.source)
-                            * wt / c) AS frac
+                 least(1.0, (SELECT min(c / wt) FROM w) * wt / c) AS frac
                FROM w)
          SELECT d.source, count(*)::BIGINT AS n
          FROM documents d JOIN f ON d.source = f.source

@@ -49,6 +49,22 @@ class ScaleOpsSpec extends SparkSpec {
       case w: LWindow => w }.isEmpty)
   }
 
+  test("TopK bridge guard: pinned Spark minor matches, fallback agrees") {
+    // the private-API bridge is only taken on the Spark line it was
+    // verified against; on this build the pin must hold (a Spark upgrade
+    // that silently changes CollectTopK semantics should fail HERE, loud)
+    assert(graft.operators.TopK.bridgeUsable,
+      s"Spark ${org.apache.spark.SPARK_VERSION} no longer matches the " +
+        "pinned minor - re-verify ColumnBridge.collectTopK and bump the pin")
+    val df = ((0 until 200).map(i => ("g0", i.toLong, (i % 5).toDouble)) ++
+      Seq(("g1", 900L, 2.0), ("g1", 901L, 2.0))).toDF("k", "id", "v")
+    val fast = graft.operators.TopK
+      .groupedViaBoundedAgg(df, "k", "v", "id", k = 4)
+    val safe = graft.operators.TopK
+      .groupedViaWindow(df, "k", "v", "id", k = 4)
+    assert(fast.collect().map(_.toSeq).toSet == safe.collect().map(_.toSeq).toSet)
+  }
+
   test("date-partitioned write prunes partitions on read") {
     val out = tmpDir("wh-part") + "/events"
     val df = Tables.eventsLike(spark)
