@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,9 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * an outer lambda is re-evaluated once per outer element. A k=32 MinHash
   * written with HOFs therefore rebuilds the shingle array 32× per row.
   * These expressions replace those trees with single-pass loops over
-  * ArrayData — one interpreted call per ROW instead of per element.
-  * (CodegenFallback at this granularity is fine: the loop body is plain
-  * JVM code the JIT compiles.)
+  * ArrayData — one call per ROW instead of per element.
+  *
+  * All of them implement `doGenCode` (none are CodegenFallback): a
+  * fallback expression doesn't just eval interpreted, it makes
+  * `CollapseCodegenStages` refuse whole-stage codegen for the ENTIRE
+  * stage containing it, so every sibling expression in the projection
+  * drops to the interpreted path too. The generated code evaluates the
+  * child inside the stage's fused loop and makes one call into the
+  * JIT-compiled `compute*` method via a reference object — the same
+  * shape Spark's own `Invoke`-backed expressions produce.
+  * `NativeCodegenSpec` asserts the stages stay whole-stage-compiled.
   *
   * Everything is deterministic pure-function-of-input, so results are
   * stable across executors/retries — required for the driver's
@@ -37,18 +45,33 @@ object hashing {
     XxHash64Function.hash(s, StringType, seed)
 }
 
+/** Shared codegen shape for the unary expressions: evaluate the child in
+  * the fused stage loop, call one JIT-compiled method on the expression
+  * instance (shipped as a codegen reference object). Implementors expose
+  * the method as `compute` returning the boxed/eval representation and
+  * declare its exact generated-code invocation via [[computeCall]].
+  */
+private[expr] trait NativeUnaryCodegen { self: UnaryExpression =>
+  /** Java source for assigning `ev.value` from `$ref.compute*($child)`. */
+  protected def computeCall(ref: String, child: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${computeCall(ref, c)};")
+  }
+}
+
 /** Distinct word n-gram shingles of a token array (first-occurrence
   * order). Tokens shorter than n yield one whole-text shingle so every
   * document participates in dedup.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): ArrayData = {
     val size = toks.numElements()
     val count = math.max(size - n + 1, 1)
     val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
@@ -65,6 +88,9 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
@@ -73,7 +99,7 @@ case class WordShingles(child: Expression, n: Int)
   * k·|shingles| cheap mixes instead of k full rehashes.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -81,8 +107,7 @@ case class MinHashSignature(child: Expression, k: Int)
   private lazy val seeds: Array[Long] =
     Array.tabulate(k)(j => hashing.mix64(0x5eed0000L + j))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
@@ -98,6 +123,9 @@ case class MinHashSignature(child: Expression, k: Int)
     new GenericArrayData(sig)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
@@ -105,12 +133,11 @@ case class MinHashSignature(child: Expression, k: Int)
   * per-bit majority vote — O(|tokens|·64) in one pass.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def computeLong(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.numElements()) {
@@ -125,9 +152,13 @@ case class SimHash64(child: Expression)
     var sig = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(computeLong(input.asInstanceOf[ArrayData]))
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.computeLong($c)"
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
@@ -138,21 +169,24 @@ case class SimHash64(child: Expression)
   * exists to avoid).
   */
 case class RollingHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def computeLong(toks: ArrayData): Long = {
     var acc = 0L
     var i = 0
     while (i < toks.numElements()) {
       acc = acc * 31L + hashing.hashString(toks.getUTF8String(i), 42L)
       i += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
   }
 
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(computeLong(input.asInstanceOf[ArrayData]))
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.computeLong($c)"
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
 }
 
@@ -163,7 +197,7 @@ case class RollingHash64(child: Expression)
   * single token-set lookup per token per language.
   */
 case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 
@@ -177,8 +211,7 @@ case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
     }.toArray
   private val und = UTF8String.fromString("und")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): UTF8String = {
     val scores = new Array[Int](langs.length)
     var i = 0
     while (i < toks.numElements()) {
@@ -204,6 +237,9 @@ case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
     if (scores(best) > 0) langs(best) else und
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.unsafe.types.UTF8String) $ref.compute($c)"
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
 }
 
@@ -213,7 +249,7 @@ case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
   * one hash-set probe per token.
   */
 case class CountInSet(child: Expression, values: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "count_in_set"
 
@@ -223,27 +259,32 @@ case class CountInSet(child: Expression, values: Seq[String])
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def computeLong(toks: ArrayData): Long = {
     var n = 0L
     var i = 0
     while (i < toks.numElements()) {
       if (set.contains(toks.getUTF8String(i))) n += 1
       i += 1
     }
-    java.lang.Long.valueOf(n)
+    n
   }
 
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(computeLong(input.asInstanceOf[ArrayData]))
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.computeLong($c)"
   override protected def withNewChildInternal(c: Expression): CountInSet = copy(child = c)
 }
 
 /** Sequential dot product of two array<double> columns — identical
   * accumulation order to `aggregate(zip_with(a,b,*),0,+)` (so results are
   * bit-compatible with the double-precision oracle) at a fraction of the
-  * cost.
+  * cost. The loop is emitted INLINE into the generated stage — the one
+  * expression hot enough (corpus×queries evaluations in brute-force
+  * top-k) that even the per-row reference-object call is worth skipping.
   */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
@@ -257,6 +298,21 @@ case class ArrayDot(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)
 }
@@ -267,13 +323,12 @@ case class ArrayDot(left: Expression, right: Expression)
   * every executor derives identical planes with zero broadcast state.
   */
 case class SignSketches(child: Expression, nTables: Int, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   require(nTables >= 1 && nBits >= 1 && nBits <= 63)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_sketches"
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(v: ArrayData): ArrayData = {
     val dim = v.numElements()
     val out = new Array[Long](nTables)
     var t = 0
@@ -301,6 +356,9 @@ case class SignSketches(child: Expression, nTables: Int, nBits: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
   override protected def withNewChildInternal(c: Expression): SignSketches = copy(child = c)
 }
 
@@ -313,7 +371,7 @@ case class SignSketches(child: Expression, nTables: Int, nBits: Int)
   */
 case class NearestCentroids(child: Expression,
     centroids: Seq[Seq[Double]], nProbe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   require(nProbe >= 1 && nProbe <= centroids.size)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
@@ -327,8 +385,7 @@ case class NearestCentroids(child: Expression,
     if (n == 0.0) 0.0 else 1.0 / n
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(v: ArrayData): ArrayData = {
     val dim = v.numElements()
     val scores = new Array[Double](cents.length)
     var ci = 0
@@ -359,6 +416,9 @@ case class NearestCentroids(child: Expression,
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
   override protected def withNewChildInternal(c: Expression): NearestCentroids =
     copy(child = c)
 }

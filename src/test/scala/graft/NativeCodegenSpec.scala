@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.functions._
+
+import graft.expr.native
+
+/** Codegen contract for the native expressions (`graft.expr`).
+  *
+  * Two properties per expression:
+  *  1. the generated-code path produces bit-identical results to the
+  *     interpreted `nullSafeEval` path (forced via
+  *     `spark.sql.codegen.factoryMode=NO_CODEGEN` + wholeStage off);
+  *  2. every physical node evaluating one of them sits INSIDE a
+  *     WholeStageCodegen region — the point of implementing `doGenCode`:
+  *     a CodegenFallback expression makes CollapseCodegenStages reject
+  *     the WHOLE stage, dropping every sibling expression to interpreted
+  *     eval in the dedup/ANN inner loops.
+  */
+class NativeCodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val centroids =
+    Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 1.0))
+
+  private val profiles = Seq(
+    "en" -> Seq("the", "over", "lazy"), "fr" -> Seq("le", "est", "sur"))
+
+  /** All nine expressions in one projection over one narrow scan. */
+  private def allExprs(): DataFrame = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", Array(1.0, 0.0, 2.0, -1.0)),
+      (1L, "the quick brown fox jumps over the lazy dog", Array(0.5, 0.25, -0.75, 1.5)),
+      (2L, "a b", Array(0.0, 0.0, 0.0, 0.0)),
+      (3L, "x", Array(3.0, -2.0, 0.5, 0.125)),
+      (4L, "le chat est sur le tapis et le chien dort", Array(-1.0, 4.0, 0.25, 2.0))
+    ).toDF("id", "text", "vec").repartition(2)
+    val toks = split(col("text"), " ")
+    base.select(
+      col("id"),
+      native.wordShingles(toks, 3).as("sh"),
+      native.minhashSignature(native.wordShingles(toks, 3), 16).as("mh"),
+      native.simhash64(toks).as("sim"),
+      native.rollingHash64(toks).as("rh"),
+      native.langId(toks, profiles).as("lang"),
+      native.countInSet(toks, Seq("the", "le", "a")).as("cnt"),
+      native.arrayDot(col("vec"), col("vec")).as("dot"),
+      native.signSketches(col("vec"), 4, 12).as("sk"),
+      native.nearestCentroids(col("vec"), centroids, 2).as("nc"))
+  }
+
+  test("generated code matches interpreted eval bit-for-bit") {
+    def rows(df: DataFrame) = df.collect().map(_.toSeq.map {
+      case a: Seq[_] => a.toList; case x => x
+    }).sortBy(_.head.toString).toSeq
+    val compiled = rows(allExprs())
+    val ws0 = spark.conf.get("spark.sql.codegen.wholeStage")
+    val fm0 = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(compiled == rows(allExprs()))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws0)
+      fm0.foreach(spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
+  /** Flatten the physical tree with per-node "inside a fused codegen
+    * region" flags. Crosses AQE roots, cached-relation boundaries, and
+    * honors WholeStageCodegen entry / InputAdapter exit.
+    */
+  private def flatten(p: SparkPlan, fused: Boolean): Seq[(SparkPlan, Boolean)] = {
+    val childFused = p match {
+      case _: WholeStageCodegenExec => true
+      case _: InputAdapter => false
+      case _ => fused
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case im: InMemoryTableScanExec => im.children :+ im.relation.cachedPlan
+      case _ => p.children
+    }
+    (p, fused) +: kids.flatMap(flatten(_, childFused))
+  }
+
+  private def assertNativeNodesFused(label: String, df: DataFrame): Unit = {
+    // AQE only inserts WholeStageCodegen per stage AT MATERIALIZATION;
+    // execute first, then inspect the final adaptive plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def hostsNative(p: SparkPlan): Boolean = p match {
+      // leaf scans only LIST pushed filters as metadata (DataFilters);
+      // rows are filtered by the Filter node above, which must be fused
+      case _: org.apache.spark.sql.execution.LeafExecNode => false
+      case _ =>
+        p.expressions.exists(_.exists(_.getClass.getName.startsWith("graft.expr.")))
+    }
+    val nodes = flatten(plan, fused = false).filter(t => hostsNative(t._1))
+    assert(nodes.nonEmpty, s"$label: no native-expression node found in plan")
+    val unfused = nodes.filterNot(_._2)
+    assert(unfused.isEmpty,
+      s"$label: ${unfused.size} of ${nodes.size} native-expression node(s) " +
+        s"outside whole-stage codegen:\n${unfused.map(_._1.nodeName).mkString(", ")}\n$plan")
+  }
+
+  test("native-expression projections stay inside WholeStageCodegen") {
+    // repartition blocks ConvertToLocalRelation from constant-folding the
+    // projection away at optimization time
+    assertNativeNodesFused("allExprs", allExprs())
+  }
+
+  test("dedup/ANN gate stages contain no codegen fallback break") {
+    // the real hot paths: minhash candidates + brute-force cosine over
+    // testdata — the stages carrying native expressions must be fused
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("x_minhash_candidates", "x_cosine_topk", "x_simhash")) {
+      assertNativeNodesFused(q, SparkEntry.queries(q)(spark, dir))
+    }
+  }
+}
