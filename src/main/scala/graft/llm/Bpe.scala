@@ -86,16 +86,119 @@ object Bpe {
 
   /** Apply a learned merge list in rank order to a symbol array —
     * tokenizer application as a folded Catalyst expression. Plan depth
-    * grows linearly with merges; fine for the spec/gate-sized merge
-    * tables exercised here (≲ a few hundred). A production 50k-merge
-    * encoder belongs in a partition-local loop over a broadcast rank
-    * table (same justification as the media codecs).
+    * grows linearly with merges; fine for spec/gate-sized merge tables
+    * (≲ a few hundred). The production-scale encoder is
+    * [[encodeWordTable]], whose plan is ONE mapPartitions regardless of
+    * merge count; `BpeSpec` pins the two paths equal on trained tables.
     */
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => mergePair(c, a, b) }
 
   /** One learned merge. */
   final case class Merge(rank: Int, left: String, right: String, n: Long)
+
+  /** Partition-local BPE encode of one symbol array against a rank
+    * table — the production tokenizer-application algorithm (the
+    * GPT-2/SentencePiece shape): repeatedly find the lowest-rank
+    * adjacent pair present and merge all its non-overlapping occurrences
+    * left-to-right. O(len²) worst case in the WORD length, independent
+    * of merge-table size — which is why a 50k-merge production vocab
+    * encodes at the same per-word cost as a 100-merge toy table, where
+    * the [[applyMerges]] expression fold pays per table entry.
+    *
+    * Equivalent to applying the merge list in rank order (what
+    * [[applyMerges]] and the DuckDB oracle replay do) whenever the table
+    * is well-formed: every compound symbol's components are created by
+    * LOWER-ranked merges. Tables from [[train]] satisfy this by
+    * construction (a pair can only be counted once its components
+    * exist), as do single-character pair tables trivially; `BpeSpec`
+    * property-tests the equivalence on trained tables.
+    */
+  def encodeSymbols(syms0: Array[String],
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var cur = syms0
+    var continue = cur.length >= 2
+    while (continue) {
+      // lowest-rank adjacent pair present
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < cur.length - 1) {
+        val r = ranks.getOrElse((cur(i), cur(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        // merge its occurrences, left-to-right non-overlapping
+        val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+        var j = 0
+        while (j < cur.length) {
+          if (j < cur.length - 1 &&
+            ranks.getOrElse((cur(j), cur(j + 1)), Int.MaxValue) == bestRank) {
+            out += cur(j) + cur(j + 1)
+            j += 2
+          } else { out += cur(j); j += 1 }
+        }
+        cur = out.toArray
+        continue = cur.length >= 2
+      }
+    }
+    cur
+  }
+
+  /** Production encoder over a word table: one mapPartitions with the
+    * rank table as broadcast state — plan depth constant in merge count
+    * (a trained vocab is model state, like the IVF quantizer, NOT plan
+    * structure). At 100 TB the corpus is word-frequency-counted once
+    * (one shuffle), this encoder runs over the DISTINCT-WORD table
+    * (vocabulary-bounded, not corpus-bounded), and token streams are
+    * recovered by joining words back — the same touch-the-corpus-once
+    * shape as [[train]].
+    */
+  def encodeWordTable(words: DataFrame, merges: Seq[Merge],
+      wordCol: String = "word"): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    words.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { w =>
+          val syms = if (w.isEmpty) Array.empty[String] else w.split("")
+          (w, encodeSymbols(syms, r).toSeq)
+        }
+      }.toDF(wordCol, "tokens")
+  }
+
+  /** Ranked merge table from ONE pair-count pass (no iterative
+    * retraining): all adjacent-symbol pairs ranked by (n DESC, left,
+    * right). For single-character symbol tables this is a well-formed
+    * merge table (components are initial symbols), so the production
+    * encoder and a rank-order replay agree — the construction the
+    * x_bpe_encode oracle gate uses, since the whole table is
+    * recomputable in SQL. Driver state is bounded by the pair
+    * vocabulary (≤ charset² for char symbols) — config-sized model
+    * state, not data.
+    */
+  def rankedPairMerges(words: DataFrame, symsCol: String = "syms"): Seq[Merge] =
+    pairCounts(words, symsCol)
+      .orderBy(col("n").desc, col("left").asc, col("right").asc)
+      .collect().zipWithIndex.map { case (r, i) =>
+        Merge(i, r.getAs[String]("left"), r.getAs[String]("right"),
+          r.getAs[Long]("n"))
+      }.toSeq
+
+  /** Pad a merge table to `size` entries with provably-inert merges:
+    * every pad symbol contains '#', a character that can never occur in
+    * any real symbol (symbols are concatenations of word characters),
+    * so pads match nothing, ever. Lets gates/specs exercise the
+    * production encoder at production table sizes (≥1k entries) while
+    * staying bit-equal to the real-merges-only oracle replay.
+    */
+  def padMerges(base: Seq[Merge], size: Int): Seq[Merge] =
+    base ++ (base.length until size).map(i => Merge(i, s"#$i", s"#$i", 0L))
 
   /** Free the block-manager state behind a localCheckpoint'ed Dataset.
     * `Dataset.unpersist()` only drops CacheManager entries; the

@@ -630,6 +630,44 @@ object LlmQueries {
         .select(col("left").as("sym_l"), col("right").as("sym_r"), col("n"))
     }),
 
+    // production BPE encoder over the distinct-word table: ranked
+    // single-pass merge table (all observed char pairs by n DESC, l, r),
+    // padded to 1200 entries with provably-inert merges ('#' can occur
+    // in no real symbol) so the partition-local encoder runs at
+    // production table size while staying equal to the oracle's
+    // rank-order replay of the real merges (recursive CTE). Output:
+    // corpus token frequencies after encoding.
+    "x_bpe_encode" -> ((s, dir) => {
+      val w = graft.llm.Bpe.wordFreqs(docs(s, dir))
+        .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      val syms = w.select(
+        graft.llm.Bpe.charSymbols(col("word")).as("syms"), col("freq"))
+      val table = graft.llm.Bpe.padMerges(
+        graft.llm.Bpe.rankedPairMerges(syms), 1200)
+      graft.llm.Bpe.encodeWordTable(w.select("word"), table)
+        .join(w, "word")
+        .select(explode(col("tokens")).as("token"), col("freq"))
+        .groupBy("token").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+    }),
+
+    // BPE training determinism under ties: a literal corpus planting an
+    // equal-count argmax tie at rank 0 ((a,b) vs (c,d), n=5 — resolved
+    // left ASC) and a multi-char tie at rank 2 ((ab,ab) vs (cd,cd),
+    // n=1). The oracle pins the exact merge sequence, locking the
+    // (count DESC, left ASC, right ASC) tie-break contract that makes
+    // training reproducible run-to-run and cluster-size independent.
+    // Hand derivation: words ab:3 cd:3 abab:1 cdcd:1 → pairs (a,b)=5
+    // [3 + 2 non-overlapping in abab], (c,d)=5, (b,a)=1, (d,c)=1;
+    // merging (a,b) then (c,d) leaves abab=[ab,ab], cdcd=[cd,cd].
+    "x_bpe_merge_ties" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Seq("ab ab ab cd cd cd", "abab cdcd").toDF("text")
+      val merges = graft.llm.Bpe.train(corpus, numMerges = 4, minCount = 1)
+      s.createDataFrame(merges)
+        .select(col("rank"), col("left"), col("right"), col("n"))
+    }),
+
     // end-to-end curation pipeline summary, oracle-paired through the
     // same fingerprint-class reduction as x_neardup_survivors: at
     // nearDupJaccard = 1.0 the near-dup stage keeps exactly min(doc_id)
@@ -875,6 +913,73 @@ object LlmQueries {
                 sum(freq)::BIGINT AS n
          FROM pairs GROUP BY 1, 2
          ORDER BY n DESC, sym_l ASC, sym_r ASC LIMIT 30""",
+
+    // rank-order replay of the merge table as a recursive CTE over
+    // (word, pos, sym) state: iteration r applies merge rank r to every
+    // word — candidates via lead(), left-to-right non-overlap within
+    // same-pair runs via the odd-row-of-run rule (gaps-and-islands),
+    // consumed right-symbols dropped via lag(). Equivalent to the
+    // engine's lowest-rank-first encoder for this single-char-pair
+    // table (no merge can create a new single-char adjacency). The
+    // engine's 1200-entry padded table adds only provably-inert merges
+    // ('#' symbols), so replaying the real merges alone is exact.
+    "x_bpe_encode" ->
+      """WITH RECURSIVE
+         words AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
+           GROUP BY 1),
+         merges AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY n DESC, l ASC, r ASC) AS rank, l, r
+           FROM (
+             SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT+1, 1) AS r,
+                    sum(freq)::BIGINT AS n
+             FROM (SELECT freq, word, unnest(range(1, length(word))) AS i FROM words)
+             GROUP BY 1, 2)),
+         chars AS MATERIALIZED (
+           SELECT word, i::INT AS pos, substr(word, i::INT, 1) AS sym
+           FROM (SELECT word, unnest(range(1, length(word)+1)) AS i FROM words)),
+         enc AS (
+           SELECT word, pos, sym, 0 AS it FROM chars
+           UNION ALL
+           SELECT word, pos,
+                  CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym,
+                  it + 1 AS it
+           FROM (
+             SELECT word, pos, sym, nxt, it, do_merge,
+                    lag(do_merge) OVER (PARTITION BY word, it ORDER BY pos) AS prev_merged
+             FROM (
+               SELECT word, pos, sym, nxt, it, cand,
+                      cand AND (row_number() OVER (PARTITION BY word, it, grp, cand ORDER BY pos)) % 2 = 1
+                        AS do_merge
+               FROM (
+                 SELECT word, pos, sym, nxt, it, cand,
+                        rn - (row_number() OVER (PARTITION BY word, it, cand ORDER BY pos)) AS grp
+                 FROM (
+                   SELECT e.word, e.pos, e.sym, e.it,
+                          lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) AS nxt,
+                          row_number() OVER (PARTITION BY e.word ORDER BY e.pos) AS rn,
+                          coalesce(e.sym = m.l AND
+                            lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) = m.r,
+                            FALSE) AS cand
+                   FROM enc e JOIN merges m ON m.rank = e.it + 1) q0) q1) q2) q3
+           WHERE NOT coalesce(prev_merged, FALSE)
+         )
+         SELECT sym AS token, sum(freq)::BIGINT AS n
+         FROM enc JOIN words USING (word)
+         WHERE it = (SELECT count(*) FROM merges)
+         GROUP BY 1 ORDER BY n DESC, token ASC""",
+
+    // precomputed expected merge sequence for the literal tie corpus
+    // (derivation in the Spark-side comment): the tie at n=5 resolves
+    // (a,b) before (c,d) by left ASC; the tie at n=1 resolves (ab,ab)
+    // before (cd,cd)
+    "x_bpe_merge_ties" ->
+      """SELECT * FROM (VALUES
+           (0, 'a', 'b', 5::BIGINT), (1, 'c', 'd', 5::BIGINT),
+           (2, 'ab', 'ab', 1::BIGINT), (3, 'cd', 'cd', 1::BIGINT))
+         AS t("rank", "left", "right", "n")""",
 
     "x_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -84,4 +84,62 @@ class BpeSpec extends SparkSpec {
     val m2 = Bpe.train(docs.repartition(13), numMerges = 3)
     assert(m1 == m2)
   }
+
+  test("encodeSymbols equals applyMerges on trained (well-formed) tables") {
+    // richer corpus than the worked example: random-ish words over a
+    // small alphabet generate deep multi-char merge chains
+    val words = (0 until 200).map { i =>
+      val cs = "abcde"
+      (0 to (i % 7) + 1).map(j => cs((i * 31 + j * 17) % cs.length)).mkString
+    }
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val merges = Bpe.train(docs, numMerges = 24, minCount = 1)
+    val table = merges.map(m => (m.left, m.right))
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val viaExpr = Seq(words).flatten.toDF("word")
+      .select(col("word"),
+        Bpe.applyMerges(Bpe.charSymbols(col("word")), table).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.distinct.foreach { w =>
+      val got = Bpe.encodeSymbols(w.split(""), ranks).toSeq
+      assert(got == viaExpr(w), s"word $w: $got != ${viaExpr(w)}")
+    }
+  }
+
+  test("encodeWordTable handles a 1.2k-entry table at constant plan depth") {
+    // doubling chain: rank 0 merges (a,b); rank r merges the rank-(r-1)
+    // symbol with itself — "ab"×512 collapses to ONE 1024-char token
+    // only if the chain applies strictly in rank order; the table is
+    // then padded to 1200 entries (production vocab size class), which
+    // must change nothing
+    val word = "ab" * 512
+    val chain = Bpe.Merge(0, "a", "b", 1L) +: (1 to 9).map { r =>
+      val s = "ab" * (1 << (r - 1))
+      Bpe.Merge(r, s, s, 1L)
+    }
+    val table = Bpe.padMerges(chain, 1200)
+    assert(table.length == 1200)
+    val out = Bpe.encodeWordTable(Seq(word, "zz").toDF("word"), table)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out(word) == Seq(word)) // fully merged through the chain
+    assert(out("zz") == Seq("z", "z")) // untouched by the table
+    // plan depth must not scale with table size: same node count as the
+    // bare 10-merge chain (the fold-expression encoder grows linearly)
+    def planNodes(ms: Seq[Bpe.Merge]): Int =
+      Bpe.encodeWordTable(Seq(word).toDF("word"), ms)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(table) == planNodes(chain))
+  }
+
+  test("padMerges entries are provably inert") {
+    val merges = Bpe.train(corpus, numMerges = 4)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val padded = Bpe.padMerges(merges, 1200)
+    assert(padded.length == 1200)
+    assert(padded.map(_.rank) == (0 until 1200))
+    val padRanks = padded.map(m => (m.left, m.right) -> m.rank).toMap
+    for (w <- Seq("lowest", "newest", "wider", "low"))
+      assert(Bpe.encodeSymbols(w.split(""), padRanks).toSeq ==
+        Bpe.encodeSymbols(w.split(""), ranks).toSeq)
+  }
 }
