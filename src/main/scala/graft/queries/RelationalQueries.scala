@@ -320,6 +320,19 @@ object RelationalQueries {
           col("event_type"), col("n"))
     }),
 
+    // ST-analog — rate-source intake accounting: ticks round-trip
+    // through the real binary JSON envelope encode + decode, then rows
+    // are accounted per 1-second micro-batch under the rowsPerSecond
+    // backpressure cap (Kafka maxOffsetsPerTrigger analogue). cap=97
+    // does not divide 5000, so the last batch is partial — the oracle
+    // pins per-batch admissions, decoded field arithmetic, and the
+    // within_cap bound from first principles (no JSON on its side:
+    // matching values prove the envelope round-trip preserved them).
+    "st_rate_intake" -> ((s, dir) =>
+      graft.streaming.StatusStreamPipeline.rateIntakeAccounting(
+        s, nTicks = 5000L, rowsPerSecond = 97, stations = 8,
+        epochStart = 1700000000L)),
+
     // date arithmetic cluster: add_months (calendar-clamped), date_add,
     // datediff (reference models/dimensions/dim_date.sql:12)
     "f_date_arith" -> ((s, dir) => {
@@ -828,6 +841,15 @@ object RelationalQueries {
                            - INTERVAL 30 MINUTES]) AS ws
                FROM events)
          GROUP BY 1, 2, 3""",
+
+    // first-principles twin of the envelope round-trip: tick v decodes
+    // to station 'st'||(v%8), bikes v%20, report−updated = v
+    "st_rate_intake" ->
+      """SELECT (v // 97)::BIGINT AS batch_id, count(*)::BIGINT AS n_admitted,
+         count(DISTINCT v % 8)::BIGINT AS n_stations,
+         sum(v % 20)::BIGINT AS sum_bikes,
+         count(*) <= 97 AS within_cap
+         FROM (SELECT unnest(range(0, 5000))::BIGINT AS v) GROUP BY 1""",
 
     "f_date_arith" ->
       """SELECT o_orderkey,

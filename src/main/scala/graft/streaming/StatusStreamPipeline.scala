@@ -56,10 +56,21 @@ object StatusStreamPipeline {
     */
   def rateSource(spark: SparkSession, rowsPerSecond: Int,
       stations: Int = 8): DataFrame =
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond.toString)
-      .load() // (timestamp, value)
-      .select(to_json(struct(
+    statusEnvelope(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString)
+        .load(), // (timestamp, value)
+      stations)
+
+  /** The rate-tick → station_status payload construction shared by the
+    * streaming [[rateSource]] and its batch analog
+    * [[rateIntakeAccounting]]: each (timestamp, value) tick becomes one
+    * JSON payload in the binary `data` envelope, deterministic in the
+    * tick value, with strictly increasing `last_reported` so event time
+    * advances like a live feed.
+    */
+  def statusEnvelope(ticks: DataFrame, stations: Int): DataFrame =
+    ticks.select(to_json(struct(
         unix_timestamp(col("timestamp")).as("last_updated"),
         lit(10).as("ttl"),
         lit("2.3").as("version"),
@@ -77,11 +88,11 @@ object StatusStreamPipeline {
             .as("last_reported"))).as("stations")).as("data")))
         .cast("binary").as("data"))
 
-  /** ST-clean (reference `clean_data`, `realtime_pubsub_to_spark.py:121-156`):
-    * bytes → JSON → explode stations → flatten + epoch→timestamp →
-    * watermark → stateful dedup.
+  /** Envelope decode: bytes → JSON → explode stations → flatten +
+    * epoch→timestamp. Works identically on streaming and batch frames —
+    * the testable half of [[clean]].
     */
-  def clean(payloads: DataFrame): DataFrame =
+  def decode(payloads: DataFrame): DataFrame =
     payloads
       .selectExpr("CAST(data AS STRING) AS json_payload")
       .select(from_json(col("json_payload"), GbfsSchemas.stationStatus).as("j"))
@@ -96,6 +107,41 @@ object StatusStreamPipeline {
         col("station.is_returning").as("is_returning"),
         timestamp_seconds(col("station.last_reported")).as("report_time"),
         col("last_updated"), col("ttl"), col("version"))
+
+  /** Batch analog of the rate-source intake path, oracle-paired as the
+    * `st_rate_intake` gate: synthesize the ticks the rate source would
+    * emit over `nTicks` at `rowsPerSecond` (the backpressure cap —
+    * Kafka's `maxOffsetsPerTrigger` analogue), round-trip them through
+    * the REAL binary-envelope encode + [[decode]], recover each tick
+    * from the decoded fields alone (value = last_reported −
+    * last_updated, proving the decode preserved both), and account
+    * rows per 1-second micro-batch. `within_cap` asserts the intake
+    * bound: no batch admits more than `rowsPerSecond` rows.
+    */
+  def rateIntakeAccounting(spark: SparkSession, nTicks: Long,
+      rowsPerSecond: Int, stations: Int, epochStart: Long): DataFrame = {
+    val ticks = spark.range(nTicks).select(
+      col("id").as("value"),
+      timestamp_seconds(
+        lit(epochStart) + (col("id") / rowsPerSecond).cast("long"))
+        .as("timestamp"))
+    val decoded = decode(statusEnvelope(ticks, stations))
+    decoded
+      .withColumn("tick",
+        unix_timestamp(col("report_time")) - col("last_updated"))
+      .groupBy((col("tick") / rowsPerSecond).cast("long").as("batch_id"))
+      .agg(
+        count(lit(1)).as("n_admitted"),
+        countDistinct(col("station_id")).as("n_stations"),
+        sum(col("bikes_available")).as("sum_bikes"),
+        (count(lit(1)) <= rowsPerSecond).as("within_cap"))
+  }
+
+  /** ST-clean (reference `clean_data`, `realtime_pubsub_to_spark.py:121-156`):
+    * [[decode]] → watermark → stateful dedup.
+    */
+  def clean(payloads: DataFrame): DataFrame =
+    decode(payloads)
       .withWatermark("report_time", WatermarkDelay)
       // dropDuplicatesWithinWatermark, not dropDuplicates: state is
       // guaranteed evicted once the watermark passes an entry's event
