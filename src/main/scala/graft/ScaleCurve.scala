@@ -21,6 +21,39 @@ object ScaleCurve {
   private val DocStep = 10000000L // twin offset 1e9 still clears 10 copies
   private val VecStep = 100000L   // twin offset 1e6 still clears 10 copies
 
+  /** Materialize (or reuse) the `mult`× derived corpus under
+    * `workDir/x{mult}` — shared by the curve run and `NeardupProbe`'s
+    * multi-point stage decomposition. Deterministic in (sfDir, mult).
+    */
+  def buildCorpus(spark: SparkSession, sfDir: String, mult: Int,
+      workDir: String, reuse: Boolean): String = {
+    val bigDir = s"$workDir/x$mult"
+    val built = new java.io.File(s"$bigDir/embeddings.parquet").exists()
+    if (reuse && built) return bigDir
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    (0 until mult).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * DocStep)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    (0 until mult).map { k =>
+      if (k == 0) embs
+      else embs.select(
+        (col("vec_id") + lit(k * VecStep)).as("vec_id"),
+        concat(
+          slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+          slice(col("embedding"), lit(1), lit(k))).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    bigDir
+  }
+
   private def timeQuery(spark: SparkSession, dir: String,
       fn: (SparkSession, String) => DataFrame, runs: Int = 3): Double = {
     fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
@@ -48,31 +81,7 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val bigDir = s"$workDir/x$mult"
-    val built = new java.io.File(s"$bigDir/embeddings.parquet").exists()
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    val embs = graft.sources.Tables.embeddings(spark, sfDir)
-    if (!(reuse && built)) {
-    (0 until mult).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * DocStep)).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit(s"_$k")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
-    (0 until mult).map { k =>
-      if (k == 0) embs
-      else embs.select(
-        (col("vec_id") + lit(k * VecStep)).as("vec_id"),
-        concat(
-          slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
-          slice(col("embedding"), lit(1), lit(k))).as("embedding"),
-        col("label"))
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
-    }
+    val bigDir = buildCorpus(spark, sfDir, mult, workDir, reuse)
 
     val allNames = Seq("x_ngram_jaccard", "x_minhash_candidates", "x_simhash",
       "x_multimodal_dedup", "x_embed_dup_pairs", "x_cosine_ann_lsh",
