@@ -8,8 +8,8 @@ protocol is fixed here, in-repo, and BASELINE.md cites this script:
 
   * views over the scale-factor parquet (same as tools/compare.py)
   * threads = cpu count (matches Spark's local[32])
-  * one full untimed warm-up pass (page cache + catalog warm, matching
-    Bench.scala's warm-up pass)
+  * TWO full untimed warm-up passes (page cache + catalog warm,
+    matching Bench.scala's two warm-up passes)
   * 5 timed passes, pass-major order (same as Bench.scala)
   * per-query estimator = 2nd-smallest of 5 (identical to Bench.scala's
     trimmedMedian), plus min; totals for both. NaN runs (query error)
@@ -23,6 +23,7 @@ Usage: python3 tools/duckdb_baseline.py <sfDir> <verifyOutDir> [out.json]
 """
 import json
 import os
+import re
 import sys
 import time
 
@@ -52,7 +53,8 @@ def main(sf_dir, out_dir, out_path="/tmp/duckdb_baseline.json"):
                     print(f"[ERR] {n}: {e}", file=sys.stderr)
         return times
 
-    run_pass(timed=False)  # warm-up
+    run_pass(timed=False)  # warm-up x2, symmetric with Bench.scala
+    run_pass(timed=False)
     passes = [run_pass(timed=True) for _ in range(5)]
     detail = {}
     errors = []
@@ -78,11 +80,16 @@ def main(sf_dir, out_dir, out_path="/tmp/duckdb_baseline.json"):
               "estimator": "2nd-smallest-of-5 (Bench.scala trimmedMedian)",
               "median_total": med_total, "min_total": min_total,
               "errors": errors, "queries": detail}
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
+    # SF-stamped committable artifact alongside the requested path, so
+    # a smoke-scale run can never clobber the sf0.1 headline artifact
+    # (mirrors Bench.scala's bench_{sfTag}.json)
+    sf_tag = re.sub(r"[^A-Za-z0-9.]", "_", os.path.basename(sf_dir.rstrip("/")))
+    for path in (out_path, f"duckdb_baseline_{sf_tag}.json"):
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
     print(f"duckdb {duckdb.__version__} threads={os.cpu_count()} "
           f"queries={len(names)} median_total={med_total} "
-          f"min_total={min_total} -> {out_path}")
+          f"min_total={min_total} -> {out_path} + duckdb_baseline_{sf_tag}.json")
 
 
 if __name__ == "__main__":
