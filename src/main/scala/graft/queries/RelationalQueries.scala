@@ -248,13 +248,17 @@ object RelationalQueries {
         timestamp_seconds(epochSeconds(col("ts"))).as("ts_roundtrip"))
     }),
 
-    // JSON extraction (reference models/staging/stg_station_information.sql:26-37)
+    // JSON extraction (reference models/staging/stg_station_information.sql:26-37).
+    // json_tuple parses the JSON string ONCE per row for all extracted
+    // paths — two get_json_object calls on the same column each re-parse.
     "f_json_extract" -> ((s, dir) => {
-      Tables.events(s, dir).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
-        get_json_object(col("props"), "$.missing").as("absent"))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          json_tuple(col("props"), "k", "missing").as(Seq("_k", "absent")))
+        .select(col("event_id"),
+          col("_k").as("k_str"),
+          col("_k").cast("long").as("k_num"),
+          col("absent"))
     }),
 
     // G2 — UNNEST(json_extract_array(...)): parse a JSON array string and
