@@ -190,6 +190,59 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
 }
 
+/** DEFLATE compression ratio of a string column: compressed bytes /
+  * raw UTF-8 bytes (empty string → 1.0). The classic corpus-quality
+  * signal — boilerplate, template spam, and repeated n-grams compress
+  * far better than fluent prose, so a low ratio flags machine-generated
+  * or degenerate documents (used alongside the Gopher rules; see
+  * `TextAnalysis.compressionRatio`).
+  *
+  * One `java.util.zip.Deflater` (raw/nowrap, default level) and one 8 KiB
+  * scratch buffer are kept per executor THREAD and reset per row —
+  * allocating the native zlib stream per row would dominate the cost.
+  * Only the compressed SIZE is kept; output bytes are discarded as they
+  * stream through the scratch buffer, so memory stays O(8 KiB) per
+  * thread no matter how large the document. Deterministic for a fixed
+  * zlib level across rows/retries on the same JVM; gate oracles pin
+  * bounds and orderings (which are zlib-version-stable), never raw
+  * byte counts.
+  */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  @transient private lazy val deflaters =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+    }
+  @transient private lazy val scratch =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](8192)
+    }
+
+  def computeDouble(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = deflaters.get()
+    val buf = scratch.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed.toDouble / raw.length
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(computeDouble(input.asInstanceOf[UTF8String]))
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.computeDouble($c)"
+  override protected def withNewChildInternal(c: Expression): DeflateRatio = copy(child = c)
+}
+
 /** Marker-profile language ID over an array<string> token column: one
   * pass over the tokens incrementing per-language marker counts, then
   * argmax with (score, language-code) tie-break — identical semantics to
@@ -434,6 +487,7 @@ object native {
   def minhashSignature(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rollingHash64(tokens: Column): Column = c(RollingHash64(e(tokens)))
+  def deflateRatio(text: Column): Column = c(DeflateRatio(e(text)))
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
     c(SignSketches(e(vec), nTables, nBits))

@@ -79,6 +79,18 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     graft.expr.native.rollingHash64(tokens(text))
 
+  /** DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes,
+    * empty → 1.0): the compressibility quality signal — boilerplate,
+    * template spam, and looped n-grams compress far better than fluent
+    * prose, so a LOW ratio flags degenerate documents (complements
+    * [[repetitionRatio]], which only sees exact token repeats; deflate
+    * also catches long-range and sub-token repetition). Native
+    * codegen'd expression, one thread-local zlib stream — the 100 TB
+    * path is scan → ratio → filter, no shuffle.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.expr.native.deflateRatio(text)
+
   /** Within-document repetition: fraction of tokens that are repeats of
     * an earlier token (Gopher-style repetition signal — high values mean
     * keyword-stuffing / boilerplate loops). Pure expressions, no shuffle.

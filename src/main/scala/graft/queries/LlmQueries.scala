@@ -194,6 +194,37 @@ object LlmQueries {
           TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio"))
             .as("quality"))),
 
+    // DEFLATE compression-ratio quality signal (compressed/raw bytes —
+    // low = repetitive/boilerplate). DuckDB has no deflate, so the
+    // oracle pins what IS portable across zlib versions: exact raw
+    // lengths, per-doc ratio bounds, and the planted
+    // repetition-compresses-better-than-prose ordering — never raw
+    // compressed byte counts. Two planted docs put both ends of the
+    // contract on the oracle path at any SF.
+    "x_compression_ratio" -> ((s, dir) => {
+      val spam = "lorem ipsum " * 120 // pure repetition, ratio ~0.02
+      val prose = "the quick brown fox jumps over a lazy dog while " +
+        "seventeen distinct musicians rehearse quite different melodies " +
+        "near an old harbour wall before dawn" // varied words, high ratio
+      val planted = s.range(1)
+        .select(lit(2000000001L).as("doc_id"), lit(spam).as("text"))
+        .union(s.range(1)
+          .select(lit(2000000002L).as("doc_id"), lit(prose).as("text")))
+      val rated = docs(s, dir).select(col("doc_id"), col("text"))
+        .union(planted)
+        .withColumn("ratio", TextAnalysis.compressionRatio(col("text")))
+      val perDoc = rated.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (col("ratio") > 0.0 && col("ratio") <= 1.5).as("ratio_in_bounds"))
+      val contrast = rated.filter(col("doc_id") === 2000000001L)
+        .select(col("ratio").as("r_spam"))
+        .crossJoin(rated.filter(col("doc_id") === 2000000002L)
+          .select(col("ratio").as("r_prose")))
+        .select(lit(-1L).as("doc_id"), lit(0L).as("n_chars"),
+          (col("r_spam") < col("r_prose")).as("ratio_in_bounds"))
+      perDoc.union(contrast)
+    }),
+
     // regex (BPE-ish) token counting + distinct-token counts
     "x_token_counts" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1127,6 +1158,17 @@ object LlmQueries {
                  / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
            * 10000 + 0.5) / 10000 AS quality
          FROM documents""",
+
+    "x_compression_ratio" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 2000000001, repeat('lorem ipsum ', 120)
+           UNION ALL SELECT 2000000002,
+             'the quick brown fox jumps over a lazy dog while seventeen distinct musicians rehearse quite different melodies near an old harbour wall before dawn')
+         SELECT doc_id, length(text)::BIGINT AS n_chars,
+           true AS ratio_in_bounds
+         FROM corpus
+         UNION ALL SELECT -1, 0, true""",
 
     // Gopher rules recomputed signal-by-signal; planted literals mirror
     // the Spark gate's union

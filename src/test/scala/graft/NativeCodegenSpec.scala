@@ -30,14 +30,15 @@ class NativeCodegenSpec extends SparkSpec {
   private val profiles = Seq(
     "en" -> Seq("the", "over", "lazy"), "fr" -> Seq("le", "est", "sur"))
 
-  /** All nine expressions in one projection over one narrow scan. */
+  /** All ten expressions in one projection over one narrow scan. */
   private def allExprs(): DataFrame = {
     val base = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", Array(1.0, 0.0, 2.0, -1.0)),
       (1L, "the quick brown fox jumps over the lazy dog", Array(0.5, 0.25, -0.75, 1.5)),
       (2L, "a b", Array(0.0, 0.0, 0.0, 0.0)),
       (3L, "x", Array(3.0, -2.0, 0.5, 0.125)),
-      (4L, "le chat est sur le tapis et le chien dort", Array(-1.0, 4.0, 0.25, 2.0))
+      (4L, "le chat est sur le tapis et le chien dort", Array(-1.0, 4.0, 0.25, 2.0)),
+      (5L, "", Array(0.25, 0.25, 0.25, 0.25))
     ).toDF("id", "text", "vec").repartition(2)
     val toks = split(col("text"), " ")
     base.select(
@@ -50,7 +51,8 @@ class NativeCodegenSpec extends SparkSpec {
       native.countInSet(toks, Seq("the", "le", "a")).as("cnt"),
       native.arrayDot(col("vec"), col("vec")).as("dot"),
       native.signSketches(col("vec"), 4, 12).as("sk"),
-      native.nearestCentroids(col("vec"), centroids, 2).as("nc"))
+      native.nearestCentroids(col("vec"), centroids, 2).as("nc"),
+      native.deflateRatio(col("text")).as("dr"))
   }
 
   test("generated code matches interpreted eval bit-for-bit") {

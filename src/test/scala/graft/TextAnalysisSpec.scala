@@ -215,6 +215,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(3L) && got.size == 3)
   }
 
+  test("compressionRatio: repetition compresses below prose, empty is 1.0") {
+    val df = Seq(
+      (0L, "lorem ipsum " * 120),                       // pure repetition
+      (1L, "the quick brown fox jumps over a lazy dog " +
+        "while seventeen distinct musicians rehearse"), // varied prose
+      (2L, ""),                                         // empty → 1.0 by contract
+      (3L, "a"))                                        // tiny: deflate overhead > raw
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) < 0.1, s"repetitive doc should compress hard: ${got(0L)}")
+    assert(got(1L) > got(0L) * 5, s"prose must compress far worse: ${got(1L)}")
+    assert(got(1L) <= 1.5)
+    assert(got(2L) == 1.0)
+    assert(got(3L) >= 1.0) // incompressible single byte pays header overhead
+  }
+
   test("qualityScore favors longer, content-heavy docs") {
     val df = Seq(
       (0L, Seq.fill(120)("word").mkString(" ")),
