@@ -739,12 +739,21 @@ object LlmQueries {
     // the tighter distributional check lives in the ScalaTest spec.)
     // At 100 TB the approx path is a map-side sketch merge; the exact
     // path is a full distinct shuffle.
+    // distinct-first formulation: reduce to the distinct (source, word)
+    // set in one shuffle with map-side partial distincts, then count and
+    // sketch THAT set. HLL sketches are duplicate-insensitive, so
+    // approx_count_distinct over the distinct set is bit-identical to
+    // running it over the full occurrence stream — but the mixed
+    // distinct+non-distinct aggregate this replaces made Spark Expand
+    // the exploded token stream to 2 rows per token before any
+    // reduction.
     "x_approx_vocab" -> ((s, dir) =>
       docs(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .distinct()
         .groupBy("source")
         .agg(
-          countDistinct(col("word")).as("exact_words"),
+          count(lit(1)).as("exact_words"),
           approx_count_distinct(col("word"), 0.02).as("approx_words"))
         .select(col("source"), col("exact_words"),
           (abs(col("approx_words") - col("exact_words")).cast("double") /
