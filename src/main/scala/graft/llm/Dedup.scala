@@ -290,6 +290,117 @@ object Dedup {
           s => s.getField("line"))).as(textCol))
   }
 
+  // ------------------------------------------------- exact substring dedup
+
+  /** Positioned token k-grams, hashed: (id, pos, gh) with pos 1-based.
+    * The 8-byte hash — not the gram text — is what shuffles.
+    */
+  private def positionedGrams(df: DataFrame, k: Int, textCol: String,
+      idCol: String): DataFrame =
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .filter(size(col("_toks")) >= k)
+      .select(col(idCol).as("id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(_toks) - ${k - 1}), " +
+            s"i -> xxhash64(array_join(slice(_toks, i, $k), ' ')))")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+
+  /** Token k-gram hashes occurring in more than `maxDocs` distinct
+    * documents — the cross-document repeated-substring alphabet.
+    */
+  private def repeatedGramHashes(grams: DataFrame, maxDocs: Long): DataFrame =
+    grams.select("id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("gram_docs"))
+      .filter(col("gram_docs") > maxDocs)
+      .select("gh")
+
+  /** Exact substring deduplication signals (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): token
+    * k-grams repeating ACROSS documents, coalesced per document into
+    * maximal repeated spans, reported as per-doc span statistics.
+    *
+    * The paper builds one corpus-wide suffix array — inherently
+    * single-machine. The Spark-shaped equivalent of the same ≥k-token
+    * repeat signal: positioned k-gram hashes (map-side, 8-byte keys) →
+    * ONE hash-shuffle for document frequency → join back → per-document
+    * gaps-and-islands merge (two window passes over in-doc positions;
+    * partition key = doc, so the window never sees more rows than the
+    * longest document). Everything is linear in corpus tokens; nothing
+    * global is sorted.
+    *
+    * Span semantics: flagged positions p, q (p < q) coalesce into one
+    * span when q - p <= k (their k-gram occurrences overlap or are
+    * adjacent); a span starting at p with last flagged hit m covers
+    * tokens [p, m + k). Docs with no repeated span report zeros.
+    *
+    * Output: (doc_id, n_tokens, n_spans, dup_tokens, dup_token_frac);
+    * docs shorter than k tokens are excluded (no k-gram exists).
+    */
+  def repeatedSpans(df: DataFrame, k: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id", maxDocs: Long = 1L): DataFrame = {
+    require(k >= 2, s"k-gram length must be >= 2, got $k")
+    val grams = positionedGrams(df, k, textCol, idCol)
+    val flagged = grams.join(repeatedGramHashes(grams, maxDocs), Seq("gh"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("_new", when(
+        col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_island"))
+      .agg((max(col("pos")) + k - min(col("pos"))).as("span_tokens"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= k)
+      .join(spans, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        roundDet(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_token_frac"))
+  }
+
+  /** Remove cross-document repeated spans, rebuilding each document from
+    * its un-flagged tokens in original order (the destructive form of
+    * [[repeatedSpans]] — both copies of a repeated span are cut, the
+    * conservative crawl-cleaning choice; a doc that is entirely repeated
+    * text disappears). Span coverage is reconstructed per document from
+    * the island aggregates, so the join back to token positions carries
+    * only (start, end) pairs, never exploded coverage rows.
+    */
+  def dropRepeatedSpans(df: DataFrame, k: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id", maxDocs: Long = 1L): DataFrame = {
+    require(k >= 2, s"k-gram length must be >= 2, got $k")
+    val grams = positionedGrams(df, k, textCol, idCol)
+    val flagged = grams.join(repeatedGramHashes(grams, maxDocs), Seq("gh"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // per-doc array of [start, end) spans (bounded by tokens-per-doc)
+    val spans = flagged
+      .withColumn("_new", when(
+        col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + k).cast("long").as("e"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .join(spans, col(idCol) === spans("id"), "left")
+      .withColumn("_kept", filter(
+        transform(col("_toks"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
+        s => !exists(coalesce(col("_spans"),
+            array().cast("array<struct<s:long,e:long>>")),
+          sp => s.getField("p") >= sp.getField("s") &&
+            s.getField("p") < sp.getField("e"))))
+      .filter(size(col("_kept")) > 0)
+      .select(col(idCol),
+        concat_ws(" ", transform(col("_kept"), s => s.getField("t")))
+          .as(textCol))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over

@@ -24,6 +24,30 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** Corpus for the exact-substring gates: documents plus four planted
+    * docs exercising both span shapes (a shared 10-token run in distinct
+    * contexts → overlapping 8-grams must merge into one span; a two-run
+    * pair separated by > k tokens → must stay two islands). The oracle
+    * SQL inlines the same four literals.
+    */
+  private def substringCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shared = "graftshared boilerplate disclaimer clause repeated " +
+      "verbatim across cooperating downstream mirrors"
+    val run1 =
+      "runalpha runbeta rungamma rundelta runeps runzeta runeta runtheta"
+    val run2 = "tailone tailtwo tailthree tailfour tailfive tailsix " +
+      "tailseven taileight"
+    val planted = Seq(
+      (1000000004L, s"premist alpha uno dos $shared omega finis"),
+      (1000000005L, s"trestle bravo tres $shared coda tailword ultimo"),
+      (1000000006L, s"$run1 midc1 midc2 midc3 midc4 midc5 midc6 midc7 " +
+        s"midc8 midc9 $run2"),
+      (1000000007L, s"$run1 midd1 midd2 midd3 midd4 midd5 midd6 midd7 " +
+        s"midd8 midd9 $run2")).toDF("doc_id", "text")
+    docs(s, dir).select(col("doc_id"), col("text")).union(planted)
+  }
+
   /** Twin id for planted-duplicate oracle constructions: id + offset, with
     * a codegen'd per-row guard that real ids stay BELOW the offset — a
     * genuine id at or above it would let a planted twin collide with a
@@ -775,6 +799,25 @@ object LlmQueries {
       Dedup.dropCommonLines(docs(s, dir).select(col("doc_id"),
         concat(col("text"), lit(". the common footer line. unique marker "),
           col("doc_id").cast("string")).as("text")))
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"))),
+
+    // EXACT SUBSTRING dedup (Lee et al. 2022 suffix-array signal,
+    // re-expressed as one doc-frequency shuffle over positioned 8-gram
+    // hashes + a per-doc gaps-and-islands merge). Planted pairs put
+    // both span shapes on the oracle path at any SF: a shared 10-token
+    // run inside distinct contexts (3 overlapping 8-grams must coalesce
+    // into ONE span) and a two-run pair whose shared runs sit > k apart
+    // (must stay TWO islands).
+    "x_substring_dedup" -> ((s, dir) =>
+      Dedup.repeatedSpans(substringCorpus(s, dir), k = 8)),
+
+    // the destructive form: both copies of every cross-doc repeated
+    // span are cut and each doc is rebuilt from its surviving tokens
+    // in order (hash-compared; exact-duplicate docs vanish entirely —
+    // every 8-gram repeats — putting the disappearing-doc edge on the
+    // oracle path via the corpus's planted exact dups)
+    "x_substring_removal" -> ((s, dir) =>
+      Dedup.dropRepeatedSpans(substringCorpus(s, dir), k = 8)
         .select(col("doc_id"), md5(col("text")).as("clean_hash"))),
 
     // END-TO-END near-dup removal (MinHash candidates → exact Jaccard
@@ -1642,6 +1685,84 @@ object LlmQueries {
          SELECT doc_id,
            md5(string_agg(line, '. ' ORDER BY pos)) AS clean_hash
          FROM l JOIN keep USING (line) GROUP BY doc_id""",
+
+    // exact-substring dedup replayed on gram TEXT (the engine shuffles
+    // 8-byte hashes; grouping by the gram string is semantics-identical)
+    "x_substring_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 1000000004, 'premist alpha uno dos graftshared boilerplate disclaimer clause repeated verbatim across cooperating downstream mirrors omega finis'
+           UNION ALL SELECT 1000000005, 'trestle bravo tres graftshared boilerplate disclaimer clause repeated verbatim across cooperating downstream mirrors coda tailword ultimo'
+           UNION ALL SELECT 1000000006, 'runalpha runbeta rungamma rundelta runeps runzeta runeta runtheta midc1 midc2 midc3 midc4 midc5 midc6 midc7 midc8 midc9 tailone tailtwo tailthree tailfour tailfive tailsix tailseven taileight'
+           UNION ALL SELECT 1000000007, 'runalpha runbeta rungamma rundelta runeps runzeta runeta runtheta midd1 midd2 midd3 midd4 midd5 midd6 midd7 midd8 midd9 tailone tailtwo tailthree tailfour tailfive tailsix tailseven taileight'),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         g AS (SELECT doc_id,
+             unnest(range(1, len(toks) - 6)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS gram
+           FROM tok WHERE len(toks) >= 8),
+         rep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                 GROUP BY gram HAVING count(*) > 1),
+         fl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS newf
+           FROM g JOIN rep USING (gram)),
+         isl AS (SELECT doc_id, pos,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM fl),
+         sp AS (SELECT doc_id, island, max(pos) + 8 - min(pos)
+                  AS span_tokens
+                FROM isl GROUP BY 1, 2),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+                   sum(span_tokens)::BIGINT AS dup_tokens
+                 FROM sp GROUP BY 1)
+         SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+           floor(coalesce(a.dup_tokens, 0)::DOUBLE / len(t.toks)
+             * 10000 + 0.5) / 10000 AS dup_token_frac
+         FROM tok t LEFT JOIN agg a USING (doc_id)
+         WHERE len(t.toks) >= 8""",
+
+    // destructive exact-substring removal: uncovered tokens rejoined in
+    // order, hash-compared (docs whose every token is covered vanish)
+    "x_substring_removal" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 1000000004, 'premist alpha uno dos graftshared boilerplate disclaimer clause repeated verbatim across cooperating downstream mirrors omega finis'
+           UNION ALL SELECT 1000000005, 'trestle bravo tres graftshared boilerplate disclaimer clause repeated verbatim across cooperating downstream mirrors coda tailword ultimo'
+           UNION ALL SELECT 1000000006, 'runalpha runbeta rungamma rundelta runeps runzeta runeta runtheta midc1 midc2 midc3 midc4 midc5 midc6 midc7 midc8 midc9 tailone tailtwo tailthree tailfour tailfive tailsix tailseven taileight'
+           UNION ALL SELECT 1000000007, 'runalpha runbeta rungamma rundelta runeps runzeta runeta runtheta midd1 midd2 midd3 midd4 midd5 midd6 midd7 midd8 midd9 tailone tailtwo tailthree tailfour tailfive tailsix tailseven taileight'),
+         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         g AS (SELECT doc_id,
+             unnest(range(1, len(toks) - 6)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+               AS gram
+           FROM tok WHERE len(toks) >= 8),
+         rep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                 GROUP BY gram HAVING count(*) > 1),
+         fl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS newf
+           FROM g JOIN rep USING (gram)),
+         isl AS (SELECT doc_id, pos,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM fl),
+         sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+                FROM isl GROUP BY 1, 2),
+         tokpos AS (SELECT doc_id,
+             unnest(toks) AS tokn,
+             unnest(range(1, len(toks) + 1)) AS p
+           FROM tok),
+         kept AS (SELECT tp.doc_id, tp.tokn, tp.p FROM tokpos tp
+           WHERE NOT EXISTS (SELECT 1 FROM sp
+             WHERE sp.doc_id = tp.doc_id AND tp.p >= sp.s AND tp.p < sp.e))
+         SELECT doc_id, md5(string_agg(tokn, ' ' ORDER BY p)) AS clean_hash
+         FROM kept GROUP BY doc_id""",
 
     // canonical-fingerprint recomputation of the triplet survivor set:
     // min id per identical distinct-shingle-set class

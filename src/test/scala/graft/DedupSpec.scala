@@ -174,4 +174,44 @@ class DedupSpec extends SparkSpec {
     assert(keys.contains((0L, 1L)))
     assert(!keys.contains((0L, 3L)))
   }
+
+  test("repeatedSpans merges overlapping cross-doc k-gram hits into islands") {
+    val df = Seq(
+      // A and B share the 6-token run s1..s6 (3 overlapping 4-grams → 1 span)
+      (0L, "u1 u2 s1 s2 s3 s4 s5 s6 v1 v2"),
+      (1L, "w1 w2 w3 s1 s2 s3 s4 s5 s6 x1 x2 x3"),
+      // C is unrelated: zero spans, frac 0
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // D and E share two runs separated by a > k gap → 2 islands
+      (3L, "p1 p2 p3 p4 m1 m2 m3 m4 m5 t1 t2 t3 t4"),
+      (4L, "p1 p2 p3 p4 z1 z2 z3 z4 z5 t1 t2 t3 t4"),
+      // shorter than k tokens: excluded entirely
+      (5L, "short doc")).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpans(df, k = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> (x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("n_spans"), x.getAs[Long]("dup_tokens"),
+        x.getAs[Double]("dup_token_frac"))).toMap
+    assert(r(0L) == (10L, 1L, 6L, 0.6))
+    assert(r(1L) == (12L, 1L, 6L, 0.5))
+    assert(r(2L) == (10L, 0L, 0L, 0.0))
+    assert(r(3L) == (13L, 2L, 8L, 0.6154))
+    assert(r(4L) == (13L, 2L, 8L, 0.6154))
+    assert(!r.contains(5L))
+  }
+
+  test("dropRepeatedSpans cuts both copies; an all-repeated doc disappears") {
+    val df = Seq(
+      (0L, "u1 u2 s1 s2 s3 s4 s5 s6 v1 v2"),
+      (1L, "w1 w2 w3 s1 s2 s3 s4 s5 s6 x1 x2 x3"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // F == G: every token is inside the one repeated span
+      (3L, "q1 q2 q3 q4 q5 q6"),
+      (4L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val cleaned = Dedup.dropRepeatedSpans(df, k = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    assert(cleaned(0L) == "u1 u2 v1 v2")
+    assert(cleaned(1L) == "w1 w2 w3 x1 x2 x3")
+    assert(cleaned(2L) == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    assert(!cleaned.contains(3L) && !cleaned.contains(4L))
+  }
 }
