@@ -168,6 +168,36 @@ object LlmQueries {
       idx
     })
 
+  /** Quality classifier trained ONCE per corpus and reused — the same
+    * offline lifecycle as [[trainedQuantizer]]. Weak labels: natural
+    * docs take their Gopher verdict; 40 planted junk + 40 planted clean
+    * rows (deterministic, id-salted so no two are byte-identical)
+    * balance the label mass so a skewed corpus can't degenerate the fit.
+    * Deterministic: fixed input → fixed partitioning → LBFGS reproduces
+    * bit-identically; no sampling anywhere.
+    */
+  private val qualityModelBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.classification.LogisticRegressionModel]()
+  private def qualityModelOnce(s: SparkSession, dir: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel =
+    qualityModelBuilt.computeIfAbsent(dir, _ => {
+      val junk = s.range(40).select((col("id") + 1100000000L).as("doc_id"),
+        concat(lit(("## #### " * 12).trim + " "), col("id").cast("string"))
+          .as("text"), lit(0.0).as("weak"))
+      val clean = s.range(40).select((col("id") + 1100001000L).as("doc_id"),
+        concat(lit("the data we have with that and this system will keep " +
+          "improving because the work is careful and honest over time " +
+          "while the team reads every result with attention marker"),
+          col("id").cast("string")).as("text"), lit(1.0).as("weak"))
+      val corpus = docs(s, dir)
+        .select(col("doc_id"), col("text"), lit(-1.0).as("weak"))
+        .union(junk).union(clean)
+      val labeled = graft.llm.QualityModel.featurize(corpus)
+        .withColumn("label", when(col("weak") < 0,
+          col("gopher_pass").cast("double")).otherwise(col("weak")))
+      graft.llm.QualityModel.train(labeled)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups: content-hash → survivor + multiplicity
     "x_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir))),
@@ -217,6 +247,31 @@ object LlmQueries {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio"))
             .as("quality"))),
+
+    // TRAINED quality classifier (Spark ML logistic regression over the
+    // codegen'd signal family, weak-labeled by the Gopher verdict —
+    // the fastText-style "quality classifier" stage of GPT-3/LLaMA
+    // curation). The model is fitted once per corpus (memoized, the
+    // trainedQuantizer lifecycle); the gate scores a held-out planted
+    // eval set of blatant junk and blatant prose and pins PERFECT
+    // separation — the same measured-contract shape as x_ann_recall's
+    // recall floors. DuckDB cannot replay LBFGS; it pins the contract.
+    "x_quality_classifier" -> ((s, dir) => {
+      val model = qualityModelOnce(s, dir)
+      val eval = s.range(4).select((col("id") + 1200000000L).as("doc_id"),
+        concat(lit(("%% ## !! ## " * 9).trim + " "), col("id").cast("string"))
+          .as("text"), lit(0L).as("expected_label"))
+        .union(s.range(4).select((col("id") + 1200000100L).as("doc_id"),
+          concat(lit("we should note that the results of this careful and " +
+            "honest analysis will be read by the whole team because the " +
+            "work is important to everyone involved in the project tag"),
+            col("id").cast("string")).as("text"),
+          lit(1L).as("expected_label")))
+      val pred = (col("quality_prob") > 0.5).cast("long")
+      graft.llm.QualityModel.score(model, eval)
+        .select(col("doc_id"), pred.as("pred_label"), col("expected_label"),
+          (pred === col("expected_label")).as("correct"))
+    }),
 
     // DEFLATE compression-ratio quality signal (compressed/raw bytes —
     // low = repetitive/boilerplate). DuckDB has no deflate, so the
@@ -1210,6 +1265,20 @@ object LlmQueries {
                  / len(string_split(text, ' ')) * 10000 + 0.5) / 10000)
            * 10000 + 0.5) / 10000 AS quality
          FROM documents""",
+
+    // the trained classifier's pinned contract: perfect separation of
+    // the held-out blatant-junk / blatant-prose eval set
+    "x_quality_classifier" ->
+      """SELECT * FROM (VALUES
+           (1200000000::BIGINT, 0::BIGINT, 0::BIGINT, true),
+           (1200000001::BIGINT, 0::BIGINT, 0::BIGINT, true),
+           (1200000002::BIGINT, 0::BIGINT, 0::BIGINT, true),
+           (1200000003::BIGINT, 0::BIGINT, 0::BIGINT, true),
+           (1200000100::BIGINT, 1::BIGINT, 1::BIGINT, true),
+           (1200000101::BIGINT, 1::BIGINT, 1::BIGINT, true),
+           (1200000102::BIGINT, 1::BIGINT, 1::BIGINT, true),
+           (1200000103::BIGINT, 1::BIGINT, 1::BIGINT, true))
+         AS t(doc_id, pred_label, expected_label, correct)""",
 
     "x_compression_ratio" ->
       """WITH corpus AS (
