@@ -295,10 +295,13 @@ object LlmQueries {
       val perDoc = rated.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         (col("ratio") > 0.0 && col("ratio") <= 1.5).as("ratio_in_bounds"))
+      // global aggregates so each side is a PROVABLY ≤1-row scalar
+      // attach (Aggregate.maxRows == 1) — the planted ids are unique by
+      // construction, but a bare filter can't show that to the planner
       val contrast = rated.filter(col("doc_id") === 2000000001L)
-        .select(col("ratio").as("r_spam"))
+        .agg(max(col("ratio")).as("r_spam"))
         .crossJoin(rated.filter(col("doc_id") === 2000000002L)
-          .select(col("ratio").as("r_prose")))
+          .agg(max(col("ratio")).as("r_prose")))
         .select(lit(-1L).as("doc_id"), lit(0L).as("n_chars"),
           (col("r_spam") < col("r_prose")).as("ratio_in_bounds"))
       perDoc.union(contrast)
