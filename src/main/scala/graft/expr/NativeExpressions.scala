@@ -476,6 +476,52 @@ case class NearestCentroids(child: Expression,
     copy(child = c)
 }
 
+/** Positioned token k-gram hashes: element i (0-based) is a 64-bit
+  * order-sensitive hash of tokens [i, i+k); empty when the doc has
+  * fewer than k tokens. Each token is xxhash64'd ONCE, then each
+  * k-gram chains the per-token hashes through `mix64` — one pass with
+  * zero string allocation, replacing the CodegenFallback
+  * transform(slice → array_join → xxhash64) tree that builds a joined
+  * k-token string per position. The value is only ever an internal
+  * grouping key (the oracle twin groups by the gram TEXT), so the hash
+  * convention is free to favor speed over compatibility.
+  */
+case class TokenKgramHashes(child: Expression, k: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_kgram_hashes"
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val count = n - k + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = hashing.hashString(toks.getUTF8String(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < k) { h = hashing.mix64(h ^ th(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): TokenKgramHashes =
+    copy(child = c)
+}
+
 /** Column-level API over the native expressions. */
 object native {
   private def e(c: Column): Expression =
@@ -487,6 +533,8 @@ object native {
   def minhashSignature(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rollingHash64(tokens: Column): Column = c(RollingHash64(e(tokens)))
+  def tokenKgramHashes(tokens: Column, k: Int): Column =
+    c(TokenKgramHashes(e(tokens), k))
   def deflateRatio(text: Column): Column = c(DeflateRatio(e(text)))
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =

@@ -293,16 +293,16 @@ object Dedup {
   // ------------------------------------------------- exact substring dedup
 
   /** Positioned token k-grams, hashed: (id, pos, gh) with pos 1-based.
-    * The 8-byte hash — not the gram text — is what shuffles.
+    * The 8-byte hash — not the gram text — is what shuffles; the hashes
+    * come from the native one-pass [[graft.expr.TokenKgramHashes]]
+    * (zero string allocation, codegen'd).
     */
   private def positionedGrams(df: DataFrame, k: Int, textCol: String,
       idCol: String): DataFrame =
     df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
       .filter(size(col("_toks")) >= k)
       .select(col(idCol).as("id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(_toks) - ${k - 1}), " +
-            s"i -> xxhash64(array_join(slice(_toks, i, $k), ' ')))")))
+        posexplode(graft.expr.native.tokenKgramHashes(col("_toks"), k)))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
 
   /** Token k-gram hashes occurring in more than `maxDocs` distinct

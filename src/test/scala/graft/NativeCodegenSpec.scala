@@ -30,7 +30,7 @@ class NativeCodegenSpec extends SparkSpec {
   private val profiles = Seq(
     "en" -> Seq("the", "over", "lazy"), "fr" -> Seq("le", "est", "sur"))
 
-  /** All ten expressions in one projection over one narrow scan. */
+  /** All eleven expressions in one projection over one narrow scan. */
   private def allExprs(): DataFrame = {
     val base = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", Array(1.0, 0.0, 2.0, -1.0)),
@@ -52,7 +52,8 @@ class NativeCodegenSpec extends SparkSpec {
       native.arrayDot(col("vec"), col("vec")).as("dot"),
       native.signSketches(col("vec"), 4, 12).as("sk"),
       native.nearestCentroids(col("vec"), centroids, 2).as("nc"),
-      native.deflateRatio(col("text")).as("dr"))
+      native.deflateRatio(col("text")).as("dr"),
+      native.tokenKgramHashes(toks, 3).as("kg"))
   }
 
   test("generated code matches interpreted eval bit-for-bit") {
@@ -124,5 +125,22 @@ class NativeCodegenSpec extends SparkSpec {
     for (q <- Seq("x_minhash_candidates", "x_cosine_topk", "x_simhash")) {
       assertNativeNodesFused(q, SparkEntry.queries(q)(spark, dir))
     }
+  }
+
+  test("tokenKgramHashes: window identity, order sensitivity, count") {
+    val df = Seq(
+      (0L, "a b c d e"), (1L, "z z a b c d q"), (2L, "b a c d e"),
+      (3L, "a b"))
+      .toDF("id", "text")
+      .select(col("id"),
+        native.tokenKgramHashes(split(col("text"), " "), 3).as("kg"))
+    val kg = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](1).toList).toMap
+    assert(kg(0L).size == 3 && kg(1L).size == 5) // n - k + 1
+    assert(kg(3L).isEmpty) // shorter than k
+    assert(kg(0L)(0) == kg(1L)(2)) // same window "a b c" → same hash
+    assert(kg(0L)(1) == kg(1L)(3)) // "b c d"
+    assert(kg(0L)(0) != kg(2L)(0)) // "a b c" vs "b a c": order-sensitive
+    assert(kg(0L).distinct.size == 3) // distinct windows → distinct hashes
   }
 }
