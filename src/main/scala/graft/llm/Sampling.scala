@@ -129,4 +129,40 @@ object Sampling {
     }
     d.filter(hashBucket(col(idCol), "tmix") < fracCol * Buckets)
   }
+
+  /** Sample each source down to a TOKEN budget: keep fraction
+    * f_s = min(1, B·w_s / tokens_s), id-hash deterministic. The LLM
+    * mixture operation is over tokens, not documents — for the same
+    * weight, a source of long documents must contribute fewer surviving
+    * documents — so the denominator is the source's token mass, not its
+    * row count (contrast [[mixToWeights]]). Sources with fewer tokens
+    * than their share keep everything (downsample-only, like the other
+    * mixers); unlisted and NULL sources are dropped.
+    *
+    * The surviving token count matches B·w_s in expectation (documents
+    * are admitted whole — the standard practice; exact-budget cuts are
+    * [[graft.llm.Packing]]'s job downstream). Each f_s is one multiply
+    * and divide on doubles, so SQL twins reproduce the admission
+    * threshold bit-for-bit. Scale: one token-sum aggregation (driver
+    * state = #sources), then a pure codegen'd filter over the scan.
+    */
+  def mixToTokenBudget(df: DataFrame, budgetTokens: Long,
+      weights: Map[String, Double], srcCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val d = df.filter(col(srcCol).isNotNull)
+    val toks = d.groupBy(srcCol)
+      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("t"))
+      .filter(col(srcCol).isin(weights.keys.toSeq: _*))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    if (toks.isEmpty) return df.filter(lit(false))
+    val present = weights.filter { case (s, _) => toks.contains(s) }
+    val fracCol = present.foldLeft(lit(-1.0)) { case (acc, (s, w)) =>
+      when(col(srcCol) === s,
+        lit(math.min(1.0, budgetTokens * w / toks(s).toDouble))).otherwise(acc)
+    }
+    d.filter(hashBucket(col(idCol), "tokbudget") < fracCol * Buckets)
+  }
 }

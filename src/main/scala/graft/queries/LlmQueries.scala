@@ -726,6 +726,25 @@ object LlmQueries {
       graft.llm.Sampling.temperatureMix(docs(s, dir), alpha = 0.5)
         .groupBy("source").agg(count(lit(1)).as("n"))),
 
+    // TOKEN-budget mixing: each source downsampled to its share of a
+    // 2000-token budget by token MASS, not row count. The planted
+    // 'boutique' source (5 tiny docs, far under its 800-token share)
+    // pins the keep-everything branch at every SF, while src0/src1 stay
+    // capped below 1 at every SF — both admission paths on the oracle.
+    "x_token_budget_mix" -> ((s, dir) => {
+      val planted = s.range(5).select(
+        (col("id") + 1300000000L).as("doc_id"), lit("boutique").as("source"),
+        concat(lit("boutique tokens aplenty for the tiny planted source " +
+          "row "), col("id").cast("string"), lit(" end")).as("text"))
+      val corpus = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text")).union(planted)
+      graft.llm.Sampling.mixToTokenBudget(corpus, budgetTokens = 2000L,
+        Map("src0" -> 0.3, "src1" -> 0.3, "boutique" -> 0.4))
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+            .as("admitted_tokens"))
+    }),
+
     // BPE vocabulary induction, statistics step: freq-weighted adjacent
     // character-pair counts over the distinct-word table (the per-merge
     // aggregate of distributed BPE training; `BpeSpec` covers the full
@@ -1034,6 +1053,31 @@ object LlmQueries {
          SELECT d.source, count(*)::BIGINT AS n
          FROM documents d JOIN f ON d.source = f.source
          WHERE ('0x' || substr(md5('tmix:' || d.doc_id::VARCHAR), 25, 8))::BIGINT
+               % 1000000 < f.frac * 1000000
+         GROUP BY 1""",
+
+    // token-budget mixing: f_s = least(1, B*w_s / token_mass_s), the
+    // same one-multiply-one-divide both engines compute identically
+    "x_token_budget_mix" ->
+      """WITH corpus AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT 1300000000 + i, 'boutique',
+             'boutique tokens aplenty for the tiny planted source row '
+               || i::VARCHAR || ' end'
+           FROM range(5) t(i)),
+         w(source, wt) AS (VALUES ('src0', 0.3::DOUBLE),
+               ('src1', 0.3::DOUBLE), ('boutique', 0.4::DOUBLE)),
+         tok AS (SELECT source, sum(len(string_split(text, ' ')))::DOUBLE
+                   AS t
+                 FROM corpus WHERE source IS NOT NULL GROUP BY 1),
+         f AS (SELECT w.source, least(1.0::DOUBLE, 2000 * w.wt / tok.t)
+                 AS frac
+               FROM w JOIN tok USING (source))
+         SELECT c.source, count(*)::BIGINT AS n,
+           sum(len(string_split(c.text, ' ')))::BIGINT AS admitted_tokens
+         FROM corpus c JOIN f USING (source)
+         WHERE ('0x' || substr(md5('tokbudget:' || c.doc_id::VARCHAR), 25, 8))::BIGINT
                % 1000000 < f.frac * 1000000
          GROUP BY 1""",
 

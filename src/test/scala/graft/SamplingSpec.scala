@@ -89,6 +89,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("mixToTokenBudget shares a budget by token mass, not row count") {
+    // long: 1000 docs x 100 tokens = 100k; short: 1000 docs x 10 = 10k.
+    // Budget 20k at 50/50 → each source gets a 10k-token share: long
+    // keeps ~10% of its DOCS (same token mass), short keeps everything.
+    val longText = Array.fill(100)("w").mkString(" ")
+    val shortText = Array.fill(10)("w").mkString(" ")
+    val df = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") < 1000, "long").otherwise("short").as("source"),
+      when(col("id") < 1000, longText).otherwise(shortText).as("text"))
+    val kept = Sampling.mixToTokenBudget(df, 20000L,
+      Map("long" -> 0.5, "short" -> 0.5))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("short") == 1000L) // under its share: keeps everything
+    assert(math.abs(kept("long") - 100L) < 40, s"long=${kept("long")}")
+    // deterministic under repartitioning; unlisted sources vanish
+    val again = Sampling.mixToTokenBudget(df.repartition(7), 20000L,
+      Map("long" -> 0.5, "short" -> 0.5))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    assert(Sampling.mixToTokenBudget(df, 20000L, Map("zz" -> 1.0)).isEmpty)
+  }
+
   test("curation pipeline filters, dedups, and splits end-to-end") {
     val base = "the quick brown fox jumps over the lazy dog while the sun " +
       "sets slowly behind distant purple mountains casting long warm shadows"
