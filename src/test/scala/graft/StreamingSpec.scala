@@ -280,6 +280,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality classifier: offline-trained model scores a stream map-only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.QualityModel
+    // train OFFLINE on a batch corpus (the production lifecycle: fit
+    // once, ship coefficients), then score an unbounded stream — LR
+    // transform is a pure projection, so it is streaming-safe verbatim
+    val prose = "the data we have with that and this system will keep " +
+      "improving because the work is careful and honest over time"
+    val junk = ("## #### " * 12).trim
+    import spark.implicits._
+    val labeled = QualityModel.featurize(
+      (0 until 30).map(i => (i.toLong, s"$prose v$i", 1.0))
+        .toDF("doc_id", "text", "label")
+        .union((0 until 30).map(i => (100L + i, s"$junk $i", 0.0))
+          .toDF("doc_id", "text", "label")))
+    val model = QualityModel.train(labeled)
+    val mem = MemoryStream[(Long, String)]
+    val scored = QualityModel.score(model, mem.toDF().toDF("doc_id", "text"))
+      .select(col("doc_id"), (col("quality_prob") > 0.5).as("keep"))
+    val q = scored.writeStream.format("memory")
+      .queryName("stream_quality_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      mem.addData((10L, s"$prose fresh"), (11L, s"$junk 9 9 9"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_quality_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(rows == Map(10L -> true, 11L -> false))
+      // streamed verdicts equal the batch path on identical rows
+      val batch = QualityModel.score(model,
+        Seq((10L, s"$prose fresh"), (11L, s"$junk 9 9 9"))
+          .toDF("doc_id", "text"))
+        .select(col("doc_id"), (col("quality_prob") > 0.5).as("keep"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("keep")).toMap
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("streaming multimodal: real image decode runs stateless on a byte-payload stream") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
