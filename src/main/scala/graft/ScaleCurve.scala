@@ -92,7 +92,7 @@ object ScaleCurve {
       "x_semantic_dedup", "x_gopher_rules", "x_bigram_logprob",
       "x_cosine_ann_ivf_pruned", "x_curation_pipeline",
       "x_compression_ratio", "x_bpe_encode", "x_substring_dedup",
-      "x_substring_removal")
+      "x_substring_removal", "x_token_budget_mix")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
     names.foreach { name =>
