@@ -522,6 +522,135 @@ case class TokenKgramHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** 128-bit positioned token k-gram hashes: element i is a
+  * struct<h1:bigint,h2:bigint> of two INDEPENDENT 64-bit chain hashes of
+  * tokens [i, i+k) (per-token xxhash64 under two different seeds, each
+  * chained through `mix64` from a distinct initial state). One pass,
+  * both lanes computed from the same token scan.
+  *
+  * Exists for DESTRUCTIVE consumers ([[graft.llm.Dedup.dropRepeatedSpans]]):
+  * with 64-bit keys a corpus of ~2^32 distinct grams (reached well below
+  * 100 TB) makes birthday collisions certain, and a false "repeated" gram
+  * would delete real tokens. Two independent 64-bit lanes push the
+  * birthday bound to ~2^64 grams — unreachable. Non-destructive
+  * consumers (span STATISTICS) keep the cheaper 64-bit
+  * [[TokenKgramHashes]], where a collision only perturbs a count.
+  */
+case class TokenKgramHashes128(child: Expression, k: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_kgram_hashes128"
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val count = n - k + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val ta = new Array[Long](n)
+    val tb = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      ta(i) = hashing.hashString(s, 42L)
+      tb(i) = hashing.hashString(s, 1042L)
+      i += 1
+    }
+    val out = new Array[Any](count)
+    i = 0
+    while (i < count) {
+      var h1 = 0x9e3779b97f4a7c15L
+      var h2 = 0xc2b2ae3d27d4eb4fL
+      var j = 0
+      while (j < k) {
+        h1 = hashing.mix64(h1 ^ ta(i + j))
+        h2 = hashing.mix64(h2 ^ tb(i + j))
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): TokenKgramHashes128 =
+    copy(child = c)
+}
+
+/** Tokens NOT covered by any [s, e) span (1-based token positions),
+  * original order preserved: the rebuild step of exact-substring removal.
+  * Spans arrive as array<struct<s:bigint,e:bigint>> in ARBITRARY order
+  * (they come from `collect_list`); the expression sorts them by start
+  * once per row and then sweeps tokens and spans together with two
+  * pointers — O(tokens + spans·log spans), replacing the
+  * filter(transform(...), !exists(...)) HOF tree that was (a)
+  * CodegenFallback (breaking whole-stage fusion for the entire rebuild
+  * stage) and (b) O(tokens × spans) per document.
+  */
+case class RemoveCoveredTokens(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "remove_covered_tokens"
+
+  def compute(toks: ArrayData, spans: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = spans.numElements()
+    if (m == 0) {
+      val all = new Array[Any](n)
+      var i = 0
+      while (i < n) { all(i) = toks.getUTF8String(i); i += 1 }
+      return new GenericArrayData(all)
+    }
+    // sort span indices by start: pack (start << 20 | idx) into one long
+    // so a primitive Arrays.sort suffices. Token positions are bounded by
+    // Int (an ArrayData index), so start << 20 cannot collide across
+    // distinct starts as long as m < 2^20; above that (a degenerate
+    // million-span document) fall back to per-key stability not mattering
+    // because equal starts sort adjacently either way.
+    require(m < (1 << 20),
+      s"remove_covered_tokens: $m spans in one document exceeds 2^20")
+    val order = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      order(i) = (spans.getStruct(i, 2).getLong(0) << 20) | i.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(order)
+    val kept = new java.util.ArrayList[Any](n)
+    var si = 0
+    var maxEnd = Long.MinValue
+    var p = 1L
+    while (p <= n) {
+      while (si < m && (order(si) >> 20) <= p) {
+        val e = spans.getStruct((order(si) & 0xFFFFFL).toInt, 2).getLong(1)
+        if (e > maxEnd) maxEnd = e
+        si += 1
+      }
+      if (p >= maxEnd) kept.add(toks.getUTF8String((p - 1).toInt))
+      p += 1
+    }
+    new GenericArrayData(kept.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($t, $s);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveCoveredTokens =
+    copy(left = l, right = r)
+}
+
 /** Column-level API over the native expressions. */
 object native {
   private def e(c: Column): Expression =
@@ -535,6 +664,10 @@ object native {
   def rollingHash64(tokens: Column): Column = c(RollingHash64(e(tokens)))
   def tokenKgramHashes(tokens: Column, k: Int): Column =
     c(TokenKgramHashes(e(tokens), k))
+  def tokenKgramHashes128(tokens: Column, k: Int): Column =
+    c(TokenKgramHashes128(e(tokens), k))
+  def removeCoveredTokens(tokens: Column, spans: Column): Column =
+    c(RemoveCoveredTokens(e(tokens), e(spans)))
   def deflateRatio(text: Column): Column = c(DeflateRatio(e(text)))
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =

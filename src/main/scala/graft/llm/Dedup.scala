@@ -293,17 +293,28 @@ object Dedup {
   // ------------------------------------------------- exact substring dedup
 
   /** Positioned token k-grams, hashed: (id, pos, gh) with pos 1-based.
-    * The 8-byte hash — not the gram text — is what shuffles; the hashes
-    * come from the native one-pass [[graft.expr.TokenKgramHashes]]
-    * (zero string allocation, codegen'd).
+    * The hash — not the gram text — is what shuffles; the hashes come
+    * from the native one-pass k-gram expressions (zero string
+    * allocation, codegen'd).
+    *
+    * `wide = false` → 8-byte [[graft.expr.TokenKgramHashes]] keys: right
+    * for STATISTICS consumers, where a birthday collision (certain once
+    * the corpus holds ~2^32 distinct grams) only perturbs a count by one.
+    * `wide = true` → 16-byte [[graft.expr.TokenKgramHashes128]]
+    * struct<h1,h2> keys for DESTRUCTIVE consumers: a false "repeated"
+    * gram would delete real tokens, so the destructive path pays double
+    * the key width to push the birthday bound to ~2^64 grams.
     */
   private def positionedGrams(df: DataFrame, k: Int, textCol: String,
-      idCol: String): DataFrame =
+      idCol: String, wide: Boolean = false): DataFrame = {
+    val hashes =
+      if (wide) graft.expr.native.tokenKgramHashes128(col("_toks"), k)
+      else graft.expr.native.tokenKgramHashes(col("_toks"), k)
     df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
       .filter(size(col("_toks")) >= k)
-      .select(col(idCol).as("id"),
-        posexplode(graft.expr.native.tokenKgramHashes(col("_toks"), k)))
+      .select(col(idCol).as("id"), posexplode(hashes))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+  }
 
   /** Token k-gram hashes occurring in more than `maxDocs` distinct
     * documents — the cross-document repeated-substring alphabet.
@@ -373,7 +384,9 @@ object Dedup {
   def dropRepeatedSpans(df: DataFrame, k: Int = 8, textCol: String = "text",
       idCol: String = "doc_id", maxDocs: Long = 1L): DataFrame = {
     require(k >= 2, s"k-gram length must be >= 2, got $k")
-    val grams = positionedGrams(df, k, textCol, idCol)
+    // destructive path → 128-bit gram keys (a hash collision here would
+    // DELETE real tokens; see positionedGrams)
+    val grams = positionedGrams(df, k, textCol, idCol, wide = true)
     val flagged = grams.join(repeatedGramHashes(grams, maxDocs), Seq("gh"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
@@ -387,18 +400,15 @@ object Dedup {
         (max(col("pos")) + k).cast("long").as("e"))
       .groupBy(col("id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("_spans"))
+    // rebuild via the native two-pointer sweep (codegen'd, O(tokens +
+    // spans·log spans) per doc) — the HOF filter/transform/exists tree it
+    // replaces was CodegenFallback and O(tokens × spans)
     df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
       .join(spans, col(idCol) === spans("id"), "left")
-      .withColumn("_kept", filter(
-        transform(col("_toks"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
-        s => !exists(coalesce(col("_spans"),
-            array().cast("array<struct<s:long,e:long>>")),
-          sp => s.getField("p") >= sp.getField("s") &&
-            s.getField("p") < sp.getField("e"))))
+      .withColumn("_kept", graft.expr.native.removeCoveredTokens(col("_toks"),
+        coalesce(col("_spans"), array().cast("array<struct<s:long,e:long>>"))))
       .filter(size(col("_kept")) > 0)
-      .select(col(idCol),
-        concat_ws(" ", transform(col("_kept"), s => s.getField("t")))
-          .as(textCol))
+      .select(col(idCol), concat_ws(" ", col("_kept")).as(textCol))
   }
 
   // --------------------------------------------------------------- SimHash

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -53,7 +53,10 @@ class NativeCodegenSpec extends SparkSpec {
       native.signSketches(col("vec"), 4, 12).as("sk"),
       native.nearestCentroids(col("vec"), centroids, 2).as("nc"),
       native.deflateRatio(col("text")).as("dr"),
-      native.tokenKgramHashes(toks, 3).as("kg"))
+      native.tokenKgramHashes(toks, 3).as("kg"),
+      native.tokenKgramHashes128(toks, 3).as("kg2"),
+      native.removeCoveredTokens(toks,
+        array(struct(lit(2L).as("s"), lit(4L).as("e")))).as("rct"))
   }
 
   test("generated code matches interpreted eval bit-for-bit") {
@@ -125,6 +128,45 @@ class NativeCodegenSpec extends SparkSpec {
     for (q <- Seq("x_minhash_candidates", "x_cosine_topk", "x_simhash")) {
       assertNativeNodesFused(q, SparkEntry.queries(q)(spark, dir))
     }
+  }
+
+  test("tokenKgramHashes128: lanes independent, window identity, count") {
+    val df = Seq((0L, "a b c d e"), (1L, "z z a b c d q"), (2L, "a b"))
+      .toDF("id", "text")
+      .select(col("id"),
+        native.tokenKgramHashes128(split(col("text"), " "), 3).as("kg"))
+    val kg = df.collect().map(r => r.getAs[Long]("id") ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getLong(1))).toList).toMap
+    assert(kg(0L).size == 3 && kg(1L).size == 5) // n - k + 1
+    assert(kg(2L).isEmpty) // shorter than k
+    assert(kg(0L)(0) == kg(1L)(2)) // same window "a b c" → same 128-bit key
+    assert(kg(0L).forall(p => p._1 != p._2)) // lanes differ (independent seeds)
+    assert(kg(0L).map(_._1).distinct.size == 3) // distinct windows per lane
+    assert(kg(0L).map(_._2).distinct.size == 3)
+  }
+
+  test("removeCoveredTokens: unsorted/overlapping spans, bounds, empties") {
+    val toks = split(lit("t1 t2 t3 t4 t5 t6 t7 t8"), " ")
+    def run(spans: Column): List[String] =
+      Seq(1).toDF("one").select(
+        native.removeCoveredTokens(toks, spans).as("kept"))
+        .head().getSeq[String](0).toList
+    // spans arrive unsorted and overlapping: [5,7) ∪ [2,4) ∪ [3,6) covers
+    // positions 2..6 → keep 1, 7, 8 ([s,e) half-open, 1-based)
+    assert(run(array(
+      struct(lit(5L).as("s"), lit(7L).as("e")),
+      struct(lit(2L).as("s"), lit(4L).as("e")),
+      struct(lit(3L).as("s"), lit(6L).as("e")))) == List("t1", "t7", "t8"))
+    // empty span set → everything kept
+    assert(run(array().cast("array<struct<s:long,e:long>>")) ==
+      List("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8"))
+    // full coverage → nothing kept
+    assert(run(array(struct(lit(1L).as("s"), lit(9L).as("e")))) == Nil)
+    // disjoint islands: [1,3) and [6,8) → keep 3,4,5,8
+    assert(run(array(
+      struct(lit(6L).as("s"), lit(8L).as("e")),
+      struct(lit(1L).as("s"), lit(3L).as("e")))) ==
+      List("t3", "t4", "t5", "t8"))
   }
 
   test("tokenKgramHashes: window identity, order sensitivity, count") {
