@@ -482,9 +482,17 @@ object Dedup {
     * values (including the ==1.0 set-equality class the planted oracles
     * use) are unchanged.
     */
-  def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val hashed = sh.select(col("id"),
-      transform(col("arr"), x => xxhash64(x)).as("arr"))
+  def verifyJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame =
+    verifyJaccardFromHashedShingles(pairs, sh.select(col("id"),
+      transform(col("arr"), x => xxhash64(x)).as("arr")))
+
+  /** Per-pair exact Jaccard over ALREADY-HASHED distinct-shingle arrays
+    * (id, arr: array<bigint>) — the entry point for callers that persist
+    * hashed shingle sets as index state ([[IncrementalDedup]]): the
+    * stored form verifies new candidates without ever re-reading the
+    * original document text.
+    */
+  def verifyJaccardFromHashedShingles(pairs: DataFrame, hashed: DataFrame): DataFrame =
     pairs.select("id_a", "id_b")
       .join(hashed.select(col("id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
@@ -494,7 +502,6 @@ object Dedup {
         roundDet(col("n_shared").cast("double") /
           (size(col("arr_a")) + size(col("arr_b")) - col("n_shared")), 4)
           .as("jaccard"))
-  }
 
   /** The scalable exact near-dup pipeline: MinHash-LSH candidate
     * generation (sub-quadratic in cluster size) → per-pair exact Jaccard

@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Warehouse
+
+/** Incremental (delta) near-duplicate deduplication against a persisted
+  * signature index — the 100 TB operating mode. Nobody re-runs
+  * whole-corpus dedup per crawl delivery: each delivery is deduped
+  * against the ACCUMULATED survivors, and only the delivery's own
+  * survivors are appended to the index.
+  *
+  * Index state per survivor: `(id, sig, sharr)` — the k-hash MinHash
+  * signature (candidate generation) and the xxhash64'd distinct-shingle
+  * set (exact Jaccard verification). Document TEXT is never stored:
+  * verification against prior deliveries runs entirely on the hashed
+  * arrays ([[Dedup.verifyJaccardFromHashedShingles]]), so a delivery's
+  * dedup reads the index plus its own rows and nothing else. State is
+  * orders of magnitude smaller than the documents it summarizes
+  * (k + |distinct shingles| longs per doc vs the raw text).
+  *
+  * Scale shape per delivery (index size N, delivery size n ≪ N):
+  *  - within-delivery candidates: the standard banded LSH over n rows;
+  *  - delivery↔index candidates: band-key equi-join — the index side is
+  *    a column-pruned scan of the delta-log generations, the delivery
+  *    side is small enough that AQE broadcasts it, so the index is
+  *    NEVER shuffled; cost is one map-side pass over N signature rows.
+  *    (Bucketing the index by band key would trade that scan for a
+  *    pruned lookup; not needed until the scan itself is the bottleneck.)
+  *  - verification + connected components: proportional to candidate
+  *    pairs, not to N or n;
+  *  - admission: one [[Warehouse.deltaAppend]] of the delivery's
+  *    survivor state — append cost ∝ delivery, never index size, with
+  *    the manifest's atomic single-key commit.
+  *
+  * Semantics: a delivery document is REJECTED when its duplicate
+  * cluster (over verified pairs at `minJaccard`) contains any index
+  * survivor, or a smaller-id member of its own delivery; otherwise it is
+  * admitted. The index is never retro-pruned — first-admitted content
+  * wins, the standard production contract.
+  *
+  * Equivalence to the whole-corpus rerun: when ids are monotone across
+  * deliveries (every id in delivery t+1 exceeds every id in deliveries
+  * ≤ t — enforced by default, see `requireMonotoneIds`) and the
+  * duplicate relation is transitive at the chosen threshold (guaranteed
+  * at minJaccard = 1.0, where "duplicate" is distinct-shingle-set
+  * equality), the accumulated survivor set after every delivery equals
+  * [[Dedup.dropNearDuplicates]] over the union of all deliveries: each
+  * equality class's global minimum id lives in the earliest delivery
+  * that contains the class, is admitted there, and rejects every later
+  * member. Below 1.0 the incremental result is the documented
+  * index-wins semantics (a later doc bridging two admitted survivors
+  * cannot retroactively merge them) — the same divergence every
+  * production delta-dedup accepts.
+  */
+object IncrementalDedup {
+
+  /** Signature-index state for a batch of documents: (id, sig, sharr). */
+  def state(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+        Dedup.shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("_arr"))
+      .select(col("id"),
+        Dedup.minhashSignature(col("_arr"), k).as("sig"),
+        transform(col("_arr"), x => xxhash64(x)).as("sharr"))
+
+  /** Ids of every survivor admitted to the index so far. */
+  def indexIds(spark: SparkSession, indexRoot: String): DataFrame =
+    Warehouse.deltaRead(spark, indexRoot).select("id")
+
+  /** Dedup `delivery` against the index at `indexRoot` (created at its
+    * first delivery), admit the delivery's survivors to the index, and
+    * return the admitted delivery rows (all original columns).
+    *
+    * @param requireMonotoneIds assert max(index id) < min(delivery id)
+    *        before admitting — the precondition for whole-corpus-rerun
+    *        equivalence (see object doc). Two column-pruned min/max
+    *        aggregates; disable for id schemes where index-wins
+    *        semantics are acceptable without the guarantee.
+    */
+  def addDelivery(delivery: DataFrame, indexRoot: String,
+      minJaccard: Double = 1.0, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      requireMonotoneIds: Boolean = true): DataFrame = {
+    val spark = delivery.sparkSession
+    val k = bands * rowsPerBand
+    val hasIndex = Warehouse.deltaVersions(spark, indexRoot).nonEmpty
+    // persisted: candidates, verification, and the admission semi-join
+    // all reference the delivery state; signatures + hashed shingles are
+    // far smaller than the documents they summarize
+    val batch = state(delivery, textCol, idCol, shingleN, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigView = batch.select("id", "sig").persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = if (hasIndex) Warehouse.deltaRead(spark, indexRoot) else null
+
+    if (hasIndex && requireMonotoneIds) {
+      // column-pruned scans; parquet footer stats keep the index side cheap
+      val maxIdx = idx.agg(max(col("id"))).head().getLong(0)
+      val minNew = batch.agg(min(col("id"))).head().getLong(0)
+      require(minNew > maxIdx,
+        s"addDelivery: delivery min id $minNew must exceed index max id " +
+          s"$maxIdx for whole-corpus-rerun equivalence " +
+          "(pass requireMonotoneIds = false to accept index-wins semantics)")
+    }
+
+    // within-delivery candidates: banded LSH over the (small) delivery
+    val batchPairs = Dedup.minhashCandidatesFromSigs(sigView, bands, rowsPerBand)
+      .filter(col("est_jaccard") >= minJaccard / 2)
+      .select("id_a", "id_b")
+    // delivery↔index candidates: band-key equi-join; the index side is a
+    // map-side scan (delivery bands broadcast by AQE at the n ≪ N regime)
+    val pairs =
+      if (!hasIndex) batchPairs
+      else {
+        def banded(st: DataFrame, as: String) = st
+          .select(col("id"),
+            explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+          .select(col("id").as(as), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        val cross = banded(idx.select("id", "sig"), "id_a")
+          .join(banded(sigView, "id_b"), Seq("band", "bh"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+        batchPairs.union(cross)
+      }
+    // exact verification on the stored hashed-shingle sets — no text read
+    val stateAll =
+      (if (hasIndex) idx.select("id", "sharr").union(batch.select("id", "sharr"))
+       else batch.select("id", "sharr"))
+        .select(col("id"), col("sharr").as("arr"))
+    val verified = Dedup.verifyJaccardFromHashedShingles(pairs, stateAll)
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+
+    // admitted = delivery docs whose cluster holds no index survivor and
+    // whose id is the cluster minimum among delivery members
+    val labels = Dedup.duplicateClusters(verified)
+    val batchLabels = batch.select("id").join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val rejectedClusters =
+      if (!hasIndex) labels.limit(0).select("cluster_id")
+      else labels.join(idx.select("id"), Seq("id"), "left_semi")
+        .select("cluster_id").distinct()
+    val admitted = batchLabels
+      .join(rejectedClusters, Seq("cluster_id"), "left_anti")
+      .groupBy("cluster_id").agg(min(col("id")).as("id"))
+      .select("id")
+
+    // one delta generation per delivery: append cost ∝ delivery
+    val genPath = Warehouse.deltaAppend(
+      batch.join(admitted, Seq("id"), "left_semi"), indexRoot)
+    batch.unpersist()
+    sigView.unpersist()
+    // admitted ids re-read from the durable generation just written —
+    // the returned plan scans parquet instead of replaying the dedup
+    delivery.join(
+      spark.read.parquet(genPath).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.roundDet
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, IncrementalDedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator coverage (BASELINE.json extensions) over the
@@ -55,6 +55,18 @@ object LlmQueries {
     * engine and oracle sides. assert_true returns NULL on success, so the
     * coalesce keeps the arithmetic a single projection (no extra action).
     */
+  /** Fresh on-disk root for gates exercising PERSISTED index state
+    * ([[IncrementalDedup]]): a fixed per-gate path wiped at gate entry,
+    * so repeated Verify/Bench invocations stay reproducible and nothing
+    * accumulates across passes.
+    */
+  private def freshIndexRoot(s: SparkSession, name: String): String = {
+    val root = s"/tmp/graft_gate_$name"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
   private def twinId(id: Column, offset: Long): Column =
     id + lit(offset) + coalesce(
       assert_true(id < lit(offset),
@@ -926,6 +938,34 @@ object LlmQueries {
         .filter(col("id") =!= col("cluster_id")).select("id")
       state.select("id").join(losers, Seq("id"), "left_anti")
         .select(col("id").as("doc_id"))
+    }),
+
+    // INCREMENTAL (delta) dedup against a persisted signature index —
+    // the 100 TB operating mode where each crawl delivery dedups against
+    // the accumulated survivors instead of re-running the whole corpus.
+    // Two-delivery construction: delivery 1 = low-id half of the corpus;
+    // delivery 2 = high-id half ∪ exact twins of the low half (must be
+    // REJECTED against the index without reading delivery 1's text —
+    // the index stores only signatures + hashed shingle sets) ∪ exact
+    // twins of the high half (within-delivery dedup). At minJaccard=1.0
+    // with monotone ids the accumulated survivor set provably equals the
+    // whole-corpus rerun = min id per distinct-shingle-set class, which
+    // the oracle recomputes fingerprint-style with no knowledge of the
+    // hash family (the x_neardup_survivors reduction).
+    "x_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val split = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val low = d.filter(col("doc_id") <= split)
+      val high = d.filter(col("doc_id") > split)
+      val delivery2 = high
+        .union(low.select(
+          twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+        .union(high.select(
+          twinId(col("doc_id"), 2000000000L).as("doc_id"), col("text")))
+      val root = freshIndexRoot(s, "x_incremental_dedup")
+      IncrementalDedup.addDelivery(low, root, minJaccard = 1.0)
+      IncrementalDedup.addDelivery(delivery2, root, minJaccard = 1.0)
+      IncrementalDedup.indexIds(s, root).select(col("id").as("doc_id"))
     }),
 
     // per-source top-5 documents by quality score via the two-level
@@ -1895,6 +1935,27 @@ object LlmQueries {
                          string_split(text,' ')[i+1] || ' ' ||
                          string_split(text,' ')[i+2]) END)), '|')) AS f
            FROM tripled)
+         SELECT min(doc_id) AS doc_id FROM fp GROUP BY f""",
+
+    // incremental dedup replayed as the whole-corpus fingerprint
+    // reduction over deliveries 1+2 (equality is the gate's contract:
+    // monotone ids + minJaccard 1.0 make the accumulated index equal
+    // the whole-corpus rerun)
+    "x_incremental_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000000, text FROM documents
+             WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+           UNION ALL SELECT doc_id + 2000000000, text FROM documents
+             WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)), '|')) AS f
+           FROM corpus)
          SELECT min(doc_id) AS doc_id FROM fp GROUP BY f""",
 
     "x_topk_per_source" ->

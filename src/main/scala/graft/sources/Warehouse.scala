@@ -217,6 +217,59 @@ object Warehouse {
     }
   }
 
+  // ---- Delta-log manifest tables: append cost ∝ delta ---------------
+  //
+  // The snapshot manifest above rewrites a full generation per commit —
+  // right for compaction, wrong for an append-only index that grows by
+  // one small delivery at a time (a 100 TB signature index must never be
+  // rewritten to admit a 100 GB delivery). The delta-log variant keeps
+  // the SAME atomic single-key commit, but each generation holds ONLY
+  // its commit's rows and a read unions every committed generation —
+  // the Delta/Iceberg add-files discipline reduced to its core. Readers
+  // resolve the manifest once and pin that version's generation list;
+  // a racing append commits version v+1 without disturbing them.
+  // Periodic [[compactManifest]]-style rewrites would fold generations
+  // back together when the file count grows; not needed at gate scale.
+
+  /** Versions committed to a delta-log table, ascending (empty when the
+    * table does not exist yet).
+    */
+  def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(manifestPath(root))) Seq.empty
+    else fs.listStatus(manifestPath(root))
+      .map(_.getPath.getName).filter(_.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
+  }
+
+  /** Append `df` as one new immutable generation of the delta-log table
+    * at `root` (creating the table at version 1 if absent). Returns the
+    * committed generation's data path — already durable, so callers can
+    * re-read results from it instead of recomputing `df`'s lineage.
+    */
+  def deltaAppend(df: DataFrame, root: String): String = {
+    val spark = df.sparkSession
+    val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
+    val gen = f"gen-$v%09d"
+    df.write.mode("errorifexists").parquet(s"$root/$gen")
+    manifestCommit(spark, root, v, gen)
+    s"$root/$gen"
+  }
+
+  /** Read the union of every committed generation of a delta-log table. */
+  def deltaRead(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val paths = deltaVersions(spark, root).map { v =>
+      val p = new org.apache.hadoop.fs.Path(manifestPath(root), f"$v%09d")
+      val in = fs.open(p)
+      val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s"$root/$gen"
+    }
+    require(paths.nonEmpty, s"no delta-log generations under $root")
+    spark.read.parquet(paths: _*)
+  }
+
   /** True when a scan of `df` prunes partitions down to `expected` or
     * fewer — assertion helper for pruning tests and plan audits.
     */

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, IncrementalDedup}
+import graft.sources.Warehouse
+
+/** Incremental (delta) dedup against the persisted signature index: the
+  * accumulated survivor set must equal the whole-corpus rerun (monotone
+  * ids, minJaccard = 1.0), later deliveries must never read or rewrite
+  * earlier deliveries' state (generations are immutable, text is never
+  * stored), and the monotone-id precondition is enforced.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val d1 = docsDf(
+    1L -> "alpha beta gamma delta epsilon",
+    2L -> "alpha beta gamma delta epsilon", // exact dup of 1: rejected in-delivery
+    3L -> "one two three four five",
+    4L -> "unique text number four here",
+    5L -> "totally different content words")
+
+  private val d2 = docsDf(
+    11L -> "alpha beta gamma delta epsilon", // dup of index survivor 1
+    12L -> "fresh new document text here",
+    13L -> "fresh new document text here", // in-delivery dup of 12
+    14L -> "one two three four five", // dup of index survivor 3
+    15L -> "another brand new doc entirely")
+
+  private def ids(df: DataFrame, c: String = "doc_id"): Seq[Long] =
+    df.select(col(c).cast("long")).as[Long].collect().sorted.toSeq
+
+  test("accumulated survivors equal the whole-corpus rerun") {
+    val root = tmpDir("incr-dedup-idx")
+    val a1 = IncrementalDedup.addDelivery(d1, root, minJaccard = 1.0)
+    assert(ids(a1) == Seq(1L, 3L, 4L, 5L),
+      "delivery 1: exact dup 2 rejected in-delivery, min id kept")
+    val a2 = IncrementalDedup.addDelivery(d2, root, minJaccard = 1.0)
+    assert(ids(a2) == Seq(12L, 15L),
+      "delivery 2: 11/14 rejected against the index, 13 in-delivery")
+    val accumulated = ids(IncrementalDedup.indexIds(spark, root), "id")
+    val rerun = ids(Dedup.dropNearDuplicates(
+      d1.unionByName(d2), minJaccard = 1.0))
+    assert(accumulated == rerun,
+      "incremental accumulation must equal whole-corpus dropNearDuplicates")
+    assert(accumulated == Seq(1L, 3L, 4L, 5L, 12L, 15L))
+    // admitted rows keep all original delivery columns
+    assert(a2.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("index stores signatures + hashed shingles, never text") {
+    val root = tmpDir("incr-dedup-schema")
+    IncrementalDedup.addDelivery(d1, root)
+    val idx = Warehouse.deltaRead(spark, root)
+    assert(idx.columns.toSet == Set("id", "sig", "sharr"),
+      "rejecting a later twin must be possible without delivery-1 text")
+    assert(!idx.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+  }
+
+  test("a delivery appends one immutable generation; earlier ones untouched") {
+    val root = tmpDir("incr-dedup-gens")
+    IncrementalDedup.addDelivery(d1, root)
+    assert(Warehouse.deltaVersions(spark, root) == Seq(1L))
+    def gen1Files(): Map[String, Long] =
+      new java.io.File(s"$root/gen-000000001").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = gen1Files()
+    IncrementalDedup.addDelivery(d2, root)
+    assert(Warehouse.deltaVersions(spark, root) == Seq(1L, 2L),
+      "append cost ∝ delivery: exactly one new generation")
+    assert(gen1Files() == before,
+      "delivery 2 must not rewrite delivery 1's generation")
+    // the new generation holds ONLY delivery 2's survivors
+    assert(ids(spark.read.parquet(s"$root/gen-000000002"), "id") ==
+      Seq(12L, 15L))
+  }
+
+  test("monotone-id precondition is enforced (and bypassable)") {
+    val root = tmpDir("incr-dedup-mono")
+    IncrementalDedup.addDelivery(d2, root) // ids 11..15 admitted first
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.addDelivery(d1, root) // ids 1..5 arrive late
+    }
+    assert(ex.getMessage.contains("monotone") ||
+      ex.getMessage.contains("exceed index max id"))
+    // index-wins semantics when explicitly requested: late twins of
+    // already-admitted content are rejected even though their ids are
+    // smaller (1 vs 11, 3 vs 14) — the documented divergence from the
+    // whole-corpus rerun — while genuinely fresh late docs are admitted
+    val late = IncrementalDedup.addDelivery(d1, root,
+      requireMonotoneIds = false)
+    assert(ids(late) == Seq(4L, 5L))
+    assert(ids(IncrementalDedup.indexIds(spark, root), "id") ==
+      Seq(4L, 5L, 11L, 12L, 14L, 15L))
+  }
+}
