@@ -172,6 +172,39 @@ object Bpe {
       }.toDF(wordCol, "tokens")
   }
 
+  /** Corpus tokenization — the actual pretraining artifact: every
+    * document becomes its BPE token stream. Composes [[encodeWordTable]]
+    * with the join-back its contract promises: positioned words are
+    * exploded once (corpus-bounded map), the DISTINCT-word vocabulary is
+    * encoded by the production partition-local encoder
+    * (vocabulary-bounded — at 100 TB the vocab is language-sized, not
+    * corpus-sized, so the O(len²)-per-word encode cost is paid once per
+    * distinct word no matter how often it occurs), and token arrays join
+    * back to positions for an ordered per-document flatten.
+    *
+    * Plan shape: ONE distinct shuffle (vocab), ONE join of positioned
+    * words against the encoded vocab (broadcastable when the vocab
+    * fits), ONE per-doc aggregation — constant in merge-table size
+    * (contrast [[applyMerges]], whose expression fold grows the plan per
+    * merge).
+    *
+    * Output: (idCol, tokens array<string>, n_tokens).
+    */
+  def encodeCorpus(df: DataFrame, merges: Seq[Merge],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val positioned = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val encoded = encodeWordTable(positioned.select("word").distinct(), merges)
+    positioned.join(encoded, Seq("word"))
+      .groupBy(col("id").as(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("tokens")))),
+        s => s.getField("tokens"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Ranked merge table from ONE pair-count pass (no iterative
     * retraining): all adjacent-symbol pairs ranked by (n DESC, left,
     * right). For single-character symbol tables this is a well-formed

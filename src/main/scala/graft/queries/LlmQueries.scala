@@ -795,6 +795,28 @@ object LlmQueries {
         .orderBy(col("n").desc, col("token").asc)
     }),
 
+    // CORPUS tokenization — the pretraining artifact: every document's
+    // BPE token stream via encodeCorpus (distinct-vocab encode + ordered
+    // join-back; plan constant in merge-table size). Docs are restricted
+    // to the alnum words the merge table is trained on so the oracle's
+    // char algebra matches; output is per-doc token count + stream hash.
+    // Token-count CONSERVATION is on the oracle path: n_tokens must
+    // equal the sum of per-word encoded lengths the replay computes.
+    "x_bpe_tokenize" -> ((s, dir) => {
+      val w = graft.llm.Bpe.wordFreqs(docs(s, dir))
+        .filter(col("word").rlike("^[A-Za-z0-9]+$"))
+      val table = graft.llm.Bpe.padMerges(
+        graft.llm.Bpe.rankedPairMerges(w.select(
+          graft.llm.Bpe.charSymbols(col("word")).as("syms"), col("freq"))),
+        1200)
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", filter(split(col("text"), " "),
+          x => x.rlike("^[A-Za-z0-9]+$"))).as("text"))
+      graft.llm.Bpe.encodeCorpus(d, table)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("token_hash"))
+    }),
+
     // BPE training determinism under ties: a literal corpus planting an
     // equal-count argmax tie at rank 0 ((a,b) vs (c,d), n=5 — resolved
     // left ASC) and a multi-char tie at rank 2 ((ab,ab) vs (cd,cd),
@@ -1195,6 +1217,69 @@ object LlmQueries {
          FROM enc JOIN words USING (word)
          WHERE it = (SELECT count(*) FROM merges)
          GROUP BY 1 ORDER BY n DESC, token ASC""",
+
+    // corpus tokenization: the same recursive-CTE rank-order replay as
+    // x_bpe_encode, then per-word final token streams join back to
+    // positioned doc words for the ordered per-doc hash + token count
+    // (conservation: n_tokens = Σ per-word encoded lengths)
+    "x_bpe_tokenize" ->
+      """WITH RECURSIVE
+         words AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
+           GROUP BY 1),
+         merges AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY n DESC, l ASC, r ASC) AS rank, l, r
+           FROM (
+             SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT+1, 1) AS r,
+                    sum(freq)::BIGINT AS n
+             FROM (SELECT freq, word, unnest(range(1, length(word))) AS i FROM words)
+             GROUP BY 1, 2)),
+         chars AS MATERIALIZED (
+           SELECT word, i::INT AS pos, substr(word, i::INT, 1) AS sym
+           FROM (SELECT word, unnest(range(1, length(word)+1)) AS i FROM words)),
+         enc AS (
+           SELECT word, pos, sym, 0 AS it FROM chars
+           UNION ALL
+           SELECT word, pos,
+                  CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym,
+                  it + 1 AS it
+           FROM (
+             SELECT word, pos, sym, nxt, it, do_merge,
+                    lag(do_merge) OVER (PARTITION BY word, it ORDER BY pos) AS prev_merged
+             FROM (
+               SELECT word, pos, sym, nxt, it, cand,
+                      cand AND (row_number() OVER (PARTITION BY word, it, grp, cand ORDER BY pos)) % 2 = 1
+                        AS do_merge
+               FROM (
+                 SELECT word, pos, sym, nxt, it, cand,
+                        rn - (row_number() OVER (PARTITION BY word, it, cand ORDER BY pos)) AS grp
+                 FROM (
+                   SELECT e.word, e.pos, e.sym, e.it,
+                          lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) AS nxt,
+                          row_number() OVER (PARTITION BY e.word ORDER BY e.pos) AS rn,
+                          coalesce(e.sym = m.l AND
+                            lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) = m.r,
+                            FALSE) AS cand
+                   FROM enc e JOIN merges m ON m.rank = e.it + 1) q0) q1) q2) q3
+           WHERE NOT coalesce(prev_merged, FALSE)
+         ),
+         wordtok AS MATERIALIZED (
+           SELECT word, string_agg(sym, ' ' ORDER BY pos) AS toks,
+                  count(*)::BIGINT AS n_toks
+           FROM enc WHERE it = (SELECT count(*) FROM merges) GROUP BY word),
+         docw AS (
+           SELECT doc_id, pos, word FROM (
+             SELECT doc_id,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+               unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$'))
+         SELECT d.doc_id, sum(w.n_toks)::BIGINT AS n_tokens,
+           md5(string_agg(w.toks, ' ' ORDER BY d.pos)) AS token_hash
+         FROM docw d JOIN wordtok w USING (word)
+         GROUP BY d.doc_id""",
 
     // precomputed expected merge sequence for the literal tie corpus
     // (derivation in the Spark-side comment): the tie at n=5 resolves

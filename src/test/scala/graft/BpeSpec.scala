@@ -131,6 +131,34 @@ class BpeSpec extends SparkSpec {
     assert(planNodes(table) == planNodes(chain))
   }
 
+  test("encodeCorpus: ordered per-doc streams, replay-equal, mass-conserving") {
+    val corpus = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "new newer lowest"),
+      (3L, "low")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, numMerges = 8, minCount = 1)
+    val out = Bpe.encodeCorpus(corpus, merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[String](1).toList, r.getAs[Long]("n_tokens"))).toMap
+    // replay: encode each word independently in rank order, reassemble
+    val table = merges.map(m => (m.left, m.right))
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    def enc(w: String): List[String] =
+      Bpe.encodeSymbols(w.split(""), ranks).toList
+    val expected = Map(
+      1L -> "low lower lowest low", 2L -> "new newer lowest", 3L -> "low")
+      .map { case (id, t) => id -> t.split(" ").toList.flatMap(enc) }
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(out(id)._1 == expected(id),
+        s"doc $id stream must equal the per-word rank-order replay in order")
+      assert(out(id)._2 == expected(id).size.toLong,
+        s"doc $id token mass must be conserved")
+    }
+    // repeated words encode identically at every position (doc 1: 'low' twice)
+    assert(out(1L)._1.take(enc("low").size) == enc("low"))
+    assert(out(1L)._1.takeRight(enc("low").size) == enc("low"))
+  }
+
   test("padMerges entries are provably inert") {
     val merges = Bpe.train(corpus, numMerges = 4)
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
