@@ -757,6 +757,34 @@ object LlmQueries {
             .as("admitted_tokens"))
     }),
 
+    // budget-mix → packing composition: the full token-budget prep path
+    // (downsample each source to its token-mass share of the budget,
+    // then pack the ADMITTED documents into fixed-token training
+    // sequences per source) — the composition mixToTokenBudget's doc
+    // defers exact-budget cuts to. Both stages are deterministic
+    // (md5-bucket admission, id-ordered cumsum), so the oracle replays
+    // the pipeline end-to-end and pins every document's sequence
+    // assignment — which subsumes the packing invariants (sequence
+    // token sums, id-order monotonicity) and the admitted-mass bound.
+    // Same planted 'boutique' source as x_token_budget_mix so both
+    // admission branches stay on the oracle path.
+    "x_budget_pack" -> ((s, dir) => {
+      val planted = s.range(5).select(
+        (col("id") + 1300000000L).as("doc_id"), lit("boutique").as("source"),
+        concat(lit("boutique tokens aplenty for the tiny planted source " +
+          "row "), col("id").cast("string"), lit(" end")).as("text"))
+      val corpus = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text")).union(planted)
+      val admitted = graft.llm.Sampling.mixToTokenBudget(corpus,
+        budgetTokens = 2000L,
+        Map("src0" -> 0.3, "src1" -> 0.3, "boutique" -> 0.4))
+      graft.llm.Packing.packSequences(
+        admitted.select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        budgetTokens = 512L)
+        .select("doc_id", "source", "seq_id")
+    }),
+
     // BPE vocabulary induction, statistics step: freq-weighted adjacent
     // character-pair counts over the distinct-word table (the per-merge
     // aggregate of distributed BPE training; `BpeSpec` covers the full
@@ -1142,6 +1170,38 @@ object LlmQueries {
          WHERE ('0x' || substr(md5('tokbudget:' || c.doc_id::VARCHAR), 25, 8))::BIGINT
                % 1000000 < f.frac * 1000000
          GROUP BY 1""",
+
+    // budget-mix admission replayed (the x_token_budget_mix CTE), then
+    // the packing cumsum over the admitted rows — per-doc sequence
+    // assignment pinned end-to-end
+    "x_budget_pack" ->
+      """WITH corpus AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT 1300000000 + i, 'boutique',
+             'boutique tokens aplenty for the tiny planted source row '
+               || i::VARCHAR || ' end'
+           FROM range(5) t(i)),
+         w(source, wt) AS (VALUES ('src0', 0.3::DOUBLE),
+               ('src1', 0.3::DOUBLE), ('boutique', 0.4::DOUBLE)),
+         tok AS (SELECT source, sum(len(string_split(text, ' ')))::DOUBLE
+                   AS t
+                 FROM corpus WHERE source IS NOT NULL GROUP BY 1),
+         f AS (SELECT w.source, least(1.0::DOUBLE, 2000 * w.wt / tok.t)
+                 AS frac
+               FROM w JOIN tok USING (source)),
+         adm AS (
+           SELECT c.doc_id, c.source,
+             len(string_split(c.text, ' '))::BIGINT AS n_tokens
+           FROM corpus c JOIN f USING (source)
+           WHERE ('0x' || substr(md5('tokbudget:' || c.doc_id::VARCHAR), 25, 8))::BIGINT
+                 % 1000000 < f.frac * 1000000)
+         SELECT doc_id, source,
+           ((cum_tokens - n_tokens) // 512)::BIGINT AS seq_id
+         FROM (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS cum_tokens
+               FROM adm)""",
 
     // words → characters via per-position substr (DuckDB substr is
     // character-indexed, matching Spark's split-on-empty-pattern on the
