@@ -201,7 +201,11 @@ object LlmQueries {
           "improving because the work is careful and honest over time " +
           "while the team reads every result with attention marker"),
           col("id").cast("string")).as("text"), lit(1.0).as("weak"))
+      // 20% of natural docs (deterministic id-hash fold, salt "qsplit")
+      // are HELD OUT of training so x_quality_holdout's floor is
+      // measured on documents the fit never saw
       val corpus = docs(s, dir)
+        .filter(graft.llm.Sampling.hashBucket(col("doc_id"), "qsplit") >= 200000)
         .select(col("doc_id"), col("text"), lit(-1.0).as("weak"))
         .union(junk).union(clean)
       val labeled = graft.llm.QualityModel.featurize(corpus)
@@ -283,6 +287,31 @@ object LlmQueries {
       graft.llm.QualityModel.score(model, eval)
         .select(col("doc_id"), pred.as("pred_label"), col("expected_label"),
           (pred === col("expected_label")).as("correct"))
+    }),
+
+    // the classifier's MEASURED contract on natural documents the fit
+    // never saw: qualityModelOnce trains on the >= 200000 id-hash fold
+    // only; this gate scores the held-out < 200000 fold against its
+    // Gopher weak labels (all 0 on this corpus — no natural doc clears
+    // the >= 2-stop-word rule) and pins an accuracy floor plus a
+    // mean-probability ceiling, floors chosen with headroom from
+    // measured runs (the x_ann_recall pattern: measured 1.0 / ≤0.007
+    // at sf0.001, sf0.01 AND sf0.1; pinned at 0.9 / 0.2). Jointly with
+    // x_quality_classifier's planted-prose rows (which demand
+    // P(quality) > 0.5 on prose), a degenerate always-0 or
+    // single-feature model cannot satisfy both. DuckDB cannot replay
+    // LBFGS; it pins n_eval by replaying the fold hash, and the
+    // contract bits as literals.
+    "x_quality_holdout" -> ((s, dir) => {
+      val model = qualityModelOnce(s, dir)
+      val eval = docs(s, dir)
+        .filter(graft.llm.Sampling.hashBucket(col("doc_id"), "qsplit") < 200000)
+        .select(col("doc_id"), col("text"))
+      val pred = (col("quality_prob") > 0.5).cast("long")
+      graft.llm.QualityModel.score(model, eval)
+        .agg(count(lit(1)).as("n_eval"),
+          (avg((pred === lit(0L)).cast("double")) >= 0.9).as("acc_floor_met"),
+          (avg(col("quality_prob")) <= 0.2).as("prob_ceiling_met"))
     }),
 
     // DEFLATE compression-ratio quality signal (compressed/raw bytes —
@@ -757,6 +786,35 @@ object LlmQueries {
             .as("admitted_tokens"))
     }),
 
+    // ST-analog — streaming near-dup suppression keyed on simhash64
+    // (DocStream.nearDupSuppress): the batch shape of the watermarked
+    // signature dedup, sharing the exact keying projection with the
+    // streaming operator. Twins are token-REVERSED copies (different
+    // text — exact content-hash dedup would admit them — same token
+    // multiset, hence the same SimHash signature by construction, since
+    // the per-bit vote is order-invariant). Keep-first under monotone
+    // arrival = min id per signature group, which the oracle recomputes
+    // as min id per sorted-token-MULTISET fingerprint with no knowledge
+    // of the hash family. The fingerprint ALSO guards the grouping on
+    // the Spark side (the x_simhash md5-guard pattern): this corpus's
+    // docs share 70–80% of their vocabulary, so a handful of genuinely
+    // different multisets legitimately collide at hamming 0 — correct
+    // near-dup suppression in production, but inexpressible by a
+    // hash-free oracle. Grouping on (simhash, fp) splits those
+    // incidental merges while still pinning the property under test: an
+    // order-SENSITIVE simhash bug would separate each doc from its
+    // reversed twin and double the group count.
+    "st_simhash_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val twins = d.select(twinId(col("doc_id"), 1000000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      graft.streaming.DocStream.withSimHashKey(d.union(twins))
+        .withColumn("fp", md5(concat_ws("|", array_sort(split(col("text"), " ")))))
+        .groupBy(col("simhash"), col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+    }),
+
     // budget-mix → packing composition: the full token-budget prep path
     // (downsample each source to its token-mass share of the budget,
     // then pack the ADMITTED documents into fixed-token training
@@ -1171,6 +1229,22 @@ object LlmQueries {
                % 1000000 < f.frac * 1000000
          GROUP BY 1""",
 
+    // signature dedup replayed on the sorted-token-multiset fingerprint
+    // (SimHash is a pure function of the token multiset, so reversed
+    // twins land in their source's group)
+    "st_simhash_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           FROM documents),
+         fp AS (SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), '|'))
+               AS f
+           FROM corpus)
+         SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+         FROM fp GROUP BY f""",
+
     // budget-mix admission replayed (the x_token_budget_mix CTE), then
     // the packing cumsum over the admitted rows — per-doc sequence
     // assignment pinned end-to-end
@@ -1511,6 +1585,16 @@ object LlmQueries {
            (1200000102::BIGINT, 1::BIGINT, 1::BIGINT, true),
            (1200000103::BIGINT, 1::BIGINT, 1::BIGINT, true))
          AS t(doc_id, pred_label, expected_label, correct)""",
+
+    // held-out fold size replayed from the id-hash; the measured floor
+    // bits are the pinned contract (see the Spark gate's comment for
+    // the measured values and headroom)
+    "x_quality_holdout" ->
+      """SELECT count(*)::BIGINT AS n_eval,
+           true AS acc_floor_met, true AS prob_ceiling_met
+         FROM documents
+         WHERE ('0x' || substr(md5('qsplit:' || doc_id::VARCHAR), 25, 8))::BIGINT
+               % 1000000 < 200000""",
 
     "x_compression_ratio" ->
       """WITH corpus AS (

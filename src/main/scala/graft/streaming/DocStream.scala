@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Streaming document-intake operators: the LLM-pipeline stages that run
+  * on an unbounded crawl/delivery stream rather than a batch corpus.
+  *
+  * The content-hash dedup a production intake starts with
+  * (`StreamingSpec`'s curation case) only suppresses EXACT re-deliveries.
+  * Near-duplicate suppression keys the stream on the 64-bit SimHash of
+  * the token multiset instead: near-identical documents — permutations,
+  * whitespace/boilerplate reshuffles, small multiset-preserving edits —
+  * vote the same signature bit pattern, so a later near-copy collides
+  * with the admitted original's key and is dropped by the SAME
+  * watermark-bounded stateful dedup machinery (state per signature, ~8
+  * bytes + key overhead, evicted past the watermark — the bounded-state
+  * contract a 24/7 intake needs; contrast MinHash-LSH, whose bucket-join
+  * shape has no bounded-state streaming equivalent).
+  */
+object DocStream {
+
+  /** The signature keying, shared verbatim by the streaming operator and
+    * its batch-analog oracle gate (`st_simhash_dedup`) so the two cannot
+    * diverge: one codegen'd projection, no shuffle.
+    */
+  def withSimHashKey(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("simhash",
+      Dedup.simhash64(TextAnalysis.tokens(col(textCol))))
+
+  /** Cross-batch near-duplicate suppression for a streaming document
+    * frame carrying (`idCol`, `textCol`, `timeCol`): the first document
+    * of each SimHash signature is admitted; any later arrival with the
+    * same signature — exact duplicate OR multiset-preserving near-copy —
+    * is dropped while its state lives (watermark-bounded, so a
+    * re-delivery older than the watermark is dropped as late rather
+    * than re-admitted).
+    */
+  def nearDupSuppress(docs: DataFrame, watermarkDelay: String = "10 minutes",
+      textCol: String = "text", timeCol: String = "event_time"): DataFrame =
+    withSimHashKey(docs, textCol)
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("simhash")
+}

@@ -280,6 +280,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup suppression drops a cross-batch near-copy by signature") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+    val q = graft.streaming.DocStream
+      .nearDupSuppress(docs, watermarkDelay = "2 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("stream_neardup_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog tonight"
+      mem.addData(
+        (0L, a, T),
+        (1L, "a completely different document about spark", T))
+      q.processAllAvailable()
+      assert(spark.table("stream_neardup_out").count() == 2)
+      // batch 2, LATER arrival: a token-reversed near-copy of doc 0 —
+      // different text (content-hash dedup would admit it), same token
+      // multiset, hence the same SimHash signature → suppressed against
+      // batch-1 state; a genuinely fresh doc is admitted
+      mem.addData(
+        (2L, a.split(" ").reverse.mkString(" "), T + 30),
+        (3L, "fresh reporting on an unrelated topic entirely", T + 30))
+      q.processAllAvailable()
+      val admitted = spark.table("stream_neardup_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(admitted == Set(0L, 1L, 3L),
+        "the cross-batch near-copy (doc 2) must be suppressed by signature")
+    } finally q.stop()
+  }
+
   test("streaming quality classifier: offline-trained model scores a stream map-only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.QualityModel
