@@ -21,11 +21,15 @@ import graft.llm.{CurationPipeline, Dedup, Sampling, TextAnalysis}
   * two-point A/B could not; PLANS.md records the table.
   */
 object CurationProbe {
-  private def time(f: => DataFrame): Double = {
-    f.write.format("noop").mode("overwrite").save() // warm
+  // by-VALUE: one plan is built per stage and re-executed; a by-name
+  // parameter would rebuild the plan per pass, re-registering (and
+  // re-materializing) the persisted signature state each time —
+  // inflating probe memory and folding re-caching cost into the timings
+  private def time(df: DataFrame): Double = {
+    df.write.format("noop").mode("overwrite").save() // warm
     val ts = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
+      df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     ts.min
@@ -54,7 +58,7 @@ object CurationProbe {
         scored.filter(col("quality") >= cfg.minQuality)
       }
       def exact = Dedup.dropExactDuplicates(gated, "text", "doc_id")
-      def state = exact.select(col("doc_id").as("id"),
+      val state = exact.select(col("doc_id").as("id"),
           Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
         .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -65,19 +69,20 @@ object CurationProbe {
           Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
             .filter(col("est_jaccard") >= cfg.nearDupJaccard / 2)
         case "pairs" =>
-          val st = state
           Dedup.verifyJaccardFromShingles(
-            Dedup.minhashCandidatesFromSigs(st.select("id", "sig"))
-              .filter(col("est_jaccard") >= cfg.nearDupJaccard / 2), st)
+            Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
+              .filter(col("est_jaccard") >= cfg.nearDupJaccard / 2), state)
             .filter(col("jaccard") >= cfg.nearDupJaccard)
         case _ => CurationPipeline.curate(docs, cfg)
       }
       for (stage <- Seq("gated", "exact", "cands", "pairs", "full")) {
-        val t = time(run(stage))
-        val rows = run(stage).count()
-        spark.catalog.clearCache()
+        val df = run(stage) // ONE plan per stage, timed and counted
+        val t = time(df)
+        val rows = df.count()
         println(f"CURATE x$mult%-4d $stage%-7s $t%7.3f  $rows%d")
       }
+      state.unpersist(blocking = true)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

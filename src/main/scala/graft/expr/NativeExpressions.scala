@@ -209,19 +209,9 @@ case class RollingHash64(child: Expression)
   */
 case class DeflateRatio(child: Expression)
     extends UnaryExpression with NativeUnaryCodegen {
+  import DeflateRatio.{deflaters, scratch}
   override def dataType: DataType = DoubleType
   override def prettyName: String = "deflate_ratio"
-
-  @transient private lazy val deflaters =
-    new ThreadLocal[java.util.zip.Deflater] {
-      override def initialValue(): java.util.zip.Deflater =
-        new java.util.zip.Deflater(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
-    }
-  @transient private lazy val scratch =
-    new ThreadLocal[Array[Byte]] {
-      override def initialValue(): Array[Byte] = new Array[Byte](8192)
-    }
 
   def computeDouble(s: UTF8String): Double = {
     val raw = s.getBytes
@@ -241,6 +231,26 @@ case class DeflateRatio(child: Expression)
   override protected def computeCall(ref: String, c: String): String =
     s"$ref.computeDouble($c)"
   override protected def withNewChildInternal(c: Expression): DeflateRatio = copy(child = c)
+}
+
+/** JVM-wide (static) per-thread Deflater pool: shared across every
+  * DeflateRatio instance so a long-lived executor running many queries
+  * holds at most one native zlib stream per thread, not one per
+  * (expression instance × thread). `end()` is never called — the pool
+  * lives for the executor's lifetime by design, bounded by thread
+  * count, and is reclaimed by the Deflater Cleaner on JVM exit.
+  */
+object DeflateRatio {
+  private val deflaters =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+    }
+  private val scratch =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](8192)
+    }
 }
 
 /** Marker-profile language ID over an array<string> token column: one

@@ -333,9 +333,16 @@ object LlmQueries {
       val rated = docs(s, dir).select(col("doc_id"), col("text"))
         .union(planted)
         .withColumn("ratio", TextAnalysis.compressionRatio(col("text")))
+      // the <= 1.5 ceiling only holds for docs long enough to amortize
+      // the fixed DEFLATE block overhead — a 1-char doc compresses to
+      // ~3x its size — so the bound is gated on length rather than
+      // pinned universally (this corpus's min doc is 44 chars, but the
+      // contract must survive a future short-doc corpus)
       val perDoc = rated.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        (col("ratio") > 0.0 && col("ratio") <= 1.5).as("ratio_in_bounds"))
+        (col("ratio") > 0.0 &&
+          (col("ratio") <= 1.5 || length(col("text")) < 32))
+          .as("ratio_in_bounds"))
       // global aggregates so each side is a PROVABLY ≤1-row scalar
       // attach (Aggregate.maxRows == 1) — the planted ids are unique by
       // construction, but a bare filter can't show that to the planner
