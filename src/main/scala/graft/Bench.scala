@@ -98,15 +98,20 @@ object Bench {
     // page-cache locality a real mixed workload doesn't have)
     val passBuf = scala.collection.mutable.ArrayBuffer.tabulate(Runs)(_ =>
       queries.map { case (n, fn) => (n, timeOnce(n, fn)) })
-    // Publish-gate on ambient noise: a pass whose TOTAL is >2x the
+    // Publish-gate on ambient noise: a pass whose TOTAL is >1.25x the
     // fastest pass was measured under external load (round-6 committed
-    // artifact had single passes of 62-193s against a 33s floor — not
-    // plan behavior). Re-measure the noisy pass in place, up to 3
-    // extras, so the published artifact is the run the headline cites
-    // rather than one poisoned by a busy neighbor.
+    // artifact had single passes of 62-193s against a 33s floor, and the
+    // round-8 driver run's 1.19x spread was loose enough to hide ±8%
+    // per-query "regressions" that the committed contemporaneous run
+    // contradicted — not plan behavior). Re-measure the noisy pass in
+    // place, up to 6 extras, so the published artifact is the run the
+    // headline cites rather than one poisoned by a busy neighbor.
+    // tools/gen_baseline.py independently REFUSES artifacts whose final
+    // spread still exceeds 1.15x, so a box too noisy to converge yields
+    // no headline rather than a false one.
     var reruns = 0
     def passTotalsNow = passBuf.map(_.map(t => math.abs(t._2)).sum)
-    while (reruns < 3 && passTotalsNow.max > 2.0 * passTotalsNow.min) {
+    while (reruns < 6 && passTotalsNow.max > 1.25 * passTotalsNow.min) {
       val totals = passTotalsNow
       val noisy = totals.indexOf(totals.max)
       System.err.println(f"BENCH NOISY PASS ${noisy + 1} " +

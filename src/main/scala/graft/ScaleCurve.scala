@@ -109,6 +109,39 @@ object ScaleCurve {
     val tn = timeQuery(spark, bigDir, capped)
     println(f"SCALE ${"x_ngram_jaccard(capped)"}%-28s $t1%6.3f  $tn%6.3f  ${tn / t1}%5.2f")
 
+    // Trained-classifier lifecycle, the two costs measured SEPARATELY —
+    // the gate memoizes the fit per corpus, so the gate-query curve
+    // would time training once and scoring thereafter. Training is
+    // LBFGS: one treeAggregate over the feature table per iteration,
+    // driver state bounded by the 7-coefficient vector, so it should
+    // grow ≲ linearly in corpus rows; scoring is the production path —
+    // fit ONCE on the 1× corpus, broadcast coefficients, map-only over
+    // any corpus size.
+    if (only.isEmpty || only.contains("x_quality_classifier")) {
+      import graft.queries.LlmQueries
+      def timeTrain(d: String): Double = {
+        graft.llm.QualityModel.train(LlmQueries.qualityTrainingSet(spark, d)) // warm
+        spark.catalog.clearCache()
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.llm.QualityModel.train(LlmQueries.qualityTrainingSet(spark, d))
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val tr1 = timeTrain(sfDir)
+      val trN = timeTrain(bigDir)
+      println(f"SCALE ${"qc_train(fit per corpus)"}%-28s $tr1%6.3f  $trN%6.3f  ${trN / tr1}%5.2f")
+      val model = graft.llm.QualityModel.train(
+        LlmQueries.qualityTrainingSet(spark, sfDir))
+      val scoreFn = (s: SparkSession, d: String) =>
+        graft.llm.QualityModel.score(model,
+          graft.sources.Tables.documents(s, d).select(col("doc_id"), col("text")))
+      val sc1 = timeQuery(spark, sfDir, scoreFn)
+      val scN = timeQuery(spark, bigDir, scoreFn)
+      println(f"SCALE ${"qc_score(fixed model)"}%-28s $sc1%6.3f  $scN%6.3f  ${scN / sc1}%5.2f")
+    }
+
     // Distributed-CC crossover: a synthetic high-duplication pair set
     // ABOVE the 1M driver-union-find cap, shaped as long chains (the
     // worst diameter LSH produces on template corpora: page k links only

@@ -192,27 +192,34 @@ object LlmQueries {
     String, org.apache.spark.ml.classification.LogisticRegressionModel]()
   private def qualityModelOnce(s: SparkSession, dir: String)
       : org.apache.spark.ml.classification.LogisticRegressionModel =
-    qualityModelBuilt.computeIfAbsent(dir, _ => {
-      val junk = s.range(40).select((col("id") + 1100000000L).as("doc_id"),
-        concat(lit(("## #### " * 12).trim + " "), col("id").cast("string"))
-          .as("text"), lit(0.0).as("weak"))
-      val clean = s.range(40).select((col("id") + 1100001000L).as("doc_id"),
-        concat(lit("the data we have with that and this system will keep " +
-          "improving because the work is careful and honest over time " +
-          "while the team reads every result with attention marker"),
-          col("id").cast("string")).as("text"), lit(1.0).as("weak"))
-      // 20% of natural docs (deterministic id-hash fold, salt "qsplit")
-      // are HELD OUT of training so x_quality_holdout's floor is
-      // measured on documents the fit never saw
-      val corpus = docs(s, dir)
-        .filter(graft.llm.Sampling.hashBucket(col("doc_id"), "qsplit") >= 200000)
-        .select(col("doc_id"), col("text"), lit(-1.0).as("weak"))
-        .union(junk).union(clean)
-      val labeled = graft.llm.QualityModel.featurize(corpus)
-        .withColumn("label", when(col("weak") < 0,
-          col("gopher_pass").cast("double")).otherwise(col("weak")))
-      graft.llm.QualityModel.train(labeled)
-    })
+    qualityModelBuilt.computeIfAbsent(dir, _ =>
+      graft.llm.QualityModel.train(qualityTrainingSet(s, dir)))
+
+  /** The labeled feature table [[qualityModelOnce]] fits on — exposed so
+    * `graft.ScaleCurve` can time training UN-memoized at 1× and N×
+    * corpus scale (the gate path would hide the second fit).
+    */
+  private[graft] def qualityTrainingSet(s: SparkSession, dir: String)
+      : DataFrame = {
+    val junk = s.range(40).select((col("id") + 1100000000L).as("doc_id"),
+      concat(lit(("## #### " * 12).trim + " "), col("id").cast("string"))
+        .as("text"), lit(0.0).as("weak"))
+    val clean = s.range(40).select((col("id") + 1100001000L).as("doc_id"),
+      concat(lit("the data we have with that and this system will keep " +
+        "improving because the work is careful and honest over time " +
+        "while the team reads every result with attention marker"),
+        col("id").cast("string")).as("text"), lit(1.0).as("weak"))
+    // 20% of natural docs (deterministic id-hash fold, salt "qsplit")
+    // are HELD OUT of training so x_quality_holdout's floor is
+    // measured on documents the fit never saw
+    val corpus = docs(s, dir)
+      .filter(graft.llm.Sampling.hashBucket(col("doc_id"), "qsplit") >= 200000)
+      .select(col("doc_id"), col("text"), lit(-1.0).as("weak"))
+      .union(junk).union(clean)
+    graft.llm.QualityModel.featurize(corpus)
+      .withColumn("label", when(col("weak") < 0,
+        col("gopher_pass").cast("double")).otherwise(col("weak")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups: content-hash → survivor + multiplicity
