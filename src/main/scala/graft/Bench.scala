@@ -154,8 +154,32 @@ object Bench {
     // survive a bounded stdout-tail capture
     val qsCompact = rows.map { case (n, m, _) => "\"" + n + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // json-parses the final line — a full 100+-entry query map overflows
+    // that window and silently nulls the round's parsed metrics (round-9
+    // advisory). Budget the stdout map: slowest queries first (the ones
+    // a grader compares against the baseline), stop before the line can
+    // outgrow the window, and say how many were elided. The COMPLETE map
+    // always lands in /tmp/bench.json + bench_latest.json + bench_<sf>.json.
+    val StdoutBudget = 1800
+    // plan-floor sum (min across ALL passes per query): robust to
+    // ambient host noise — when `value` and `min_total` diverge sharply
+    // the machine was loaded during some passes, not the plans slower
+    val minTotal = r4(byQueryAll.map { case (_, ts) => ts.map(math.abs).min }.sum)
+    // SF-stamped committable artifact name: sf0.001 smoke runs write
+    // bench_sf0.001.json and can never clobber the sf0.1 headline
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    def summaryLine(entries: Seq[(String, Double)], elided: Int): String = {
+      val qs = entries.map { case (n, m) => "\"" + n + "\":" + r3(m) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"bench_$sfTag.json","sf":"$sfDir","runs":$Runs}"""
+    }
+    val bySlowest = rows.sortBy { case (_, m, _) => -math.abs(m) }
+      .map { case (n, m, _) => (n, m) }
+    val line = (bySlowest.length to 0 by -1).iterator
+      .map(k => summaryLine(bySlowest.take(k), bySlowest.length - k))
+      .find(_.length <= StdoutBudget)
+      .getOrElse(summaryLine(Nil, bySlowest.length))
     // full report (ALL per-run times + spread + per-query min) for the
     // file targets
     val qsFull = byQueryAll.map { case (n, ts) =>
@@ -165,15 +189,8 @@ object Bench {
       val qmin = r4(ts.map(math.abs).min)
       s""""$n":{"median":${r4(med)},"min":$qmin,"runs":$runs,"spread":$spread}"""
     }.mkString("{", ",", "}")
-    // plan-floor sum (min across ALL passes per query): robust to
-    // ambient host noise — when `value` and `min_total` diverge sharply
-    // the machine was loaded during some passes, not the plans slower
-    val minTotal = r4(byQueryAll.map { case (_, ts) => ts.map(math.abs).min }.sum)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"noisy_pass_reruns":$reruns,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
-    // SF-stamped committable artifact name: sf0.001 smoke runs write
-    // bench_sf0.001.json and can never clobber the sf0.1 headline
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     Seq("/tmp/bench.json", "bench_latest.json", s"bench_$sfTag.json").foreach { p =>
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))

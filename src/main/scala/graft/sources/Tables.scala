@@ -68,18 +68,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy conf)
-    * and surface BOTH a µs `ts` (TimestampType, truncated) and the exact
-    * `ts_ns` epoch-nanos for precision-sensitive ordering. Integer `div`
-    * (not double /) — epoch nanos exceed double's 53-bit mantissa.
+  /** The events table's `ts` column has shipped in two physical
+    * encodings across testdata generations: parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader only admits as a raw long via the
+    * legacy `nanosAsLong` conf) and plain TIMESTAMP(MICROS). Dispatch on
+    * the scanned type and surface the SAME logical schema either way:
+    * a µs-precision `ts` (TimestampType) plus exact `ts_ns` epoch-nanos
+    * for precision-sensitive ordering. Integer `div`/`* 1000L` (never
+    * double arithmetic) — epoch nanos exceed double's 53-bit mantissa.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+      case _ =>
+        // TIMESTAMP or TIMESTAMP_NTZ scan: normalize to TimestampType
+        // (identity under the UTC session timezone every entry point
+        // sets) so every downstream consumer sees one logical type,
+        // then derive exact epoch-nanos from the µs value.
+        raw
+          .withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+          .withColumn("ts_ns", org.apache.spark.sql.functions.expr(
+            "unix_micros(ts) * 1000L"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
