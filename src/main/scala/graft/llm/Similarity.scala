@@ -235,6 +235,31 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
+  /** Delta maintenance for an [[ivfWriteIndex]] index: assign ONLY the
+    * new delivery's vectors to the index's FROZEN quantizer and append
+    * them under their cell partitions. No re-cluster, no rewrite of
+    * resident cells — at 100 TB the index is the accumulated corpus and
+    * each delivery is orders of magnitude smaller, so maintenance must
+    * cost O(delta), never O(index). The quantizer staying frozen is what
+    * keeps the layout valid: identical vectors land in identical cells
+    * across deliveries, so [[ivfSearchIndex]]'s partition pruning and
+    * recall contract hold over the union exactly as over a full rebuild.
+    * (Re-training centroids on drifted data is an OFFLINE decision that
+    * produces a NEW index path; it is deliberately not this method.)
+    */
+  def ivfAppendIndex(delta: DataFrame, centroids: Seq[Seq[Double]],
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(centroids.nonEmpty, "ivfAppendIndex needs the index's quantizer")
+    delta.select(col(idCol), col(vecCol))
+      .filter(graft.expr.native.arrayDot(
+        col(vecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")) > 0)
+      .withColumn("cid", element_at(graft.expr.native.nearestCentroids(
+        col(vecCol).cast("array<double>"), centroids, 1), 1))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Search a cell-partitioned index written by [[ivfWriteIndex]]. The
     * probed cell ids (a bounded |queries|×nProbe collect — the same
     * config-sized probe state every IVF system ships to its readers)

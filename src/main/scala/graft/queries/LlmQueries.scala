@@ -700,6 +700,27 @@ object LlmQueries {
       }, k = 5)
     }),
 
+    // delta maintenance of the partitioned IVF index: build the index
+    // from the base corpus, APPEND the twin delivery against the frozen
+    // quantizer (ivfAppendIndex — O(delta) work, resident cells
+    // untouched), then search the maintained index. Identical oracle to
+    // x_cosine_ann_ivf_pruned: maintenance must not change results vs a
+    // full rebuild over the union, and the search path's partition-
+    // pruning self-assert still runs against the appended layout. This
+    // measures the incremental-ANN lifecycle end-to-end (the 100 TB
+    // shape: nobody re-indexes the accumulated corpus per crawl
+    // delivery), so unlike ivfIndexOnce the build+append is INSIDE the
+    // gate, deliberately unmemoized.
+    "x_cosine_ann_ivf_append" -> ((s, dir) => {
+      val cents = pseudorandomCentroids(n = 16, dim = 64)
+      annTwinGate(embs(s, dir), (c, q) => {
+        val root = freshIndexRoot(s, "x_ivf_append")
+        Similarity.ivfWriteIndex(c.filter(col("vec_id") < 1000000L), cents, root)
+        Similarity.ivfAppendIndex(c.filter(col("vec_id") >= 1000000L), cents, root)
+        Similarity.ivfSearchIndex(s, root, q, k = 5, cents, nProbe = 4)
+      }, k = 5)
+    }),
+
     // embedding near-dup pairs via block→exact-verify, oracle-paired
     // through a planted-twin construction: the corpus is doubled with
     // 2·v copies — same direction, so every sketch table collides by
@@ -1088,6 +1109,42 @@ object LlmQueries {
       IncrementalDedup.addDelivery(low, root, minJaccard = 1.0)
       IncrementalDedup.addDelivery(delivery2, root, minJaccard = 1.0)
       IncrementalDedup.indexIds(s, root).select(col("id").as("doc_id"))
+    }),
+
+    // schema-drift-tolerant ingestion: two delivery generations of the
+    // same corpus with mutually cast-INCOMPATIBLE schemas — gen1 predates
+    // `source`/`n_chars`/`quality` and stores doc_id narrowed to INT32;
+    // gen2 stores n_chars/quality as strings (some unparseable) and
+    // carries a fetcher column the canonical schema doesn't know. The
+    // conformed union must surface one canonical schema with typed NULLs
+    // for absences, try_cast NULLs for bad cells (never a failed job),
+    // and the unknown column quarantined into the JSON extras — the
+    // oracle recomputes every cell, so a loader that silently dropped or
+    // miscast drifted rows hash-mismatches. (Motivated by the round-9
+    // incident: a TIMESTAMP(NANOS)→µs testdata drift crashing 16 queries
+    // against a hardcoded-schema loader.)
+    "s_schema_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = freshIndexRoot(s, "s_schema_drift")
+      d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").cast("int").as("doc_id"), col("text"),
+          col("lang"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"), col("source"),
+          col("n_chars").cast("string").as("n_chars"),
+          when(col("doc_id") % 2 === 0, lit("n/a"))
+            .otherwise((col("n_chars") % 7).cast("string")).as("quality"),
+          lit("crawler-7").as("fetcher"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      val canonical = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT, quality DOUBLE")
+      graft.ingest.SchemaDrift
+        .readConformed(s, Seq(s"$root/gen1", s"$root/gen2"), canonical,
+          extrasCol = Some("extras"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("quality"), col("extras"))
     }),
 
     // per-source top-5 documents by quality score via the two-level
@@ -2037,6 +2094,32 @@ object LlmQueries {
            ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
          WHERE q.vec_id < 8
            AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    // same twin contract as the pruned gate: append-maintained index
+    // must return exactly what a full rebuild over the union returns
+    "x_cosine_ann_ivf_append" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    "s_schema_drift" ->
+      """SELECT doc_id, lang, NULL AS source, NULL::BIGINT AS n_chars,
+           NULL::DOUBLE AS quality, NULL AS extras
+         FROM documents WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT doc_id, NULL AS lang, source, n_chars,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE (n_chars % 7)::DOUBLE END AS quality,
+           '{"fetcher":"crawler-7"}' AS extras
+         FROM documents WHERE doc_id % 3 = 0""",
 
     // the HLL estimate itself is engine-specific; the oracle pins the
     // exact side and the tolerance contract (see the gate comment)

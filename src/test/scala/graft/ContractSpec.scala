@@ -14,6 +14,29 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  // The gate set is append-only: a refactor that silently DROPS a query
+  // makes the round's correctness artifact pass vacuously by omission
+  // (round-9 advisory — 16 crashed queries simply vanished from the
+  // report). The committed manifest pins every gate name ever shipped;
+  // retiring one requires editing the manifest in the same commit, which
+  // makes the removal reviewable instead of invisible. New queries:
+  // append the name (sorted) to tools/gates_manifest.txt.
+  test("queries cover the committed gate manifest (append-only gate set)") {
+    val manifestPath = java.nio.file.Paths.get("tools/gates_manifest.txt")
+    assert(java.nio.file.Files.exists(manifestPath),
+      "tools/gates_manifest.txt missing — regenerate from SparkEntry.queries keys")
+    val manifest = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(manifestPath)).asScala
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest == manifest.distinct, "duplicate names in gates_manifest.txt")
+    val dropped = manifest.toSet.diff(SparkEntry.queries.keySet)
+    assert(dropped.isEmpty,
+      s"gate queries dropped vs manifest (delete from manifest ONLY if retiring deliberately): $dropped")
+    val unlisted = SparkEntry.queries.keySet.diff(manifest.toSet)
+    assert(unlisted.isEmpty,
+      s"new queries not yet in gates_manifest.txt (append them): $unlisted")
+  }
+
   test("representative queries run non-empty at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     Seq("p1_project_rename", "j2_join_agg_mart", "w1_latest_per_key",

@@ -138,6 +138,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty)
   }
 
+  test("ivfAppendIndex: delta append equals full rebuild, resident files untouched") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 =!= 0)
+    val appended = tmpDir("wh-ivf-app") + "/index"
+    graft.llm.Similarity.ivfWriteIndex(base, cents, appended)
+    // maintenance must be strictly additive: every file written by the
+    // base build survives the append byte-identically (no cell rewrite)
+    def files(p: String): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += (f.getPath.toString -> f.getLen) }
+      b.result()
+    }
+    val before = files(appended)
+    graft.llm.Similarity.ivfAppendIndex(delta, cents, appended)
+    val after = files(appended)
+    assert(before.forall { case (f, len) => after.get(f).contains(len) },
+      "append rewrote resident index files")
+    assert(after.size > before.size, "append added no files")
+    // and it must be invisible to the search path: same results as one
+    // full rebuild over the union, including the pruning self-assert
+    val rebuilt = tmpDir("wh-ivf-full") + "/index"
+    graft.llm.Similarity.ivfWriteIndex(e, cents, rebuilt)
+    val queries = e.filter(col("vec_id") < 4)
+    val viaAppend = graft.llm.Similarity.ivfSearchIndex(spark, appended,
+      queries, k = 5, cents, nProbe = 2)
+    val viaRebuild = graft.llm.Similarity.ivfSearchIndex(spark, rebuilt,
+      queries, k = 5, cents, nProbe = 2)
+    assert(viaAppend.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaAppend).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.ingest.SchemaDrift
+
+/** Conformance semantics for drift-tolerant delivery ingestion:
+  * typed-NULL fill for absent columns, try_cast-NULL (not job failure)
+  * for type drift, extras quarantine for unknown columns, and
+  * order-independence of the conformed union.
+  */
+class SchemaDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val canonical = StructType.fromDDL(
+    "id BIGINT, name STRING, score DOUBLE")
+
+  test("present columns are try_cast, absent become typed nulls, unknown dropped") {
+    val delivery = Seq((1, "a", "2.5", "x"), (2, "b", "bad", "y"))
+      .toDF("id", "name", "score", "junk") // id INT, score STRING
+    val out = SchemaDrift.conformTo(delivery, canonical)
+    // compare (name, type) — a source column already NOT NULL may stay so
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      canonical.map(f => (f.name, f.dataType)))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0) == Row(1L, "a", 2.5))
+    // unparseable cell -> NULL cell, job survives
+    assert(rows(1) == Row(2L, "b", null))
+  }
+
+  test("absent canonical column is NULL of the canonical type") {
+    val delivery = Seq((1L, "a")).toDF("id", "name")
+    val out = SchemaDrift.conformTo(delivery, canonical)
+    assert(out.schema("score").dataType.sql == "DOUBLE")
+    assert(out.head().isNullAt(2))
+  }
+
+  test("extras column quarantines unknown fields as JSON, NULL when none") {
+    val d1 = Seq((1L, "a", 1.0, "f7", 9)).toDF("id", "name", "score", "fetcher", "gen")
+    val d2 = Seq((2L, "b", 2.0)).toDF("id", "name", "score")
+    val o1 = SchemaDrift.conformTo(d1, canonical, Some("extras")).head()
+    val o2 = SchemaDrift.conformTo(d2, canonical, Some("extras")).head()
+    assert(o1.getString(3) == """{"fetcher":"f7","gen":9}""")
+    assert(o2.isNullAt(3))
+  }
+
+  test("extras name colliding with a canonical column is rejected") {
+    val d = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    intercept[IllegalArgumentException] {
+      SchemaDrift.conformTo(d, canonical, Some("score"))
+    }
+  }
+
+  test("readConformed unions mutually cast-incompatible deliveries by name") {
+    val root = tmpDir("drift")
+    // gen1: id narrowed to INT, no score; gen2: score as STRING + unknown col
+    Seq((1, "a"), (2, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    Seq((3L, "c", "7.25", "f7")).toDF("id", "name", "score", "fetcher")
+      .write.mode("overwrite").parquet(s"$root/gen2")
+    val out = SchemaDrift.readConformed(spark,
+      Seq(s"$root/gen1", s"$root/gen2"), canonical)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      canonical.map(f => (f.name, f.dataType)))
+    assert(out.orderBy("id").collect().toSeq == Seq(
+      Row(1L, "a", null), Row(2L, "b", null), Row(3L, "c", 7.25)))
+    // delivery order must not change the result set
+    val flipped = SchemaDrift.readConformed(spark,
+      Seq(s"$root/gen2", s"$root/gen1"), canonical)
+    assert(flipped.orderBy("id").collect().toSeq ==
+      out.orderBy("id").collect().toSeq)
+  }
+
+  test("conformance is a scan-side projection: no shuffle in the plan") {
+    val root = tmpDir("drift-plan")
+    Seq((1, "a")).toDF("id", "name").write.mode("overwrite")
+      .parquet(s"$root/gen1")
+    val out = SchemaDrift.readConformed(spark, Seq(s"$root/gen1"), canonical)
+      .filter(col("id") > 0)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"conformed scan should not shuffle:\n$physical")
+  }
+}
