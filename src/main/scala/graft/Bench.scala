@@ -109,9 +109,13 @@ object Bench {
     // tools/gen_baseline.py independently REFUSES artifacts whose final
     // spread still exceeds 1.15x, so a box too noisy to converge yields
     // no headline rather than a false one.
+    // The rerun trigger MATCHES gen_baseline's 1.15x publish refusal: a
+    // pass in the 1.15-1.25x band used to be neither re-measured nor
+    // publishable, so an otherwise-clean run died on one mildly-noisy
+    // pass (round-10: two consecutive runs refused at 1.17x/1.21x).
     var reruns = 0
     def passTotalsNow = passBuf.map(_.map(t => math.abs(t._2)).sum)
-    while (reruns < 6 && passTotalsNow.max > 1.25 * passTotalsNow.min) {
+    while (reruns < 6 && passTotalsNow.max > 1.15 * passTotalsNow.min) {
       val totals = passTotalsNow
       val noisy = totals.indexOf(totals.max)
       System.err.println(f"BENCH NOISY PASS ${noisy + 1} " +
