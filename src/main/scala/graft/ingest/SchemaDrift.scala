@@ -36,15 +36,21 @@ object SchemaDrift {
   /** Conform one delivery to `canonical`. See object doc for semantics. */
   def conformTo(df: DataFrame, canonical: StructType,
       extrasCol: Option[String] = None): DataFrame = {
-    val present = df.schema.fieldNames.toSet
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
     require(extrasCol.forall(e => !canonical.fieldNames.contains(e)),
       "extras column name collides with a canonical column")
     val conformed: Seq[Column] = canonical.fields.toSeq.map { f =>
-      if (present(f.name))
-        // expression-form try_cast: tolerant of any source type,
-        // codegen'd, and NULL (not error) on unconvertible cells
-        expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byName.get(f.name) match {
+        // type already canonical: pass the column through UNCAST, so
+        // predicate pushdown on it still reaches the parquet reader
+        // even when a sibling column drifted
+        case Some(src) if src.dataType == f.dataType => col(f.name)
+        case Some(_) =>
+          // expression-form try_cast: tolerant of any source type,
+          // codegen'd, and NULL (not error) on unconvertible cells
+          expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     val extras: Seq[Column] = extrasCol.toSeq.flatMap { name =>
       val unknown = df.schema.fieldNames.filterNot(canonical.fieldNames.contains)

@@ -72,6 +72,25 @@ class SchemaDriftSpec extends SparkSpec {
       out.orderBy("id").collect().toSeq)
   }
 
+  test("Tables.table conforms a drifted synthetic table to its canonical schema") {
+    val root = tmpDir("drift-tables")
+    // documents with doc_id narrowed to INT, n_chars drifted to STRING,
+    // lang missing, plus an unknown column — the next-round-regeneration
+    // scenario the canonical-DDL pinning exists for
+    Seq((7, "hello world", "web", "123", "x"))
+      .toDF("doc_id", "text", "source", "n_chars", "fetcher")
+      .write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val out = graft.sources.Tables.table(spark, root, "documents")
+    assert(out.schema.map(f => (f.name, f.dataType.sql)).toSeq == Seq(
+      ("doc_id", "BIGINT"), ("text", "STRING"), ("lang", "STRING"),
+      ("source", "STRING"), ("n_chars", "BIGINT")))
+    assert(out.head() == Row(7L, "hello world", null, "web", 123L))
+    // un-drifted files pass through as the raw scan (no conform node)
+    val clean = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    assert(!clean.queryExecution.analyzed.toString.contains("try_cast"))
+  }
+
   test("conformance is a scan-side projection: no shuffle in the plan") {
     val root = tmpDir("drift-plan")
     Seq((1, "a")).toDF("id", "name").write.mode("overwrite")
