@@ -43,4 +43,24 @@ object DocStream {
     withSimHashKey(docs, textCol)
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** Drift-tolerant streaming intake over per-generation delivery
+    * directories: one file stream per generation (each pinned to its
+    * generation's physical schema — a streaming scan needs an explicit
+    * schema and cannot infer per file), conformed to the canonical
+    * schema and unioned. The streaming twin of
+    * [[graft.ingest.SchemaDrift.readConformed]]: a backfill replaying
+    * three years of deliveries through the intake hits every historical
+    * schema generation, and the conform projection is stateless, so it
+    * composes with watermarks/dedup downstream exactly like any map.
+    */
+  def conformedIntake(spark: org.apache.spark.sql.SparkSession,
+      generations: Seq[(String, String)], // (path, that generation's DDL)
+      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(generations.nonEmpty, "conformedIntake needs a generation")
+    generations.map { case (path, ddl) =>
+      graft.ingest.SchemaDrift.conformTo(
+        spark.readStream.schema(ddl).parquet(path), canonical)
+    }.reduce(_.unionByName(_))
+  }
 }

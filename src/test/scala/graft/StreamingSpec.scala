@@ -313,6 +313,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-tolerant streaming intake conforms per-generation schemas on a backfill") {
+    import spark.implicits._
+    val root = tmpDir("stream-drift")
+    // gen1 predates `source` and narrows doc_id; gen2 stringifies n_chars
+    // (one cell unparseable) and carries an unknown column
+    Seq((1, "alpha"), (2, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    Seq((3L, "gamma", "web", "42", "f7"), (4L, "delta", "cc", "n/a", "f7"))
+      .toDF("doc_id", "text", "source", "n_chars", "fetcher")
+      .write.mode("overwrite").parquet(s"$root/gen2")
+    val canonical = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
+    val intake = graft.streaming.DocStream.conformedIntake(spark, Seq(
+      s"$root/gen1" -> "doc_id INT, text STRING",
+      s"$root/gen2" ->
+        "doc_id BIGINT, text STRING, source STRING, n_chars STRING, fetcher STRING"),
+      canonical)
+    assert(intake.isStreaming)
+    val q = intake.writeStream.format("memory").queryName("drift_intake")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("drift_intake").orderBy("doc_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(rows(0).isNullAt(2) && rows(0).isNullAt(3)) // gen1 absences
+      assert(rows(2).getLong(3) == 42L)                  // gen2 parsed cell
+      assert(rows(3).isNullAt(3))                        // gen2 bad cell -> NULL
+    } finally q.stop()
+  }
+
   test("streaming quality classifier: offline-trained model scores a stream map-only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.QualityModel
