@@ -1147,6 +1147,56 @@ object LlmQueries {
           col("quality"), col("extras"))
     }),
 
+    // NESTED schema drift: the struct column itself drifts — gen1's
+    // `meta` carries an inner field the canonical schema later dropped
+    // (`area`, the reference's `station_area` drop,
+    // src/pyspark_gbfs_raw_load.py:74-83) and predates `quality`; gen2's
+    // `meta` gained `quality` (as STRING, some cells unparseable) and
+    // lost `n_chars`. `tags` is an array-of-struct whose element
+    // `weight` drifted INT→DOUBLE. Conformance must recurse: inner
+    // absences → typed NULLs, inner type drift → try_cast, the unknown
+    // inner field → path-keyed extras — and the oracle recomputes every
+    // cell, so any silently dropped/miscast inner field hash-mismatches.
+    "s_schema_drift_nested" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = freshIndexRoot(s, "s_schema_drift_nested")
+      d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          struct(col("lang"), col("n_chars"),
+            concat(lit("area-"), (col("doc_id") % 5).cast("string"))
+              .as("area")).as("meta"),
+          array(struct(
+            concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tag"),
+            (col("doc_id") % 7).cast("int").as("weight"))).as("tags"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          struct(col("lang"),
+            when(col("doc_id") % 2 === 0, lit("n/a"))
+              .otherwise(((col("doc_id") % 7) + 0.5).cast("string"))
+              .as("quality")).as("meta"),
+          array(struct(
+            concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tag"),
+            ((col("doc_id") % 7) + 0.5).as("weight"))).as("tags"),
+          lit("crawler-9").as("fetcher"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      val canonical = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, " +
+          "meta STRUCT<lang: STRING, n_chars: BIGINT, quality: DOUBLE>, " +
+          "tags ARRAY<STRUCT<tag: STRING, weight: DOUBLE>>")
+      graft.ingest.SchemaDrift
+        .readConformed(s, Seq(s"$root/gen1", s"$root/gen2"), canonical,
+          extrasCol = Some("extras"))
+        .select(col("doc_id"),
+          col("meta.lang").as("lang"),
+          col("meta.n_chars").as("n_chars"),
+          col("meta.quality").as("quality"),
+          element_at(col("tags"), 1).getField("tag").as("tag0"),
+          aggregate(col("tags"), lit(0.0d), (a, x) =>
+            a + x.getField("weight")).as("weight_sum"),
+          col("extras"))
+    }),
+
     // per-source top-5 documents by quality score via the two-level
     // salted top-k aggregation (no per-source window funnel — the
     // skew-proof shape for low-cardinality group keys at corpus scale)
@@ -2119,6 +2169,21 @@ object LlmQueries {
            CASE WHEN doc_id % 2 = 0 THEN NULL
                 ELSE (n_chars % 7)::DOUBLE END AS quality,
            '{"fetcher":"crawler-7"}' AS extras
+         FROM documents WHERE doc_id % 3 = 0""",
+
+    "s_schema_drift_nested" ->
+      """SELECT doc_id, lang, n_chars, NULL::DOUBLE AS quality,
+           't' || (doc_id % 3)::VARCHAR AS tag0,
+           (doc_id % 7)::DOUBLE AS weight_sum,
+           '{"meta.area":"area-' || (doc_id % 5)::VARCHAR || '"}' AS extras
+         FROM documents WHERE doc_id % 3 <> 0
+         UNION ALL
+         SELECT doc_id, lang, NULL::BIGINT AS n_chars,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE (doc_id % 7)::DOUBLE + 0.5 END AS quality,
+           't' || (doc_id % 3)::VARCHAR AS tag0,
+           (doc_id % 7)::DOUBLE + 0.5 AS weight_sum,
+           '{"fetcher":"crawler-9"}' AS extras
          FROM documents WHERE doc_id % 3 = 0""",
 
     // the HLL estimate itself is engine-specific; the oracle pins the

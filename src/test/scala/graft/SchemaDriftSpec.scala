@@ -91,6 +91,83 @@ class SchemaDriftSpec extends SparkSpec {
     assert(!clean.queryExecution.analyzed.toString.contains("try_cast"))
   }
 
+  test("struct columns conform recursively: gained+lost inner fields") {
+    val nested = StructType.fromDDL(
+      "id BIGINT, meta STRUCT<lang: STRING, n_chars: BIGINT, quality: DOUBLE>")
+    // delivery meta LOST n_chars, GAINED area (unknown), carries quality
+    // as STRING (one cell unparseable)
+    val delivery = Seq(
+      (1L, ("en", "7.5", "a1")),
+      (2L, ("de", "bad", "a2"))
+    ).toDF("id", "raw")
+      .select(col("id"), struct(
+        col("raw._1").as("lang"), col("raw._2").as("quality"),
+        col("raw._3").as("area")).as("meta"))
+    val out = SchemaDrift.conformTo(delivery, nested, Some("extras"))
+    assert(out.schema("meta").dataType.sql ==
+      "STRUCT<lang: STRING, n_chars: BIGINT, quality: DOUBLE>")
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getStruct(1) == Row("en", null, 7.5))
+    assert(rows(1).getStruct(1) == Row("de", null, null)) // try_cast NULL
+    // unknown INNER field quarantined by path
+    assert(rows(0).getString(2) == """{"meta.area":"a1"}""")
+  }
+
+  test("NULL struct cells stay NULL after conform") {
+    val nested = StructType.fromDDL("id BIGINT, meta STRUCT<lang: STRING, q: DOUBLE>")
+    val delivery = Seq((1L, Some("en")), (2L, None)).toDF("id", "lang")
+      .select(col("id"),
+        when(col("lang").isNotNull, struct(col("lang"))).as("meta"))
+    val rows = SchemaDrift.conformTo(delivery, nested)
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1) == Row("en", null))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("arrays of struct conform per element via transform") {
+    val nested = StructType.fromDDL(
+      "id BIGINT, tags ARRAY<STRUCT<tag: STRING, weight: DOUBLE>>")
+    // element weight drifted to INT; element carries unknown src field
+    val delivery = Seq((1L, Seq(("a", 3, "web"), ("b", 4, "cc"))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), x => struct(
+        x.getField("_1").as("tag"), x.getField("_2").as("weight"),
+        x.getField("_3").as("src"))).as("tags"))
+    val out = SchemaDrift.conformTo(delivery, nested, Some("extras"))
+    assert(out.schema("tags").dataType.sql ==
+      "ARRAY<STRUCT<tag: STRING, weight: DOUBLE>>")
+    val r = out.head()
+    assert(r.getSeq[Row](1) == Seq(Row("a", 3.0), Row("b", 4.0)))
+    assert(r.getString(2) == """{"tags[]":[{"src":"web"},{"src":"cc"}]}""")
+  }
+
+  test("column matching is case-insensitive, exact match preferred") {
+    val delivery = Seq((1, "a", 2.5)).toDF("ID", "Name", "SCORE")
+    val out = SchemaDrift.conformTo(delivery, canonical)
+    assert(out.head() == Row(1L, "a", 2.5))
+    // both casings present: exact wins
+    val both = Seq((1L, 9L, "a", 1.0)).toDF("id", "ID2", "name", "score")
+      .withColumnRenamed("ID2", "ID")
+    val canon2 = StructType.fromDDL("id BIGINT, name STRING, score DOUBLE")
+    assert(SchemaDrift.conformTo(both, canon2).head().getLong(0) == 1L)
+  }
+
+  test("backticks in delivery column names do not break the projection") {
+    val delivery = Seq((1, "x")).toDF("id", "weird`name")
+    val canon = StructType.fromDDL("id BIGINT")
+    val out = SchemaDrift.conformTo(delivery, canon, Some("extras"))
+    assert(out.head() == Row(1L, """{"weird`name":"x"}"""))
+  }
+
+  test("extras keys are stable across rows (null cells keep their key)") {
+    val delivery = Seq((1L, Some("f7")), (2L, None)).toDF("id", "fetcher")
+    val canon = StructType.fromDDL("id BIGINT")
+    val rows = SchemaDrift.conformTo(delivery, canon, Some("extras"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == """{"fetcher":"f7"}""")
+    assert(rows(1).getString(1) == """{"fetcher":null}""")
+  }
+
   test("conformance is a scan-side projection: no shuffle in the plan") {
     val root = tmpDir("drift-plan")
     Seq((1, "a")).toDF("id", "name").write.mode("overwrite")
