@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) vocabulary induction — the
@@ -281,5 +281,393 @@ object Bpe {
     }
     freeCheckpoint(words)
     merges.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // Scaled trainer: batched merge selection + incremental pair-count
+  // deltas + fault-tolerant loop state. Byte-equal to [[train]] on any
+  // corpus (BpeScaledSpec pins it); the production path for 32k-100k
+  // merge vocabularies, where [[train]]'s one-merge-per-full-aggregation
+  // loop would need ~10⁵ sequential full-table jobs.
+  // ---------------------------------------------------------------------
+
+  /** Driver-side twin of [[mergePair]]: merge non-overlapping LTR
+    * occurrences of (a,b). Returns `syms` UNCHANGED (same reference)
+    * when the pair does not occur, so callers can cheaply detect
+    * affected words. `BpeScaledSpec` property-pins equality with the
+    * Catalyst expression. */
+  def mergePairLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    var i = 0
+    var found = false
+    while (i < syms.length - 1 && !found) {
+      if (syms(i) == a && syms(i + 1) == b) found = true
+      i += 1
+    }
+    if (!found) syms
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** Pure-Scala reference sequential trainer over a collected word
+    * table — the semantic spec of [[train]] in one screen, used by the
+    * test suite to pin [[train]] == [[trainScaledWords]] cheaply (no
+    * per-merge Spark jobs). Not a production path. */
+  def refTrainWords(words0: Seq[(Array[String], Long)], numMerges: Int,
+      minCount: Long): Seq[Merge] = {
+    var words = words0
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (n < minCount) done = true
+        else {
+          merges += Merge(rank, a, b, n)
+          words = words.map { case (s, f) => (mergePairLocal(s, a, b), f) }
+          rank += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** One candidate row of the per-pass top-K view. */
+  private final case class Cand(left: String, right: String, n: Long)
+
+  /** Select the longest batch of top candidates provably equal to
+    * sequential selection, WITHOUT applying anything — the conservative
+    * path. `view` must be every pair with count > `cutoff` (a complete
+    * set of count classes), sorted (n DESC, left ASC, right ASC); any
+    * pair outside it has count ≤ cutoff < every accepted count.
+    *
+    * Merging (a,b)→"ab" can only (i) zero (a,b) itself, (ii) decrement
+    * pairs with right==a or left==b (the neighbors of consumed
+    * occurrences), and (iii) create pairs involving the new "ab" symbol,
+    * each bounded by the count of a decremented neighbor pair (an
+    * occurrence of x·ab comes from an occurrence of x·a). So the scan
+    * accepts candidates in sorted order and stops at the first that
+    * (or whose count-tie class) is touched by an earlier acceptance —
+    * every count that could shift, and every pair that could newly
+    * appear, then stays strictly below the next accepted count, which
+    * keeps the sequential argmax exactly on the accepted sequence. A
+    * new symbol whose STRING equals an existing symbol ("abc" via
+    * (ab,c) after (a,bc)) can INCREASE old counts, so a collision with
+    * the maintained symbol set ends the batch after that merge. */
+  private def scanConservative(view: IndexedSeq[Cand], symbols: Set[String],
+      minCount: Long, maxTake: Int): IndexedSeq[Cand] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[Cand]()
+    val acceptedSet = scala.collection.mutable.HashSet[Cand]()
+    val aLefts = scala.collection.mutable.HashSet[String]()
+    val aRights = scala.collection.mutable.HashSet[String]()
+    val newSyms = scala.collection.mutable.HashSet[String]()
+    def tainted(c: Cand): Boolean =
+      aLefts.contains(c.right) || aRights.contains(c.left) ||
+        newSyms.contains(c.left) || newSyms.contains(c.right)
+    var stop = false
+    var i = 0
+    while (!stop && i < view.length && accepted.length < maxTake) {
+      val c = view(i)
+      if (c.n < minCount) stop = true
+      else if (tainted(c)) stop = true
+      else {
+        // count-tie guard: a TAINTED pair tied with c could, after its
+        // decrement or via a new pair it bounds, tie c again and win on
+        // a lex order involving an unknown new-symbol string — accept c
+        // only when its whole count class is untouched
+        val classTainted = view.exists(t => t.n == c.n && t != c &&
+          !acceptedSet.contains(t) && tainted(t))
+        if (classTainted) stop = true
+        else {
+          accepted += c
+          acceptedSet += c
+          val ns = c.left + c.right
+          if (symbols.contains(ns)) stop = true // string collision
+          aLefts += c.left; aRights += c.right; newSyms += ns
+        }
+      }
+      i += 1
+    }
+    accepted.toIndexedSeq
+  }
+
+  /** Loop state for [[trainScaledWords]]: persisted to `stateDir` every
+    * `persistEvery` passes (parquet + atomically-renamed manifest), so a
+    * failed 100k-merge training job resumes from the last persisted
+    * pass instead of re-running days of work. */
+  final case class TrainState(words: DataFrame, counts: DataFrame,
+      merges: Seq[Merge], symbols: Set[String], pass: Int)
+
+  private def persistState(dir: String, st: TrainState): Unit = {
+    val spark = st.words.sparkSession
+    import spark.implicits._
+    val step = s"pass_${st.pass}"
+    st.words.write.mode("overwrite").parquet(s"$dir/$step/words")
+    st.counts.write.mode("overwrite").parquet(s"$dir/$step/counts")
+    st.symbols.toSeq.toDF("symbol")
+      .write.mode("overwrite").parquet(s"$dir/$step/symbols")
+    st.merges.toDF().write.mode("overwrite").parquet(s"$dir/$step/merges")
+    // manifest last, atomically: readers never see a half-written step
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    out.write(step.getBytes("UTF-8")); out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, "_MANIFEST")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  /** Load the last persisted [[TrainState]] from `stateDir`. */
+  def loadState(spark: SparkSession, stateDir: String): TrainState = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "_MANIFEST"))
+    val step = scala.io.Source.fromInputStream(in).mkString.trim
+    in.close()
+    val merges = spark.read.parquet(s"$stateDir/$step/merges").as[Merge]
+      .collect().sortBy(_.rank).toSeq
+    TrainState(
+      spark.read.parquet(s"$stateDir/$step/words"),
+      spark.read.parquet(s"$stateDir/$step/counts"),
+      merges,
+      spark.read.parquet(s"$stateDir/$step/symbols").as[String].collect().toSet,
+      step.stripPrefix("pass_").toInt)
+  }
+
+  /** Scaled BPE training over a prepared word table (`syms`
+    * array<string>, `freq` long). Byte-equal to [[train]] on the same
+    * words; designed for production vocabulary sizes:
+    *
+    *  - **Batched selection**: each pass aggregates once and accepts up
+    *    to `batchCap` merges whose sequential equivalence is proven
+    *    either conservatively ([[scanConservative]]) or optimistically —
+    *    take the top prefix, apply it, and verify from the EXACT count
+    *    delta that no pair outside the batch changed (true iff every
+    *    accepted occurrence was an entire 2-symbol word, where counts
+    *    can only decrease and the zero-sum check is exact); on
+    *    verification failure the pass rolls back to the conservative
+    *    batch. Two consecutive failures disable the optimistic try.
+    *  - **Incremental deltas**: pair counts are MAINTAINED, not
+    *    recomputed — each pass rewrites words partition-locally
+    *    ([[mergePairLocal]] via mapPartitions, plan size constant in
+    *    batch size), re-aggregates only CHANGED words (before/after),
+    *    and folds the delta into the cached count table. Per-merge cost
+    *    is O(affected words)/batch, not O(all words) — the full table
+    *    is touched map-only, shuffled never.
+    *  - **Fault-tolerant state**: with `stateDir` set, words/counts/
+    *    merges/symbols persist every `persistEvery` passes behind an
+    *    atomically-renamed manifest; [[resumeScaledWords]] continues
+    *    from the last persisted pass.
+    */
+  def trainScaledWords(words0: DataFrame, numMerges: Int,
+      minCount: Long = 2L, batchCap: Int = 64, viewSize: Int = 512,
+      checkpointEvery: Int = 12, stateDir: Option[String] = None,
+      persistEvery: Int = 25): Seq[Merge] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    // counts and symbols MUST derive from the materialized words: a
+    // nondeterministic upstream (sampled/limited corpus) re-executed
+    // per-branch would make the maintained counts inconsistent with the
+    // word table, and every delta after that silently wrong
+    val cp = words0
+      .select(col("syms").cast("array<string>"), col("freq").cast("long"))
+      .localCheckpoint(true)
+    val init = TrainState(
+      cp,
+      pairCounts(cp).localCheckpoint(true),
+      Seq.empty,
+      cp.select(explode(col("syms"))).distinct().as[String].collect().toSet,
+      0)
+    runScaledLoop(init, numMerges, minCount, batchCap, viewSize,
+      checkpointEvery, stateDir, persistEvery)
+  }
+
+  /** Resume a [[trainScaledWords]] run from its persisted state. */
+  def resumeScaledWords(spark: SparkSession, stateDir: String,
+      numMerges: Int, minCount: Long = 2L, batchCap: Int = 64,
+      viewSize: Int = 512, checkpointEvery: Int = 12,
+      persistEvery: Int = 25): Seq[Merge] = {
+    val st = loadState(spark, stateDir)
+    runScaledLoop(
+      st.copy(words = st.words.localCheckpoint(true),
+        counts = st.counts.localCheckpoint(true)),
+      numMerges, minCount, batchCap, viewSize, checkpointEvery,
+      Some(stateDir), persistEvery)
+  }
+
+  /** Convenience twin of [[train]]'s signature over raw text. */
+  def trainScaled(df: DataFrame, textCol: String = "text",
+      numMerges: Int = 16, minCount: Long = 2L,
+      wordFilter: Column => Column = _ => lit(true),
+      batchCap: Int = 64, viewSize: Int = 512,
+      checkpointEvery: Int = 12, stateDir: Option[String] = None,
+      persistEvery: Int = 25): Seq[Merge] =
+    trainScaledWords(
+      wordFreqs(df, textCol).filter(wordFilter(col("word")))
+        .select(charSymbols(col("word")).as("syms"), col("freq")),
+      numMerges, minCount, batchCap, viewSize, checkpointEvery,
+      stateDir, persistEvery)
+
+  private def runScaledLoop(init: TrainState, numMerges: Int,
+      minCount: Long, batchCap: Int, viewSize: Int, checkpointEvery: Int,
+      stateDir: Option[String], persistEvery: Int): Seq[Merge] = {
+    val spark = init.words.sparkSession
+    import spark.implicits._
+    var words = init.words
+    var counts = init.counts
+    var lastWordsCp = words
+    var lastCountsCp = counts
+    val symbols = scala.collection.mutable.HashSet[String](init.symbols.toSeq: _*)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge](init.merges: _*)
+    var pass = init.pass
+    var optimisticFails = 0
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = counts
+        .orderBy(col("n").desc, col("left").asc, col("right").asc)
+        .limit(viewSize + 1).collect()
+        .map(r => Cand(r.getAs[String]("left"), r.getAs[String]("right"),
+          r.getAs[Long]("n"))).toIndexedSeq
+      if (top.isEmpty || top.head.n < minCount) done = true
+      else {
+        val haveAll = top.length <= viewSize
+        val cutoff = if (haveAll) Long.MinValue else top.last.n
+        val view = if (haveAll) top else top.filter(_.n > cutoff)
+        val maxTake = numMerges - merges.length
+        // view can be empty when the whole collected top is one count
+        // class: the sorted head is still the exact sequential argmax,
+        // and for the OPTIMISTIC try the sorted prefix of the collected
+        // top remains valid — tied out-of-view pairs are lex-after
+        // every collected row, so verified-unchanged counts keep the
+        // sequential argmax walking the prefix in order
+        val conservative =
+          if (view.isEmpty) IndexedSeq(top.head)
+          else scanConservative(view, symbols.toSet, minCount, maxTake)
+        val optCands = if (view.nonEmpty) view else top
+        val optimistic =
+          if (optimisticFails >= 2 || optCands.length <= conservative.length)
+            None
+          else {
+            val prefix = optCands.takeWhile(_.n >= minCount).take(
+              math.min(batchCap, maxTake))
+            // the optimistic proof needs counts to be monotone
+            // non-increasing, which a string collision breaks
+            val noCollide = prefix.takeWhile(c => !symbols.contains(c.left + c.right))
+            if (noCollide.length > conservative.length) Some(noCollide) else None
+          }
+        var batch = optimistic.getOrElse(conservative)
+        var verified = optimistic.isEmpty
+        var staged: DataFrame = null
+        var delta: DataFrame = null
+        while (!verified) {
+          staged = rewriteBatch(words, batch.map(c => (c.left, c.right)))
+          delta = batchDelta(staged).cache()
+          // single-job probe: limit to batch+1 rows — a failed
+          // optimistic try touches more pairs than the batch, and one
+          // extra row is enough to know without collecting them all
+          val expect = batch.map(c => ((c.left, c.right), -c.n)).toMap
+          val rows = delta.limit(batch.length + 1).collect()
+          val ok = rows.length == batch.length && rows.forall { r =>
+            expect.get((r.getAs[String]("left"), r.getAs[String]("right")))
+              .contains(r.getAs[Long]("n"))
+          }
+          if (ok) { verified = true; optimisticFails = 0 }
+          else {
+            delta.unpersist()
+            optimisticFails += 1
+            batch = conservative
+            verified = true
+            staged = null; delta = null
+          }
+        }
+        if (staged == null) {
+          staged = rewriteBatch(words, batch.map(c => (c.left, c.right)))
+          delta = batchDelta(staged).cache()
+        }
+        batch.foreach { c =>
+          merges += Merge(merges.length, c.left, c.right, c.n)
+          symbols += c.left + c.right
+        }
+        val newCounts = counts.union(delta)
+          .groupBy("left", "right").agg(sum("n").as("n"))
+          .filter(col("n") =!= 0L)
+          .localCheckpoint(true)
+        delta.unpersist()
+        freeCheckpoint(lastCountsCp)
+        counts = newCounts
+        lastCountsCp = newCounts
+        words = staged.select(col("syms"), col("freq"))
+        pass += 1
+        if (pass % checkpointEvery == 0) {
+          val cp = words.localCheckpoint(true)
+          freeCheckpoint(lastWordsCp)
+          words = cp
+          lastWordsCp = cp
+        }
+        if (stateDir.nonEmpty && pass % persistEvery == 0)
+          persistState(stateDir.get,
+            TrainState(words, counts, merges.toSeq, symbols.toSet, pass))
+      }
+    }
+    stateDir.foreach(d => persistState(d,
+      TrainState(words, counts, merges.toSeq, symbols.toSet, pass)))
+    freeCheckpoint(lastWordsCp)
+    freeCheckpoint(lastCountsCp)
+    merges.toSeq
+  }
+
+  /** Apply `batch` (rank order) to every word partition-locally. Output
+    * columns: syms (after), freq, changed, oldSyms (empty when
+    * unchanged). One mapPartitions node regardless of batch size — no
+    * per-merge expression stacking, no shuffle. */
+  private def rewriteBatch(words: DataFrame,
+      batch: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(batch)
+    words.select(col("syms"), col("freq")).as[(Seq[String], Long)]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (syms, f) =>
+          val before = syms.toArray
+          var cur = before
+          b.foreach { case (l, r) => cur = mergePairLocal(cur, l, r) }
+          if (cur eq before) (syms, f, false, Seq.empty[String])
+          else (cur.toSeq, f, true, syms)
+        }
+      }.toDF("syms", "freq", "changed", "oldSyms")
+  }
+
+  /** Exact pair-count delta of one rewrite: counts over CHANGED words
+    * after minus before. Aggregates only the affected slice — the
+    * incremental path that replaces [[train]]'s full re-aggregation. */
+  private def batchDelta(staged: DataFrame): DataFrame = {
+    val changed = staged.filter(col("changed"))
+    pairCounts(changed.select(col("syms"), col("freq")))
+      .union(pairCounts(changed.select(col("oldSyms").as("syms"), col("freq")))
+        .withColumn("n", -col("n")))
+      .groupBy("left", "right").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0L)
   }
 }

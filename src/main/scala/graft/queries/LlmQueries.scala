@@ -1147,6 +1147,40 @@ object LlmQueries {
           col("quality"), col("extras"))
     }),
 
+    // SCALED BPE training: 1024 merges from the batched/delta trainer
+    // (Bpe.trainScaledWords — the production path whose per-merge cost
+    // is O(affected)/batch, not one full-table aggregation per merge).
+    // The corpus is word TRIGRAMS as 2-symbol words (s1 = w_i+"_"+w_i+1,
+    // s2 = w_i+2): every word is exactly one pair, so no merge can
+    // change any other pair's count or create a new pair — sequential
+    // training order provably equals the static (n DESC, left, right)
+    // ranking, which DuckDB recomputes exactly. The oracle therefore
+    // checks the full trained table byte-for-byte (rank, pair, count)
+    // while the optimistic batch path does the work in ~5 passes;
+    // byte-equality of the scaled trainer with the sequential one on
+    // corpora WITH merge interactions is pinned by BpeScaledSpec.
+    "x_bpe_train_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val ws = split(col("text"), " ")
+      val tri = docs(s, dir)
+        .select(ws.as("ws")).filter(size(col("ws")) >= 3)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ws")) - 2),
+          i => struct(
+            concat(element_at(col("ws"), i), lit("_"),
+              element_at(col("ws"), i + 1)).as("s1"),
+            element_at(col("ws"), i + 2).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("freq"))
+        .select(array(col("s1"), col("s2")).as("syms"), col("freq"))
+      graft.llm.Bpe
+        .trainScaledWords(tri, numMerges = 1024, minCount = 1L,
+          batchCap = 1024, viewSize = 8192)
+        .toDF()
+        .select(col("rank").cast("long").as("rank"),
+          col("left").as("lhs"), col("right").as("rhs"), col("n"))
+    }),
+
     // NESTED schema drift: the struct column itself drifts — gen1's
     // `meta` carries an inner field the canonical schema later dropped
     // (`area`, the reference's `station_area` drop,
@@ -2170,6 +2204,19 @@ object LlmQueries {
                 ELSE (n_chars % 7)::DOUBLE END AS quality,
            '{"fetcher":"crawler-7"}' AS extras
          FROM documents WHERE doc_id % 3 = 0""",
+
+    // static ranking == sequential training order on 2-symbol words
+    // (see the gate comment); the oracle replays the whole merge table
+    "x_bpe_train_scaled" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         b AS (SELECT ws[i] || '_' || ws[i+1] AS lhs, ws[i+2] AS rhs
+               FROM t, unnest(range(1, len(ws)-1)) AS r(i)),
+         c AS (SELECT lhs, rhs, count(*)::BIGINT AS n FROM b GROUP BY 1, 2)
+         SELECT (row_number() OVER (ORDER BY n DESC, lhs, rhs) - 1)::BIGINT
+                  AS rank,
+                lhs, rhs, n
+         FROM c ORDER BY n DESC, lhs, rhs LIMIT 1024""",
 
     "s_schema_drift_nested" ->
       """SELECT doc_id, lang, n_chars, NULL::DOUBLE AS quality,
