@@ -83,9 +83,16 @@ object IncrementalDedup {
       minJaccard: Double = 1.0, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4,
-      requireMonotoneIds: Boolean = true): DataFrame = {
+      requireMonotoneIds: Boolean = true,
+      deliveryTag: Option[String] = None): DataFrame = {
     val spark = delivery.sparkSession
     val k = bands * rowsPerBand
+    // replay guard for streaming/restart callers: a tag that already
+    // committed means this delivery was fully admitted once — the whole
+    // dedup is skipped, not just the append (exactly-once admission)
+    if (deliveryTag.exists(t =>
+        Warehouse.committedGenerations(spark, indexRoot).contains(s"gen-$t")))
+      return delivery.limit(0)
     val hasIndex = Warehouse.deltaVersions(spark, indexRoot).nonEmpty
     // persisted: candidates, verification, and the admission semi-join
     // all reference the delivery state; signatures + hashed shingles are
@@ -148,8 +155,15 @@ object IncrementalDedup {
       .select("id")
 
     // one delta generation per delivery: append cost ∝ delivery
-    val genPath = Warehouse.deltaAppend(
-      batch.join(admitted, Seq("id"), "left_semi"), indexRoot)
+    val survivors = batch.join(admitted, Seq("id"), "left_semi")
+    val genPath = deliveryTag match {
+      case Some(t) =>
+        // None is unreachable here: the committed-tag replay guard at
+        // the top already returned, so this tag commits exactly once
+        Warehouse.deltaAppendTagged(survivors, indexRoot, t)
+          .getOrElse(s"$indexRoot/gen-$t")
+      case None => Warehouse.deltaAppend(survivors, indexRoot)
+    }
     batch.unpersist()
     sigView.unpersist()
     // admitted ids re-read from the durable generation just written —

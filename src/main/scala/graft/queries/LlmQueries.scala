@@ -1111,6 +1111,52 @@ object LlmQueries {
       IncrementalDedup.indexIds(s, root).select(col("id").as("doc_id"))
     }),
 
+    // STREAMING incremental dedup: the same two-delivery construction
+    // as x_incremental_dedup, but each delivery arrives as a file-source
+    // MICRO-BATCH through DocStream.incrementalDedupSink (foreachBatch →
+    // IncrementalDedup.addDelivery against the persisted index), forced
+    // into two ordered triggers by maxFilesPerTrigger=1 over one part
+    // file per delivery. The accumulated index must hash-match the batch
+    // two-delivery result — at minJaccard=1.0 the min-id-per-
+    // shingle-set-class oracle — so a sink that saw only in-flight
+    // stream state (or double-admitted a replay) mismatches. Monotone-id
+    // enforcement doubles as the batch-ORDER assert: delivery 2 first
+    // would throw, and a thrown gate is a RED row.
+    "st_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val split = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val low = d.filter(col("doc_id") <= split)
+      val high = d.filter(col("doc_id") > split)
+      val delivery2 = high
+        .union(low.select(
+          twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+        .union(high.select(
+          twinId(col("doc_id"), 2000000000L).as("doc_id"), col("text")))
+      val root = freshIndexRoot(s, "st_incremental_dedup")
+      def dropFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/_stage_$name")
+        val part = new java.io.File(s"$root/_stage_$name").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$root/stream/$name.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        val _ = dst.setLastModified(mtime) // deterministic batch order
+      }
+      val t0 = 1700000000000L
+      dropFile(low, "delivery-001", t0)
+      dropFile(delivery2, "delivery-002", t0 + 60000L)
+      val stream = s.readStream.schema(low.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/stream")
+      val q = graft.streaming.DocStream.incrementalDedupSink(
+        stream, s"$root/index", s"$root/ckpt", minJaccard = 1.0)
+      q.processAllAvailable()
+      q.stop()
+      IncrementalDedup.indexIds(s, s"$root/index")
+        .select(col("id").as("doc_id"))
+    }),
+
     // schema-drift-tolerant ingestion: two delivery generations of the
     // same corpus with mutually cast-INCOMPATIBLE schemas — gen1 predates
     // `source`/`n_chars`/`quality` and stores doc_id narrowed to INT32;
@@ -2380,6 +2426,25 @@ object LlmQueries {
     // monotone ids + minJaccard 1.0 make the accumulated index equal
     // the whole-corpus rerun)
     "x_incremental_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000000, text FROM documents
+             WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+           UNION ALL SELECT doc_id + 2000000000, text FROM documents
+             WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)), '|')) AS f
+           FROM corpus)
+         SELECT min(doc_id) AS doc_id FROM fp GROUP BY f""",
+
+    // identical contract to x_incremental_dedup: the streaming sink must
+    // accumulate exactly the batch two-delivery survivor set
+    "st_incremental_dedup" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 1000000000, text FROM documents

@@ -256,16 +256,44 @@ object Warehouse {
     s"$root/$gen"
   }
 
-  /** Read the union of every committed generation of a delta-log table. */
-  def deltaRead(spark: SparkSession, root: String): DataFrame = {
+  /** Names of every committed generation of the delta-log table. */
+  def committedGenerations(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
-    val paths = deltaVersions(spark, root).map { v =>
+    deltaVersions(spark, root).map { v =>
       val p = new org.apache.hadoop.fs.Path(manifestPath(root), f"$v%09d")
       val in = fs.open(p)
-      val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      s"$root/$gen"
     }
+  }
+
+  /** Idempotent [[deltaAppend]] for replayed writers (foreachBatch
+    * re-runs a micro-batch after recovery): the generation is NAMED by
+    * the caller's `tag`, so a replay of an already-committed tag is a
+    * no-op (returns None), and a crash between the parquet write and
+    * the manifest commit leaves an orphan directory that the retry
+    * deletes and rewrites before committing — the manifest stays the
+    * single source of truth for what was admitted exactly once.
+    */
+  def deltaAppendTagged(df: DataFrame, root: String,
+      tag: String): Option[String] = {
+    val spark = df.sparkSession
+    val gen = s"gen-$tag"
+    if (committedGenerations(spark, root).contains(gen)) None
+    else {
+      val fs = fsOf(spark, root)
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$gen")
+      if (fs.exists(dir)) fs.delete(dir, true) // crashed earlier attempt
+      df.write.mode("errorifexists").parquet(s"$root/$gen")
+      val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
+      manifestCommit(spark, root, v, gen)
+      Some(s"$root/$gen")
+    }
+  }
+
+  /** Read the union of every committed generation of a delta-log table. */
+  def deltaRead(spark: SparkSession, root: String): DataFrame = {
+    val paths = committedGenerations(spark, root).map(gen => s"$root/$gen")
     require(paths.nonEmpty, s"no delta-log generations under $root")
     spark.read.parquet(paths: _*)
   }

@@ -44,6 +44,46 @@ object DocStream {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming twin of [[graft.llm.IncrementalDedup.addDelivery]]: each
+    * micro-batch is deduped against the PERSISTED MinHash signature
+    * index (not merely against in-flight stream state, which is all
+    * [[nearDupSuppress]] can see) and its survivors are admitted to the
+    * index — the production intake composition where a document is
+    * rejected if it near-duplicates anything ever admitted, across
+    * stream restarts and batch backfills alike, because batch and
+    * streaming ingestion share ONE index.
+    *
+    * Exactly-once admission: the micro-batch id tags the index
+    * generation ([[graft.sources.Warehouse.deltaAppendTagged]]), so a
+    * replayed batch after recovery is a no-op instead of a double
+    * admission — idempotence lives in the index manifest, not in
+    * fragile sink-side state.
+    *
+    * Scale shape per trigger = [[graft.llm.IncrementalDedup]]'s per
+    * delivery: the index side is a column-pruned map-side scan, never
+    * shuffled; state grows with admitted survivors only.
+    */
+  def incrementalDedupSink(docs: DataFrame, indexRoot: String,
+      checkpointDir: String, minJaccard: Double = 1.0,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      requireMonotoneIds: Boolean = true,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.IncrementalDedup.addDelivery(batch, indexRoot,
+            minJaccard, textCol, idCol, shingleN, bands, rowsPerBand,
+            requireMonotoneIds, deliveryTag = Some(f"batch-$batchId%09d"))
+        ()
+      }
+      .start()
+
   /** Drift-tolerant streaming intake over per-generation delivery
     * directories: one file stream per generation (each pinned to its
     * generation's physical schema — a streaming scan needs an explicit
