@@ -23,6 +23,27 @@ object RelationalQueries {
     Tables.table(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Zipf-skewed join at bench scale through the salting operator: a
+    // synthetic key where value 0 holds ~30% of lineitem (the hot
+    // station_id shape from SURVEY §7.4 risk 6) joined against a
+    // 97-row dim via Skew.saltedJoin — the path for a skewed join whose
+    // right side is too big to broadcast in production (here dim-sized
+    // so the oracle can replay it; the SALT mechanics are identical).
+    // The salt spreads the hot key over 16 shuffle partitions; the
+    // no-task->2x-mean runtime assert lives in SkewJoinSpec, the
+    // result contract here: salting must not duplicate or drop a row.
+    "x_skew_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 3, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(97L))).as("key"),
+        col("l_quantity"))
+      val dim = s.range(0, 97).select(col("id").as("key"),
+        (col("id") * 7 + 3).as("dim_val"))
+      graft.operators.Skew.saltedJoin(fact, dim, "key", saltFactor = 16)
+        .groupBy("key", "dim_val")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // P1 — projection + rename (stg_station_status shape,
     // reference models/staging/stg_station_status.sql:4-34)
     "p1_project_rename" -> ((s, dir) => {
@@ -678,6 +699,16 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // salting must be invisible in the result: plain join, same rows
+    "x_skew_join" ->
+      """WITH fact AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+                  ELSE l_orderkey % 97 END AS key, l_quantity
+           FROM lineitem),
+         dim AS (SELECT i AS key, i * 7 + 3 AS dim_val FROM range(0, 97) r(i))
+         SELECT f.key, d.dim_val, count(*)::BIGINT AS n,
+                sum(l_quantity) AS sum_qty
+         FROM fact f JOIN dim d USING (key) GROUP BY 1, 2""",
+
     "p1_project_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber::BIGINT AS line_no,
          l_quantity AS qty, l_returnflag AS return_flag FROM lineitem""",
