@@ -137,7 +137,7 @@ final class DagRunner(
             .getFileSystem(spark.sessionState.newHadoopConf())
           fs.delete(new org.apache.hadoop.fs.Path(staged), true)
           spark.read.parquet(path(name))
-        case Materialization.Incremental(key, _, parts, strategy) =>
+        case Materialization.Incremental(keys, _, parts, strategy) =>
           def partitioned(w: org.apache.spark.sql.DataFrameWriter[
               org.apache.spark.sql.Row]) =
             if (parts.nonEmpty) w.partitionBy(parts: _*) else w
@@ -175,20 +175,20 @@ final class DagRunner(
               // a stable function of the key this returns ⊆ batch
               // partitions and costs one footer-level scan.
               val existingFull = spark.read.parquet(path(name))
-              val batchKeys = df.select(col(key)).distinct()
+              val batchKeys = df.select(keys.map(col): _*).distinct()
               def bc(d: DataFrame): DataFrame =
                 org.apache.spark.sql.functions.broadcast(d)
               val touched =
                 if (parts.nonEmpty)
                   df.select(parts.map(col): _*).distinct().unionByName(
-                    existingFull.join(bc(batchKeys), Seq(key), "left_semi")
+                    existingFull.join(bc(batchKeys), keys, "left_semi")
                       .select(parts.map(col): _*).distinct()).distinct()
                 else null
               val survivors =
                 (if (parts.nonEmpty)
                   existingFull.join(bc(touched), parts, "left_semi")
                 else existingFull)
-                  .join(batchKeys, Seq(key), "left_anti")
+                  .join(batchKeys, keys, "left_anti")
               val merged = df.unionByName(
                 survivors.select(df.columns.map(col).toIndexedSeq: _*))
               val staged = path(name) + "__merge"
@@ -241,7 +241,8 @@ final class DagRunner(
               // model forgets. Write to a staging dir first: appending
               // while `existing` still lazily reads the same files would
               // race the scan.
-              val newRows = df.join(existing.select(col(key)), Seq(key), "left_anti")
+              val newRows = df.join(existing.select(keys.map(col): _*),
+                keys, "left_anti")
               val staged = path(name) + "__delta"
               partitioned(newRows.write.mode("overwrite")).parquet(staged)
               partitioned(spark.read.parquet(staged).write.mode("append"))

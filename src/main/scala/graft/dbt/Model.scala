@@ -70,11 +70,26 @@ object Materialization {
     * makes the scanPredicate prune at the FILE level rather than merely
     * row-filter after a full scan.
     */
-  final case class Incremental(uniqueKey: String,
+  final case class Incremental(uniqueKey: Seq[String],
       scanPredicate: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       strategy: IncrementalStrategy = IncrementalStrategy.AppendNewKeys)
-    extends Materialization
+    extends Materialization {
+    require(uniqueKey.nonEmpty, "incremental model needs a unique_key")
+  }
+  object Incremental {
+    /** dbt accepts `unique_key` as a string or a list; mirror that. */
+    def apply(uniqueKey: String): Incremental = Incremental(Seq(uniqueKey))
+    def apply(uniqueKey: String, scanPredicate: Option[String])
+        : Incremental = Incremental(Seq(uniqueKey), scanPredicate)
+    def apply(uniqueKey: String, scanPredicate: Option[String],
+        partitionBy: Seq[String]): Incremental =
+      Incremental(Seq(uniqueKey), scanPredicate, partitionBy)
+    def apply(uniqueKey: String, scanPredicate: Option[String],
+        partitionBy: Seq[String], strategy: IncrementalStrategy)
+        : Incremental =
+      Incremental(Seq(uniqueKey), scanPredicate, partitionBy, strategy)
+  }
 
   /** dbt snapshot (SCD2, `timestamp` strategy): the model body returns
     * the source's CURRENT state (≤ 1 row per `uniqueKey`); each run

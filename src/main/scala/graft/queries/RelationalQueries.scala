@@ -44,6 +44,48 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // D4 on a COMPOSITE unique_key, through the real DagRunner: run 1
+    // admits the early-shipping slice of an aggregate keyed (k1, k2);
+    // run 2 re-delivers EVERY key with negated quantity. AppendNewKeys
+    // semantics: previously-admitted composite keys keep their run-1
+    // row (+qty), only genuinely new (k1, k2) pairs land with run-2's
+    // −qty. A matcher that compared only one key column would drop
+    // every run-2 key sharing a k1 with any early key — the oracle
+    // recomputes per-key which run wins.
+    "p6_incremental_composite" -> ((s, dir) => {
+      import graft.dbt._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-p6-composite").toString
+      // the synthetic lineitem does NOT key uniquely on (orderkey,
+      // linenumber) (unlike TPC-H), so the delivery rows are an
+      // aggregate keyed (orderkey mod 211, linenumber) — genuinely
+      // composite (neither column alone is close to unique) and exact
+      val base = t(s, dir, "lineitem")
+        .groupBy(pmod(col("l_orderkey"), lit(211L)).as("k1"),
+          col("l_linenumber").as("k2"))
+        .agg(sum(col("l_quantity")).as("qty"),
+          min(col("l_shipdate")).as("first_ship"))
+      val run1 = base.filter(col("first_ship") < lit("1997-01-01").cast("date"))
+        .select("k1", "k2", "qty")
+      val run2 = base.select(col("k1"), col("k2"), (-col("qty")).as("qty"))
+      def runOnce(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val reg = new ModelRegistry().register(Model(
+          name = "inc_lines", deps = Nil,
+          materialization = Materialization.Incremental(Seq("k1", "k2")),
+          build = ctx => ctx.self match {
+            case Some(existing) => batch.join(
+              existing.select("k1", "k2"), Seq("k1", "k2"), "left_anti")
+            case None => batch
+          }))
+        new DagRunner(s, reg, (_, _) => sys.error("no sources"), wh)
+          .run(runTests = false)
+        ()
+      }
+      runOnce(run1)
+      runOnce(run2)
+      s.read.parquet(s"$wh/inc_lines")
+    }),
+
     // P1 — projection + rename (stg_station_status shape,
     // reference models/staging/stg_station_status.sql:4-34)
     "p1_project_rename" -> ((s, dir) => {
@@ -699,6 +741,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-line winner: run 1 (+qty) iff the line shipped early, else
+    // run 2's re-delivery (−qty) — composite-key dedup recomputed
+    "p6_incremental_composite" ->
+      """WITH base AS (
+           SELECT l_orderkey % 211 AS k1, l_linenumber AS k2,
+             sum(l_quantity) AS qty, min(l_shipdate) AS first_ship
+           FROM lineitem GROUP BY 1, 2)
+         SELECT k1, k2,
+           CASE WHEN first_ship < TIMESTAMP '1997-01-01'
+                THEN qty ELSE -qty END AS qty
+         FROM base""",
+
     // salting must be invisible in the result: plain join, same rows
     "x_skew_join" ->
       """WITH fact AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0

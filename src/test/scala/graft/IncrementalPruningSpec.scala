@@ -151,6 +151,47 @@ class IncrementalPruningSpec extends SparkSpec {
       "fully vacated partition directory must be deleted")
   }
 
+  test("composite unique_key: both columns must match to dedup/merge") {
+    def reg(batch: DataFrame, strategy: Materialization.IncrementalStrategy) =
+      new ModelRegistry().register(Model(
+        name = "inc2", deps = Nil,
+        materialization = Incremental(Seq("k1", "k2"),
+          strategy = strategy),
+        // append models NOT-IN-filter on the composite key (reference
+        // style); merge models hand the batch over and let the runner
+        // upsert
+        build = ctx => (ctx.self, strategy) match {
+          case (Some(existing), Materialization.IncrementalStrategy.AppendNewKeys) =>
+            batch.join(existing.select("k1", "k2"), Seq("k1", "k2"), "left_anti")
+          case _ => batch
+        }))
+    def runOnce(wh: String, batch: DataFrame,
+        strategy: Materialization.IncrementalStrategy): Unit =
+      new DagRunner(spark, reg(batch, strategy),
+        (_, _) => sys.error("no sources"), wh).run(runTests = false)
+
+    val r1 = Seq((1, "a", 10), (1, "b", 11), (2, "a", 12)).toDF("k1", "k2", "v")
+    val r2 = Seq((1, "a", 99), (2, "b", 13)).toDF("k1", "k2", "v")
+
+    // AppendNewKeys: (1,a) exists → kept at v=10; (2,b) is NEW even
+    // though k1=2 exists — a single-column matcher would drop it
+    val whA = tmpDir("inc-composite-a")
+    runOnce(whA, r1, Materialization.IncrementalStrategy.AppendNewKeys)
+    runOnce(whA, r2, Materialization.IncrementalStrategy.AppendNewKeys)
+    val outA = spark.read.parquet(s"$whA/inc2")
+      .as[(Int, String, Int)].collect().toSet
+    assert(outA == Set((1, "a", 10), (1, "b", 11), (2, "a", 12), (2, "b", 13)))
+
+    // Merge: (1,a) replaced by v=99, siblings sharing one key column
+    // untouched, (2,b) inserted
+    val whM = tmpDir("inc-composite-m")
+    runOnce(whM, r1, Materialization.IncrementalStrategy.Merge)
+    runOnce(whM, r2, Materialization.IncrementalStrategy.Merge)
+    val outM = spark.read.parquet(s"$whM/inc2")
+      .as[(Int, String, Int)].collect().toSet
+    assert(outM == Set((1, "a", 99), (1, "b", 11), (2, "a", 12), (2, "b", 13)))
+  }
+
   test("full refresh rebuilds the partitioned table from scratch") {
     val wh = tmpDir("incr-prune-fr")
     runner(wh, rows(1, 10)).run()
