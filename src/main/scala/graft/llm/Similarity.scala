@@ -5,6 +5,49 @@ import org.apache.spark.sql.functions._
 import graft.functions.roundDet
 import org.apache.spark.sql.expressions.Window
 
+/** Two-level IVF coarse quantizer: flat `centroids` at level 1, plus a
+  * sub-quantizer per SPLIT cell ([[Similarity.ivfReclusterIndex]]'s
+  * cell-skew maintenance). Assignment is hierarchical — nearest level-1
+  * centroid first, then (only inside a split cell) nearest sub-centroid
+  * — which is exactly what lets a recluster leave every unsplit cell's
+  * files untouched: adding sub-centroids can never steal a vector from
+  * an unsplit cell, unlike retraining a flat quantizer.
+  */
+final case class IvfQuantizer(centroids: Seq[Seq[Double]],
+    splits: Map[Int, Seq[Seq[Double]]] = Map.empty) {
+  require(splits.keySet.forall(p => p >= 0 && p < IvfQuantizer.SubBase),
+    "only level-1 cells can be split")
+  require(splits.values.forall(s => s.nonEmpty && s.length <= IvfQuantizer.MaxSub),
+    s"sub-quantizer size must be in [1, ${IvfQuantizer.MaxSub}]")
+
+  /** Cell id of `parent`'s `child`-th sub-cell (0-based, collision-free
+    * with level-1 ids, which stay below SubBase). */
+  def subCid(parent: Int, child: Int): Int =
+    IvfQuantizer.SubBase + parent * IvfQuantizer.MaxSub + child
+
+  /** Every live cell id a level-1 assignment can resolve to. */
+  def cellsOf(level1: Int): Seq[Int] =
+    splits.get(level1) match {
+      case Some(subs) => subs.indices.map(subCid(level1, _))
+      case None => Seq(level1)
+    }
+
+  /** Hierarchical cell assignment for an `array<double>` vector. */
+  def cidExpr(vec: Column): Column = {
+    val base = element_at(
+      graft.expr.native.nearestCentroids(vec, centroids, 1), 1)
+    splits.toSeq.sortBy(_._1).foldLeft(base) { case (acc, (p, subs)) =>
+      when(base === p, lit(subCid(p, 0)) + element_at(
+        graft.expr.native.nearestCentroids(vec, subs, 1), 1))
+        .otherwise(acc)
+    }
+  }
+}
+object IvfQuantizer {
+  val SubBase: Int = 1 << 20
+  val MaxSub: Int = 1024
+}
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths:
@@ -215,25 +258,97 @@ object Similarity {
         roundDet(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF index maintenance: cell manifest + live-cell accounting. The
+  // `_cells` file names the LIVE cell set (atomically swapped, like the
+  // Warehouse manifest): a reclustered parent cell stays readable until
+  // the swap commits its children, so readers never see a half-moved
+  // cell — double rows before the swap are invisible (children not yet
+  // live), missing rows after are impossible (parent dir is vacuumed
+  // only post-commit).
+  // ------------------------------------------------------------------
+
+  private def cellsManifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_cells")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live cell ids, when the index carries a cell manifest. */
+  def ivfLiveCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Set[Int]] = {
+    val fs = fsOf(spark, path)
+    val p = cellsManifestPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(s.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+    }
+  }
+
+  private def writeLiveCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Set[Int]): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_cells.tmp")
+    val out = fs.create(tmp, true)
+    out.write(cells.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val dst = cellsManifestPath(path)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  private def presentCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[Int] =
+    spark.read.parquet(path).select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+
+  /** Per-cell row counts — the audit that decides when a drifting
+    * append stream has bloated hot cells past the recluster threshold.
+    * Partition-column-only aggregation: footer-level, no data read.
+    */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val live = ivfLiveCells(spark, path)
+    val base = spark.read.parquet(path)
+    val scoped = live match {
+      case Some(cells) =>
+        base.filter(col("cid").isin(cells.toSeq.sorted.map(Int.box): _*))
+      case None => base
+    }
+    scoped.groupBy("cid").agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Materialize the IVF index layout the [[ivfTopK]] scaladoc promises:
     * the corpus with its coarse-cell assignment, hive-partitioned by
-    * `cid`. Written once per corpus (the assignment is one native map —
-    * no shuffle beyond the partitioned write); after that every
-    * [[ivfSearchIndex]] call is a partition-pruned scan of the probed
-    * cells only — at 100 TB, nProbe/nCentroids of the data.
+    * `cid`, plus the live-cell manifest. Written once per corpus (the
+    * assignment is one native map — no shuffle beyond the partitioned
+    * write); after that every [[ivfSearchIndex]] call is a
+    * partition-pruned scan of the probed cells only — at 100 TB,
+    * nProbe/nCentroids of the data.
     */
-  def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
-      path: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    require(centroids.nonEmpty, "ivfWriteIndex needs a trained quantizer")
+  def ivfWriteIndex(corpus: DataFrame, quantizer: IvfQuantizer,
+      path: String, idCol: String, vecCol: String): Unit = {
+    require(quantizer.centroids.nonEmpty,
+      "ivfWriteIndex needs a trained quantizer")
+    val spark = corpus.sparkSession
     corpus.select(col(idCol), col(vecCol))
       .filter(graft.expr.native.arrayDot(
         col(vecCol).cast("array<double>"),
         col(vecCol).cast("array<double>")) > 0)
-      .withColumn("cid", element_at(graft.expr.native.nearestCentroids(
-        col(vecCol).cast("array<double>"), centroids, 1), 1))
+      .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeLiveCells(spark, path, presentCells(spark, path))
   }
+
+  def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    ivfWriteIndex(corpus, IvfQuantizer(centroids), path, idCol, vecCol)
 
   /** Delta maintenance for an [[ivfWriteIndex]] index: assign ONLY the
     * new delivery's vectors to the index's FROZEN quantizer and append
@@ -247,17 +362,103 @@ object Similarity {
     * (Re-training centroids on drifted data is an OFFLINE decision that
     * produces a NEW index path; it is deliberately not this method.)
     */
-  def ivfAppendIndex(delta: DataFrame, centroids: Seq[Seq[Double]],
-      path: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    require(centroids.nonEmpty, "ivfAppendIndex needs the index's quantizer")
-    delta.select(col(idCol), col(vecCol))
+  def ivfAppendIndex(delta: DataFrame, quantizer: IvfQuantizer,
+      path: String, idCol: String, vecCol: String): Unit = {
+    require(quantizer.centroids.nonEmpty,
+      "ivfAppendIndex needs the index's quantizer")
+    val spark = delta.sparkSession
+    val assigned = delta.select(col(idCol), col(vecCol))
       .filter(graft.expr.native.arrayDot(
         col(vecCol).cast("array<double>"),
         col(vecCol).cast("array<double>")) > 0)
-      .withColumn("cid", element_at(graft.expr.native.nearestCentroids(
-        col(vecCol).cast("array<double>"), centroids, 1), 1))
-      .write.mode("append").partitionBy("cid").parquet(path)
+      .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
+    val newCells = assigned.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    // a delivery can populate a previously-empty cell: make it live
+    ivfLiveCells(spark, path).foreach { live =>
+      if (!newCells.subsetOf(live))
+        writeLiveCells(spark, path, live ++ newCells)
+    }
+  }
+
+  def ivfAppendIndex(delta: DataFrame, centroids: Seq[Seq[Double]],
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    ivfAppendIndex(delta, IvfQuantizer(centroids), path, idCol, vecCol)
+
+  /** Cell-skew maintenance for an append-maintained index
+    * ([[ivfAppendIndex]] freezes the quantizer, so a drifting delivery
+    * stream concentrates into whatever cells the drift points at until
+    * probed-cell scans degrade): every LIVE level-1 cell whose row count
+    * exceeds `bloatFactor`× the mean is SPLIT — a sub-quantizer is
+    * trained on (a sample of) the cell's own vectors, the cell's rows
+    * are rewritten under its sub-cells, and the live-cell manifest swap
+    * commits the move atomically; only then is the parent directory
+    * vacuumed. Untouched cells are never read or rewritten
+    * (byte-identical files — `ScaleOpsSpec` asserts it).
+    *
+    * The result is a TWO-LEVEL quantizer ([[IvfQuantizer]] with a
+    * `splits` entry per reclustered cell): level-1 assignment is
+    * unchanged, so a full rebuild under the returned quantizer places
+    * every vector exactly where the incremental recluster did — search
+    * over the maintained index is identical to search over a rebuild,
+    * which is what makes the maintenance safe to run forever. Probing
+    * expands a split parent to all its children (same candidate set,
+    * same recall as before the split); the win is bounded per-partition
+    * size and parallel scans of the former hot cell.
+    */
+  def ivfReclusterIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, quantizer: IvfQuantizer, bloatFactor: Double = 4.0,
+      subCells: Int = 8, lloydIters: Int = 2, sampleFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfQuantizer = {
+    val stats = ivfCellStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (stats.isEmpty) return quantizer
+    val mean = stats.values.sum.toDouble / stats.size
+    val bloated = stats.toSeq
+      .filter { case (cid, n) =>
+        n > bloatFactor * mean && cid < IvfQuantizer.SubBase &&
+          !quantizer.splits.contains(cid)
+      }
+      .sortBy(_._1)
+    var q = quantizer
+    val fs = fsOf(spark, path)
+    bloated.foreach { case (cid, _) =>
+      // materialized before anything writes under `path`: the rewrite
+      // below appends to the same root this scan reads from, and the
+      // vacuum deletes the very files backing the lazy plan
+      val cell = spark.read.parquet(path).filter(col("cid") === cid)
+        .select(col(idCol), col(vecCol))
+        .localCheckpoint(true)
+      val subs = trainCentroids(cell, subCells, lloydIters, sampleFraction,
+        idCol, vecCol)
+      if (subs.length >= 2) {
+        val candidate = q.copy(splits = q.splits + (cid -> subs))
+        // orphan cleanup: a crashed earlier attempt may have left
+        // child dirs that never became live — rewriting is idempotent
+        val live0 = ivfLiveCells(spark, path).getOrElse(
+          presentCells(spark, path))
+        subs.indices.map(i => candidate.subCid(cid, i)).foreach { sc =>
+          if (!live0.contains(sc)) {
+            val d = new org.apache.hadoop.fs.Path(path, s"cid=$sc")
+            if (fs.exists(d)) fs.delete(d, true)
+          }
+        }
+        val moved = cell
+          .withColumn("cid", candidate.cidExpr(col(vecCol).cast("array<double>")))
+        val childCells = moved.select("cid").distinct()
+          .collect().map(_.getInt(0)).toSet
+        moved.write.mode("append").partitionBy("cid").parquet(path)
+        // COMMIT: children become live, the parent stops being live
+        writeLiveCells(spark, path, live0 - cid ++ childCells)
+        q = candidate
+        // vacuum the superseded parent directory
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"cid=$cid"), true)
+        ()
+      }
+    }
+    q
   }
 
   /** Search a cell-partitioned index written by [[ivfWriteIndex]]. The
@@ -271,17 +472,49 @@ object Similarity {
     */
   def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int,
+      idCol: String, vecCol: String): DataFrame =
+    ivfSearchIndex(spark, indexPath, queries, k, IvfQuantizer(centroids),
+      nProbe, idCol, vecCol)
+
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(centroids.nonEmpty, "ivfSearchIndex needs the index's quantizer")
-    val probe = math.min(nProbe, centroids.size)
+      idCol: String = "vec_id"): DataFrame =
+    ivfSearchIndex(spark, indexPath, queries, k, IvfQuantizer(centroids),
+      nProbe, idCol, "embedding")
+
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      quantizer: IvfQuantizer, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    require(quantizer.centroids.nonEmpty,
+      "ivfSearchIndex needs the index's quantizer")
+    val probe = math.min(nProbe, quantizer.centroids.size)
     val qBase = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
-    val probes = qBase.withColumn("cid",
-      explode(graft.expr.native.nearestCentroids(col("qvec"), centroids, probe)))
+    // level-1 probes; a split parent expands to ALL its children — the
+    // candidate set (and recall) is exactly the pre-split one
+    val probes0 = qBase.withColumn("cid",
+      explode(graft.expr.native.nearestCentroids(
+        col("qvec"), quantizer.centroids, probe)))
+    val probes =
+      if (quantizer.splits.isEmpty) probes0
+      else {
+        val expand = quantizer.splits.toSeq.sortBy(_._1)
+          .foldLeft(array(col("cid"))) { case (acc, (p, subs)) =>
+            when(col("cid") === p, array(
+              subs.indices.map(i => lit(quantizer.subCid(p, i))): _*))
+              .otherwise(acc)
+          }
+        probes0.withColumn("cid", explode(expand))
+      }
+    val live = ivfLiveCells(spark, indexPath)
     val cells = probes.select("cid").distinct().collect()
-      .map(_.getInt(0)).sorted
+      .map(_.getInt(0))
+      .filter(c => live.forall(_.contains(c)))
+      .sorted
     val scan = spark.read.parquet(indexPath)
       .filter(col("cid").isin(cells.map(Int.box).toIndexedSeq: _*))
     require(graft.sources.Warehouse.partitionsRead(scan) <= cells.length,

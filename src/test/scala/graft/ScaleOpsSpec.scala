@@ -177,6 +177,79 @@ class ScaleOpsSpec extends SparkSpec {
       viaRebuild.exceptAll(viaAppend).isEmpty)
   }
 
+  test("ivfReclusterIndex: hot cell split; search equals rebuild; untouched cells byte-identical") {
+    import graft.llm.{IvfQuantizer, Similarity}
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroids(e, nCentroids = 8, lloydIters = 1)
+    val idx = tmpDir("wh-ivf-recluster") + "/index"
+    Similarity.ivfWriteIndex(e, cents, idx)
+    // skewed deliveries: 5 offset copies of the biggest cell's members —
+    // that cell bloats ~6x while every other cell stays put
+    val q0 = IvfQuantizer(cents)
+    val assigned = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("embedding"))
+      .withColumn("cid", q0.cidExpr(col("v")))
+    val hotCell = assigned.groupBy("cid").count()
+      .orderBy(col("count").desc, col("cid")).head().getInt(0)
+    val hotRows = assigned.filter(col("cid") === hotCell)
+      .select("vec_id", "embedding")
+    (1 to 5).foreach { c =>
+      Similarity.ivfAppendIndex(
+        hotRows.select((col("vec_id") + c * 1000000L).as("vec_id"),
+          col("embedding")), cents, idx)
+    }
+    val statsBefore = Similarity.ivfCellStats(spark, idx).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(statsBefore(hotCell) >= 5 * statsBefore.values.min)
+
+    def files(p: String): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += (f.getPath.toString -> f.getLen) }
+      b.result()
+    }
+    val untouchedBefore = files(idx).filter(!_._1.contains(s"cid=$hotCell"))
+
+    val q1 = Similarity.ivfReclusterIndex(spark, idx, q0,
+      bloatFactor = 3.0, subCells = 4, lloydIters = 1)
+    assert(q1.splits.keySet == Set(hotCell), s"expected only $hotCell split")
+    // untouched cells: never read, never rewritten
+    val untouchedAfter = files(idx).filter(!_._1.contains(s"cid=$hotCell"))
+      .filter(!_._1.contains(s"cid=${IvfQuantizer.SubBase + hotCell * IvfQuantizer.MaxSub}"))
+    assert(untouchedBefore.forall { case (f, len) =>
+      untouchedAfter.get(f).contains(len) }, "recluster rewrote an unsplit cell")
+    // the parent's rows all moved: live set swapped parent → children
+    val live = Similarity.ivfLiveCells(spark, idx).get
+    assert(!live.contains(hotCell))
+    assert(live.exists(_ >= IvfQuantizer.SubBase))
+    val statsAfter = Similarity.ivfCellStats(spark, idx).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(statsAfter.values.sum == statsBefore.values.sum,
+      "recluster changed the row population")
+
+    // search over the maintained index == search over a full rebuild
+    // under the SAME two-level quantizer (and the probed-cell pruning
+    // self-assert inside ivfSearchIndex still holds)
+    val corpus = (0 to 5).map { c =>
+      if (c == 0) e.select(col("vec_id"), col("embedding"))
+      else hotRows.select((col("vec_id") + c * 1000000L).as("vec_id"),
+        col("embedding"))
+    }.reduce(_.unionByName(_))
+    val rebuilt = tmpDir("wh-ivf-recluster-full") + "/index"
+    Similarity.ivfWriteIndex(corpus, q1, rebuilt, "vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 4)
+    val viaMaintained = Similarity.ivfSearchIndex(spark, idx, queries,
+      k = 5, q1, nProbe = 2, "vec_id", "embedding")
+    val viaRebuild = Similarity.ivfSearchIndex(spark, rebuilt, queries,
+      k = 5, q1, nProbe = 2, "vec_id", "embedding")
+    assert(viaMaintained.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaMaintained).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
