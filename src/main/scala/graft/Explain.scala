@@ -12,16 +12,20 @@ object Explain {
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.core.GraftSession.local("graft-explain", cores = 8)
     names.foreach { name =>
+      graft.llm.IncrementalDedup.lastStagePlans = Nil
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      // count operators in the tree section only (the formatted detail
-      // section repeats every node name)
-      val tree = plan.split("\n\n").headOption.getOrElse(plan)
-      val shuffles = """[+:]- Exchange""".r.findAllIn(tree).size
-      val bcasts = "BroadcastExchange".r.findAllIn(tree).size
-      val scans = "Scan parquet".r.findAllIn(tree).size
+      val (shuffles, bcasts, scans) = graft.core.PlanAudit.counts(df)
       println(s"\n########## $name  [shuffles=$shuffles broadcasts=$bcasts scans=$scans]")
+      // imperative pipelines (addDelivery) surface their internal
+      // stages through the side channel — one audit row per stage, so
+      // the table shows what actually shuffles, not just the
+      // post-admission read
+      graft.llm.IncrementalDedup.lastStagePlans.foreach { st =>
+        println(s"########## $name/${st.name}  [shuffles=${st.shuffles} " +
+          s"broadcasts=${st.broadcasts} scans=${st.scans}]")
+      }
       println(plan)
     }
     spark.stop()

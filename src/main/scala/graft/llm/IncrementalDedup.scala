@@ -56,6 +56,14 @@ import graft.sources.Warehouse
   */
 object IncrementalDedup {
 
+  /** Plan-audit side channel (the `Dedup.lastCcRounds` pattern): the
+    * physical shapes of the last [[addDelivery]]'s imperative stages,
+    * recorded at materialization time so `graft.Explain` (→ PLANS.md)
+    * can audit what actually shuffles — the top-level gate plan only
+    * shows the post-admission read of the committed generation.
+    */
+  @volatile var lastStagePlans: Seq[graft.core.PlanAudit.Stage] = Nil
+
   /** Signature-index state for a batch of documents: (id, sig, sharr). */
   def state(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 32): DataFrame =
@@ -156,6 +164,12 @@ object IncrementalDedup {
 
     // one delta generation per delivery: append cost ∝ delivery
     val survivors = batch.join(admitted, Seq("id"), "left_semi")
+    val ord = Warehouse.deltaVersions(spark, indexRoot).size + 1
+    lastStagePlans = lastStagePlans ++ Seq(
+      graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch),
+      graft.core.PlanAudit.stage(s"d$ord:candidates", pairs),
+      graft.core.PlanAudit.stage(s"d$ord:verify", verified),
+      graft.core.PlanAudit.stage(s"d$ord:admission", survivors))
     val genPath = deliveryTag match {
       case Some(t) =>
         // None is unreachable here: the committed-tag replay guard at
