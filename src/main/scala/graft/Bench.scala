@@ -38,6 +38,25 @@ object Bench {
   private val Runs = 5
   private val WarmupPasses = 2
 
+  /** Publish bar on pass-total spread — MUST match
+    * tools/gen_baseline.py's refusal threshold (ContractSpec pins both):
+    * a run whose passes disagree by more was measured under external
+    * load and its per-query medians can re-rank queries out of noise.
+    */
+  val SpreadPublishBar = 1.15
+
+  /** max/min pass-total ratio; +∞ for degenerate inputs. */
+  def spreadOf(passTotals: Seq[Double]): Double =
+    if (passTotals.isEmpty || passTotals.min <= 0) Double.PositiveInfinity
+    else passTotals.max / passTotals.min
+
+  /** Whether a run's spread qualifies it for the committed headline —
+    * recorded in every bench artifact (including the driver-captured
+    * stdout line) so a noisy window is marked non-publishable IN the
+    * artifact instead of discovered later.
+    */
+  def publishable(spread: Double): Boolean = spread <= SpreadPublishBar
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,7 +134,8 @@ object Bench {
     // pass (round-10: two consecutive runs refused at 1.17x/1.21x).
     var reruns = 0
     def passTotalsNow = passBuf.map(_.map(t => math.abs(t._2)).sum)
-    while (reruns < 6 && passTotalsNow.max > 1.15 * passTotalsNow.min) {
+    while (reruns < 6 &&
+        !publishable(spreadOf(passTotalsNow.toSeq))) {
       val totals = passTotalsNow
       val noisy = totals.indexOf(totals.max)
       System.err.println(f"BENCH NOISY PASS ${noisy + 1} " +
@@ -173,10 +193,16 @@ object Bench {
     // SF-stamped committable artifact name: sf0.001 smoke runs write
     // bench_sf0.001.json and can never clobber the sf0.1 headline
     val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    // spread + publishable travel IN the artifact (and the driver's
+    // stdout-tail capture): a noisy window is marked non-publishable at
+    // measurement time instead of re-ranking queries in a later report
+    val spreadRaw = spreadOf(passTotals.toSeq)
+    val spread = r3(spreadRaw)
+    val pub = publishable(spreadRaw) // raw: same verdict gen_baseline reaches
     def summaryLine(entries: Seq[(String, Double)], elided: Int): String = {
       val qs = entries.map { case (n, m) => "\"" + n + "\":" + r3(m) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"bench_$sfTag.json","sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"bench_$sfTag.json","sf":"$sfDir","runs":$Runs}"""
     }
     val bySlowest = rows.sortBy { case (_, m, _) => -math.abs(m) }
       .map { case (n, m, _) => (n, m) }
@@ -194,7 +220,7 @@ object Bench {
       s""""$n":{"median":${r4(med)},"min":$qmin,"runs":$runs,"spread":$spread}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"noisy_pass_reruns":$reruns,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"noisy_pass_reruns":$reruns,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
     Seq("/tmp/bench.json", "bench_latest.json", s"bench_$sfTag.json").foreach { p =>
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))

@@ -37,6 +37,26 @@ class ContractSpec extends SparkSpec {
       s"new queries not yet in gates_manifest.txt (append them): $unlisted")
   }
 
+  // A 1.17x-spread driver window re-ranked queries in round 10; the
+  // verdict now travels in the artifact. The refusal boundary must stay
+  // glued to tools/gen_baseline.py's.
+  test("bench spread publish gate: boundary and refusal path") {
+    assert(Bench.publishable(Bench.spreadOf(Seq(10.0, 10.5, 11.4))))
+    assert(!Bench.publishable(Bench.spreadOf(Seq(10.0, 10.5, 11.6))))
+    assert(Bench.publishable(Bench.SpreadPublishBar))
+    assert(!Bench.publishable(Bench.SpreadPublishBar + 1e-9))
+    // degenerate runs are never publishable
+    assert(!Bench.publishable(Bench.spreadOf(Nil)))
+    assert(!Bench.publishable(Bench.spreadOf(Seq(0.0, 1.0))))
+    // the Scala bar and the generator's python refusal are one number
+    val py = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/gen_baseline.py")), "UTF-8")
+    assert(py.contains(s"spread > ${Bench.SpreadPublishBar}"),
+      "gen_baseline.py refusal threshold drifted from Bench.SpreadPublishBar")
+    assert(py.contains("publishable"),
+      "gen_baseline.py no longer honors the artifact's own verdict")
+  }
+
   test("representative queries run non-empty at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     Seq("p1_project_rename", "j2_join_agg_mart", "w1_latest_per_key",
