@@ -56,6 +56,62 @@ import graft.sources.Warehouse
   */
 object IncrementalDedup {
 
+  /** Physical layout of the persisted signature index — the pluggable
+    * seam between "how the index is stored" and the delivery-dedup
+    * semantics (which are layout-invariant and tested so). Two
+    * implementations: [[FlatIndex]] (one delta-log of (id, sig, sharr);
+    * the candidate join re-bands the whole index per delivery) and
+    * [[BandedIndex]] (bands precomputed and hive-partitioned by
+    * (band, bucket), so a small delivery's candidate lookup prunes to
+    * the partitions its own band keys touch instead of scanning N).
+    */
+  private[llm] trait IndexLayout {
+    /** Generation names already committed (replay guard). */
+    def committedTags(spark: SparkSession, root: String): Seq[String]
+    def hasIndex(spark: SparkSession, root: String): Boolean
+    /** Full survivor state (id, sig, sharr). */
+    def readState(spark: SparkSession, root: String): DataFrame
+    /** Index side of the band-key candidate join, as (id_a, band, bh).
+      * `deliveryKeys` is the delivery's distinct (band, bh) set — a
+      * layout may use it to prune what it reads; correctness only
+      * requires returning a SUPERSET of the index rows matching it.
+      */
+    def candidateSide(spark: SparkSession, root: String,
+        deliveryKeys: DataFrame, bands: Int, rowsPerBand: Int): DataFrame
+    /** Persist one delivery's survivors as a new generation; returns the
+      * path holding the generation's (id, sig, sharr) rows.
+      */
+    def append(survivors: DataFrame, root: String, bands: Int,
+        rowsPerBand: Int, tag: Option[String]): String
+  }
+
+  /** The original single-table layout: the index is one delta-log of
+    * (id, sig, sharr) and candidate generation re-bands it per delivery
+    * — one full map-side pass over N signature rows, no pruning.
+    */
+  private[llm] object FlatIndex extends IndexLayout {
+    def committedTags(spark: SparkSession, root: String): Seq[String] =
+      Warehouse.committedGenerations(spark, root)
+    def hasIndex(spark: SparkSession, root: String): Boolean =
+      Warehouse.deltaVersions(spark, root).nonEmpty
+    def readState(spark: SparkSession, root: String): DataFrame =
+      Warehouse.deltaRead(spark, root)
+    def candidateSide(spark: SparkSession, root: String,
+        deliveryKeys: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+      readState(spark, root)
+        .select(col("id"),
+          explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id").as("id_a"), col("bk.band").as("band"),
+          col("bk.bh").as("bh"))
+    def append(survivors: DataFrame, root: String, bands: Int,
+        rowsPerBand: Int, tag: Option[String]): String = tag match {
+      case Some(t) =>
+        Warehouse.deltaAppendTagged(survivors, root, t)
+          .getOrElse(s"$root/gen-$t")
+      case None => Warehouse.deltaAppend(survivors, root)
+    }
+  }
+
   /** Plan-audit side channel (the `Dedup.lastCcRounds` pattern): the
     * physical shapes of the last [[addDelivery]]'s imperative stages,
     * recorded at materialization time so `graft.Explain` (→ PLANS.md)
@@ -92,23 +148,24 @@ object IncrementalDedup {
       idCol: String = "doc_id", shingleN: Int = 3,
       bands: Int = 8, rowsPerBand: Int = 4,
       requireMonotoneIds: Boolean = true,
-      deliveryTag: Option[String] = None): DataFrame = {
+      deliveryTag: Option[String] = None,
+      layout: IndexLayout = FlatIndex): DataFrame = {
     val spark = delivery.sparkSession
     val k = bands * rowsPerBand
     // replay guard for streaming/restart callers: a tag that already
     // committed means this delivery was fully admitted once — the whole
     // dedup is skipped, not just the append (exactly-once admission)
     if (deliveryTag.exists(t =>
-        Warehouse.committedGenerations(spark, indexRoot).contains(s"gen-$t")))
+        layout.committedTags(spark, indexRoot).contains(s"gen-$t")))
       return delivery.limit(0)
-    val hasIndex = Warehouse.deltaVersions(spark, indexRoot).nonEmpty
+    val hasIndex = layout.hasIndex(spark, indexRoot)
     // persisted: candidates, verification, and the admission semi-join
     // all reference the delivery state; signatures + hashed shingles are
     // far smaller than the documents they summarize
     val batch = state(delivery, textCol, idCol, shingleN, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigView = batch.select("id", "sig").persist(StorageLevel.MEMORY_AND_DISK)
-    val idx = if (hasIndex) Warehouse.deltaRead(spark, indexRoot) else null
+    val idx = if (hasIndex) layout.readState(spark, indexRoot) else null
 
     if (hasIndex && requireMonotoneIds) {
       // column-pruned scans; parquet footer stats keep the index side cheap
@@ -129,12 +186,15 @@ object IncrementalDedup {
     val pairs =
       if (!hasIndex) batchPairs
       else {
-        def banded(st: DataFrame, as: String) = st
+        val deliveryBanded = sigView
           .select(col("id"),
             explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-          .select(col("id").as(as), col("bk.band").as("band"), col("bk.bh").as("bh"))
-        val cross = banded(idx.select("id", "sig"), "id_a")
-          .join(banded(sigView, "id_b"), Seq("band", "bh"))
+          .select(col("id").as("id_b"), col("bk.band").as("band"),
+            col("bk.bh").as("bh"))
+        val cross = layout
+          .candidateSide(spark, indexRoot,
+            deliveryBanded.select("band", "bh"), bands, rowsPerBand)
+          .join(deliveryBanded, Seq("band", "bh"))
           .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b")
         batchPairs.union(cross)
@@ -164,20 +224,16 @@ object IncrementalDedup {
 
     // one delta generation per delivery: append cost ∝ delivery
     val survivors = batch.join(admitted, Seq("id"), "left_semi")
-    val ord = Warehouse.deltaVersions(spark, indexRoot).size + 1
+    val ord = layout.committedTags(spark, indexRoot).size + 1
     lastStagePlans = lastStagePlans ++ Seq(
       graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch),
       graft.core.PlanAudit.stage(s"d$ord:candidates", pairs),
       graft.core.PlanAudit.stage(s"d$ord:verify", verified),
       graft.core.PlanAudit.stage(s"d$ord:admission", survivors))
-    val genPath = deliveryTag match {
-      case Some(t) =>
-        // None is unreachable here: the committed-tag replay guard at
-        // the top already returned, so this tag commits exactly once
-        Warehouse.deltaAppendTagged(survivors, indexRoot, t)
-          .getOrElse(s"$indexRoot/gen-$t")
-      case None => Warehouse.deltaAppend(survivors, indexRoot)
-    }
+    // replay-guarded when tagged: the committed-tag check at the top
+    // already returned, so a tag commits exactly once
+    val genPath = layout.append(survivors, indexRoot, bands, rowsPerBand,
+      deliveryTag)
     batch.unpersist()
     sigView.unpersist()
     // admitted ids re-read from the durable generation just written —

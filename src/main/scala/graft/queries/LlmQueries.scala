@@ -1111,6 +1111,52 @@ object LlmQueries {
       IncrementalDedup.indexIds(s, root).select(col("id").as("doc_id"))
     }),
 
+    // the BANDED index layout end-to-end — same admission contract as
+    // x_incremental_dedup, run on a quarter corpus (the layout seam is
+    // the property under test; full scale is the flat gate's job), plus
+    // a streaming-shaped MICRO delivery (8 twins of index survivors +
+    // 4 fresh docs) whose candidate lookup must take the PRUNED path:
+    // (band, bkt) partition pruning + pushed bh IN filter instead of a
+    // full index scan — the ∝-delivery cost shape a per-trigger dedup
+    // needs against a 100 TB accumulated index. The in-gate require()
+    // turns a silent fallback-to-full-scan regression into a RED row.
+    "x_incremental_dedup_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 1)
+      val split = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val low = d.filter(col("doc_id") <= split)
+      val high = d.filter(col("doc_id") > split)
+      val delivery2 = high
+        .union(low.select(
+          twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+        .union(high.select(
+          twinId(col("doc_id"), 2000000000L).as("doc_id"), col("text")))
+      val micro = d.filter(col("doc_id") <= 32)
+        .select(twinId(col("doc_id"), 3000000000L).as("doc_id"), col("text"))
+        .union(Seq(
+          (3100000001L, "prunedfresh alpha one two three four"),
+          (3100000002L, "prunedfresh beta five six seven eight"),
+          (3100000003L, "prunedfresh gamma nine ten eleven twelve"),
+          (3100000004L, "prunedfresh delta thirteen fourteen fifteen"))
+          .toDF("doc_id", "text"))
+      val root = freshIndexRoot(s, "x_incremental_dedup_pruned")
+      // production defaults: adaptive per-generation bucket sizing (at
+      // gate scale each generation stays at one bucket per band; the
+      // 32-bucket directory-pruning fan-out is physical-plan-asserted
+      // in BandedIndexSpec, where the sizing is forced)
+      val layout = graft.llm.BandedIndex()
+      IncrementalDedup.addDelivery(low, root, minJaccard = 1.0,
+        layout = layout)
+      IncrementalDedup.addDelivery(delivery2, root, minJaccard = 1.0,
+        layout = layout)
+      IncrementalDedup.addDelivery(micro, root, minJaccard = 1.0,
+        layout = layout)
+      require(layout.lastPruned,
+        "micro delivery must take the pruned lookup path")
+      layout.indexIds(s, root).select(col("id").as("doc_id"))
+    }),
+
     // STREAMING incremental dedup: the same two-delivery construction
     // as x_incremental_dedup, but each delivery arrives as a file-source
     // MICRO-BATCH through DocStream.incrementalDedupSink (foreachBatch →
@@ -2438,6 +2484,37 @@ object LlmQueries {
              WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
            UNION ALL SELECT doc_id + 2000000000, text FROM documents
              WHERE doc_id > (SELECT max(doc_id) // 2 FROM documents)),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)), '|')) AS f
+           FROM corpus)
+         SELECT min(doc_id) AS doc_id FROM fp GROUP BY f""",
+
+    // identical min-id-per-fingerprint-class contract over the quarter
+    // corpus + the micro delivery: the banded layout must admit exactly
+    // the classes the flat semantics define, no matter what the lookup
+    // pruned
+    "x_incremental_dedup_pruned" ->
+      """WITH quarter AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+         corpus AS (
+           SELECT doc_id, text FROM quarter
+           UNION ALL SELECT doc_id + 1000000000, text FROM quarter
+             WHERE doc_id <= (SELECT max(doc_id) // 2 FROM quarter)
+           UNION ALL SELECT doc_id + 2000000000, text FROM quarter
+             WHERE doc_id > (SELECT max(doc_id) // 2 FROM quarter)
+           UNION ALL SELECT doc_id + 3000000000, text FROM quarter
+             WHERE doc_id <= 32
+           UNION ALL SELECT * FROM (VALUES
+             (3100000001, 'prunedfresh alpha one two three four'),
+             (3100000002, 'prunedfresh beta five six seven eight'),
+             (3100000003, 'prunedfresh gamma nine ten eleven twelve'),
+             (3100000004, 'prunedfresh delta thirteen fourteen fifteen'))
+             AS t(doc_id, text)),
          fp AS (
            SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
              CASE WHEN len(string_split(text,' ')) < 3 THEN [text]

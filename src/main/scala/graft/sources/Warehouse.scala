@@ -247,11 +247,14 @@ object Warehouse {
     * committed generation's data path — already durable, so callers can
     * re-read results from it instead of recomputing `df`'s lineage.
     */
-  def deltaAppend(df: DataFrame, root: String): String = {
+  def deltaAppend(df: DataFrame, root: String,
+      partitionCols: Seq[String] = Nil): String = {
     val spark = df.sparkSession
     val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
     val gen = f"gen-$v%09d"
-    df.write.mode("errorifexists").parquet(s"$root/$gen")
+    val w = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$root/$gen")
     manifestCommit(spark, root, v, gen)
     s"$root/$gen"
   }
@@ -276,7 +279,7 @@ object Warehouse {
     * single source of truth for what was admitted exactly once.
     */
   def deltaAppendTagged(df: DataFrame, root: String,
-      tag: String): Option[String] = {
+      tag: String, partitionCols: Seq[String] = Nil): Option[String] = {
     val spark = df.sparkSession
     val gen = s"gen-$tag"
     if (committedGenerations(spark, root).contains(gen)) None
@@ -284,11 +287,26 @@ object Warehouse {
       val fs = fsOf(spark, root)
       val dir = new org.apache.hadoop.fs.Path(s"$root/$gen")
       if (fs.exists(dir)) fs.delete(dir, true) // crashed earlier attempt
-      df.write.mode("errorifexists").parquet(s"$root/$gen")
+      val w = df.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$root/$gen")
       val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
       manifestCommit(spark, root, v, gen)
       Some(s"$root/$gen")
     }
+  }
+
+  /** Read a delta-log table as one scan PER generation, unioned by name
+    * — required when generations are hive-partitioned (a single
+    * multi-path `spark.read.parquet(gens: _*)` cannot infer partition
+    * columns across sibling roots), and equivalent to [[deltaRead]]
+    * otherwise. Filters push through the Union into every scan, so
+    * partition pruning applies generation by generation.
+    */
+  def deltaReadEach(spark: SparkSession, root: String): DataFrame = {
+    val paths = committedGenerations(spark, root).map(gen => s"$root/$gen")
+    require(paths.nonEmpty, s"no delta-log generations under $root")
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
   /** Read the union of every committed generation of a delta-log table. */
