@@ -207,6 +207,70 @@ object ScaleCurve {
         f"rounds=$roundsS (diameter 1) wrong=$wrongS edges=1530000")
       require(wrongS == 0, "distributed CC mislabeled star nodes")
     }
+
+    // Index-layout lookup curve: the incremental-dedup candidate lookup
+    // for a FIXED 16-doc micro delivery against a 1× and a mult× index,
+    // flat vs banded. The flat layout re-bands the whole index per
+    // lookup (cost ∝ N); the banded layout prunes to the delivery's own
+    // (band, bkt) partitions + a pushed bh IN filter (cost ∝ delivery).
+    // The curve pins both the times AND the physical partition counts —
+    // the per-trigger streaming contract at 100 TB index sizes.
+    if (only.isEmpty || only.contains("banded_lookup")) {
+      import graft.llm.{BandedIndex, Dedup, IncrementalDedup}
+      val micro = {
+        import spark.implicits._
+        (1L to 16L).map(i =>
+          (900000000000L + i, s"probe$i lookup$i words$i never$i seen$i"))
+          .toDF("doc_id", "text")
+      }
+      val keys = IncrementalDedup.state(micro)
+        .select(col("id"),
+          explode(Dedup.bandKeys(col("sig"), 8, 4)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bh").as("bh"))
+        .persist()
+      keys.count()
+      def timeLookup(side: => DataFrame): Double = {
+        side.write.format("noop").mode("overwrite").save() // warm
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          side.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      // small buckets so the banded fan-out engages at probe scale (the
+      // production default only fans out past 64k rows per band)
+      def banded = BandedIndex(minBucketRows = 512, auditPartitions = true)
+      def buildIdx(dir: String, tag: String,
+          layout: IncrementalDedup.IndexLayout): String = {
+        val root = s"$workDir/lookup_idx_$tag"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        IncrementalDedup.addDelivery(
+          graft.sources.Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")),
+          root, minJaccard = 1.0, layout = layout)
+        root
+      }
+      val f1 = buildIdx(sfDir, "flat_1x", IncrementalDedup.FlatIndex)
+      val fN = buildIdx(bigDir, s"flat_${mult}x", IncrementalDedup.FlatIndex)
+      val tF1 = timeLookup(IncrementalDedup.FlatIndex
+        .candidateSide(spark, f1, keys, 8, 4))
+      val tFN = timeLookup(IncrementalDedup.FlatIndex
+        .candidateSide(spark, fN, keys, 8, 4))
+      println(f"SCALE ${"incdedup_lookup(flat)"}%-28s $tF1%6.3f  $tFN%6.3f  ${tFN / tF1}%5.2f")
+      val lay1 = banded
+      val layN = banded
+      val b1 = buildIdx(sfDir, "band_1x", lay1)
+      val bN = buildIdx(bigDir, s"band_${mult}x", layN)
+      val tB1 = timeLookup(lay1.candidateSide(spark, b1, keys, 8, 4))
+      val p1 = (lay1.lastScannedPartitions, lay1.lastTotalPartitions)
+      val tBN = timeLookup(layN.candidateSide(spark, bN, keys, 8, 4))
+      val pN = (layN.lastScannedPartitions, layN.lastTotalPartitions)
+      println(f"SCALE ${"incdedup_lookup(banded)"}%-28s $tB1%6.3f  $tBN%6.3f  ${tBN / tB1}%5.2f  " +
+        f"dirs=${p1._1}/${p1._2}@1x ${pN._1}/${pN._2}@${mult}x")
+      keys.unpersist()
+    }
     spark.stop()
   }
 }

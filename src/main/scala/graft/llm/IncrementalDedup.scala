@@ -25,9 +25,11 @@ import graft.sources.Warehouse
   *  - delivery↔index candidates: band-key equi-join — the index side is
   *    a column-pruned scan of the delta-log generations, the delivery
   *    side is small enough that AQE broadcasts it, so the index is
-  *    NEVER shuffled; cost is one map-side pass over N signature rows.
-  *    (Bucketing the index by band key would trade that scan for a
-  *    pruned lookup; not needed until the scan itself is the bottleneck.)
+  *    NEVER shuffled; cost is one map-side pass over N signature rows
+  *    under [[FlatIndex]], or a partition-PRUNED lookup ∝ the delivery's
+  *    own band keys under [[BandedIndex]] (the streaming/micro-batch
+  *    operating point, where even one pass over N per trigger is too
+  *    much).
   *  - verification + connected components: proportional to candidate
   *    pairs, not to N or n;
   *  - admission: one [[Warehouse.deltaAppend]] of the delivery's
@@ -65,7 +67,7 @@ object IncrementalDedup {
     * (band, bucket), so a small delivery's candidate lookup prunes to
     * the partitions its own band keys touch instead of scanning N).
     */
-  private[llm] trait IndexLayout {
+  private[graft] trait IndexLayout {
     /** Generation names already committed (replay guard). */
     def committedTags(spark: SparkSession, root: String): Seq[String]
     def hasIndex(spark: SparkSession, root: String): Boolean
@@ -89,7 +91,7 @@ object IncrementalDedup {
     * (id, sig, sharr) and candidate generation re-bands it per delivery
     * — one full map-side pass over N signature rows, no pruning.
     */
-  private[llm] object FlatIndex extends IndexLayout {
+  private[graft] object FlatIndex extends IndexLayout {
     def committedTags(spark: SparkSession, root: String): Seq[String] =
       Warehouse.committedGenerations(spark, root)
     def hasIndex(spark: SparkSession, root: String): Boolean =
@@ -168,9 +170,12 @@ object IncrementalDedup {
     val idx = if (hasIndex) layout.readState(spark, indexRoot) else null
 
     if (hasIndex && requireMonotoneIds) {
-      // column-pruned scans; parquet footer stats keep the index side cheap
-      val maxIdx = idx.agg(max(col("id"))).head().getLong(0)
-      val minNew = batch.agg(min(col("id"))).head().getLong(0)
+      // one job for both sides (cross join of two 1-row aggregates);
+      // column-pruned scans + parquet footer stats keep the index side
+      // cheap
+      val row = idx.agg(max(col("id")).as("maxIdx"))
+        .crossJoin(batch.agg(min(col("id")).as("minNew"))).head()
+      val (maxIdx, minNew) = (row.getLong(0), row.getLong(1))
       require(minNew > maxIdx,
         s"addDelivery: delivery min id $minNew must exceed index max id " +
           s"$maxIdx for whole-corpus-rerun equivalence " +

@@ -61,7 +61,11 @@ object DocStream {
     *
     * Scale shape per trigger = [[graft.llm.IncrementalDedup]]'s per
     * delivery: the index side is a column-pruned map-side scan, never
-    * shuffled; state grows with admitted survivors only.
+    * shuffled; state grows with admitted survivors only. Pass
+    * `layout = BandedIndex()` for the operating point this sink actually
+    * targets — a small per-trigger batch against a huge accumulated
+    * index — where the candidate lookup prunes to the batch's own band
+    * partitions instead of re-scanning N signature rows every trigger.
     */
   def incrementalDedupSink(docs: DataFrame, indexRoot: String,
       checkpointDir: String, minJaccard: Double = 1.0,
@@ -69,7 +73,9 @@ object DocStream {
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       requireMonotoneIds: Boolean = true,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      layout: graft.llm.IncrementalDedup.IndexLayout =
+        graft.llm.IncrementalDedup.FlatIndex)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -79,7 +85,8 @@ object DocStream {
         if (!batch.isEmpty)
           graft.llm.IncrementalDedup.addDelivery(batch, indexRoot,
             minJaccard, textCol, idCol, shingleN, bands, rowsPerBand,
-            requireMonotoneIds, deliveryTag = Some(f"batch-$batchId%09d"))
+            requireMonotoneIds, deliveryTag = Some(f"batch-$batchId%09d"),
+            layout = layout)
         ()
       }
       .start()

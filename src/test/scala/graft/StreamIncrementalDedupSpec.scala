@@ -55,6 +55,33 @@ class StreamIncrementalDedupSpec extends SparkSpec {
       .committedGenerations(spark, s"$root/index").size == 1)
   }
 
+  test("banded layout through the sink: per-trigger pruned lookup") {
+    implicit val sq = spark.sqlContext
+    val root = tmpDir("st-incdedup-banded")
+    val layout = graft.llm.BandedIndex()
+    // batch bootstrap builds the index the stream will probe
+    IncrementalDedup.addDelivery(
+      (1L to 50L).map(i => (i, s"boot$i alpha$i beta$i gamma$i delta$i"))
+        .toDF("doc_id", "text"),
+      s"$root/index", minJaccard = 1.0, layout = layout)
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/ckpt", minJaccard = 1.0,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      layout = layout)
+    try {
+      // a micro-batch: one dup of a bootstrap survivor, one fresh doc —
+      // the tiny trigger must take the pruned lookup path
+      mem.addData((1000000001L, "boot7 alpha7 beta7 gamma7 delta7"),
+        (200L, "fresh words never seen before"))
+      q.processAllAvailable()
+      assert(layout.lastPruned, "micro-batch lookup must be pruned")
+      assert(layout.indexIds(spark, s"$root/index")
+        .as[Long].collect().toSet == (1L to 50L).toSet + 200L)
+    } finally q.stop()
+  }
+
   test("streaming and batch ingestion share one index") {
     implicit val sq = spark.sqlContext
     val root = tmpDir("st-incdedup-shared")
