@@ -542,45 +542,53 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
       driverMaxPairs: Long = 1000000L): DataFrame = {
     lastCcRounds = 0
-    // materialize the pair set once: the loop issues several actions and
-    // would otherwise re-run the candidate/verify pipeline behind `pairs`
-    // on every one of them
-    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
-    val nPairs = p.count() // cheap: counts the checkpointed blocks
-    if (nPairs == 0) // clean corpus: skip the propagation loop entirely
-      return p.select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+    val sp = pairs.sparkSession
+    val slim = pairs.select("id_a", "id_b")
     // Small-pair fast path: the VERIFIED near-dup pair set is proportional
     // to the corpus's actual duplication, not its size — on most corpora
     // it is thousands of rows while the distributed loop still pays
-    // O(log diameter) full job rounds. Below the cap (≤ ~16 MB of ids,
-    // bounded driver state like the IVF centroids), collect and run
-    // union-find with path compression; the loop remains the path for
-    // genuinely massive duplication.
-    val integralIds = p.schema.fields.forall(_.dataType == LongType)
-    if (integralIds && nPairs <= driverMaxPairs) {
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) {
-          parent.put(r, parent.get(parent.get(r))) // path halving
-          r = parent.get(r)
+    // O(log diameter) full job rounds. Probe with ONE job — a
+    // limit(cap + 1) collect, so nothing larger than the cap (≤ ~16 MB
+    // of ids, bounded driver state like the IVF centroids) ever reaches
+    // the driver — and run union-find with path compression on the
+    // result. Only a genuinely-massive pair set (> cap) pays the
+    // checkpoint + distributed loop, which then recomputes the pair
+    // pipeline once more.
+    val integralIds = slim.schema.fields.forall(_.dataType == LongType)
+    val cap = math.min(driverMaxPairs, (Int.MaxValue - 2).toLong).toInt
+    if (integralIds) {
+      val sample = slim.limit(cap + 1).collect()
+      if (sample.isEmpty) // clean corpus: skip the propagation entirely
+        return slim.limit(0)
+          .select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+      if (sample.length <= cap) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) {
+            parent.put(r, parent.get(parent.get(r))) // path halving
+            r = parent.get(r)
+          }
+          r
         }
-        r
+        sample.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          // union-to-min: the root of a component is always its minimum id
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        import sp.implicits._
+        val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+          .map(id => (id.longValue, find(id.longValue))).toSeq
+        return labels.toDF("id", "cluster_id")
       }
-      p.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val ra = find(a); val rb = find(b)
-        // union-to-min: the root of a component is always its minimum id
-        if (ra < rb) parent.put(rb, ra)
-        else if (rb < ra) parent.put(ra, rb)
-      }
-      val sp = p.sparkSession
-      import sp.implicits._
-      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
-        .map(id => (id.longValue, find(id.longValue))).toSeq
-      return labels.toDF("id", "cluster_id")
     }
+    // materialize the pair set once: the loop issues several actions and
+    // would otherwise re-run the candidate/verify pipeline behind `pairs`
+    // on every one of them
+    val p = slim.localCheckpoint(true)
     // Edges are shuffled into the join layout ONCE and pinned: every
     // round's neighbor join keys on `dst`, so a persisted
     // HashPartitioning(dst) lets each round exchange only the (smaller,
