@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via hashed-n-gram importance resampling — the DSIR
+  * family (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): score every raw document by how much its
+  * hashed-bigram feature distribution looks like a TARGET corpus
+  * (high-quality seed data) versus the RAW corpus it came from, then
+  * keep the highest-scoring slice. The reference pipeline curates by
+  * per-document rules (SURVEY §2 quality tests); importance resampling
+  * is the corpus-level counterpart a pretraining pipeline runs before
+  * tokenization.
+  *
+  * Scale shape: both feature distributions live on a FIXED bucket space
+  * (`buckets`, default 4096) — two hash aggregations whose output is
+  * config-sized regardless of corpus bytes, broadcast back as a log-ratio
+  * table. Scoring is then one explode + broadcast-join + per-doc sum:
+  * a single shuffle keyed by doc id, no driver state beyond the bucket
+  * table. At 100 TB the bucket table is still 4096 rows.
+  *
+  * Determinism: buckets come from the engine-portable md5 scheme
+  * ([[Sampling.hashBucket]]'s construction), so the same document scores
+  * identically across runs, executors, and engines — the DuckDB oracle
+  * recomputes the full pipeline bit-for-bit at 6-significant-digit
+  * canonicalization.
+  */
+object Selection {
+
+  /** Adjacent-word bigrams of a whitespace-tokenized text, joined with
+    * '_' — the hashed feature of DSIR's "hashed n-gram" variant. */
+  def bigrams(text: Column): Column = {
+    val ws = split(text, " ")
+    zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit("_"), b))
+  }
+
+  /** Engine-portable feature bucket in [0, buckets): 32 bits of
+    * md5("dsir:" + bigram), mod the bucket count — the same md5 idiom as
+    * [[Sampling.hashBucket]], so any engine with md5 reproduces the
+    * exact feature map. */
+  def featureBucket(bigram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(concat(lit("dsir:"), bigram)), 25, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** Per-bucket occurrence counts of a corpus: (bucket, n). Output is
+    * bounded by `buckets` — config-sized, broadcastable. */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .select(featureBucket(col("bigram"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Add-one-smoothed log probability-ratio table between a target and a
+    * raw corpus: (bucket, log_ratio) over the FULL bucket space, where
+    * log_ratio(b) = log((nT(b)+1)/(NT+B)) − log((nR(b)+1)/(NR+B)).
+    * Smoothing keeps never-seen buckets finite on both sides; the table
+    * is B rows and broadcast into scoring. */
+  def logRatioTable(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val b = lit(buckets.toLong)
+    val tc = bucketCounts(target, textCol, buckets)
+      .withColumnRenamed("n", "n_t")
+    val rc = bucketCounts(raw, textCol, buckets)
+      .withColumnRenamed("n", "n_r")
+    // totals are one-row aggregates attached by cross join (scalar
+    // attach, same idiom as LanguageModel); the full bucket spine makes
+    // unseen buckets explicit rather than join-dropped
+    val spine = spark.range(0, buckets).select(col("id").as("bucket"))
+    spine
+      .join(tc, Seq("bucket"), "left").join(rc, Seq("bucket"), "left")
+      .crossJoin(target.select(explode(bigrams(col(textCol))).as("g"))
+        .agg(count(lit(1)).as("tot_t")))
+      .crossJoin(raw.select(explode(bigrams(col(textCol))).as("g"))
+        .agg(count(lit(1)).as("tot_r")))
+      .select(col("bucket"),
+        (log((coalesce(col("n_t"), lit(0L)) + 1).cast("double") /
+            (col("tot_t") + b).cast("double")) -
+          log((coalesce(col("n_r"), lit(0L)) + 1).cast("double") /
+            (col("tot_r") + b).cast("double"))).as("log_ratio"))
+  }
+
+  /** Per-document DSIR log importance weight: the sum of `log_ratio`
+    * over the document's bigram occurrences (empty/1-word docs score
+    * 0.0 — no evidence either way). One explode + one broadcast join
+    * against the B-row ratio table + one per-doc aggregation: a single
+    * id-keyed shuffle over the corpus. Output: (idCol, log_weight). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 4096): DataFrame = {
+    val ratios = broadcast(logRatioTable(raw, target, textCol, buckets))
+    raw.select(col(idCol), explode_outer(bigrams(col(textCol))).as("bigram"))
+      .select(col(idCol), featureBucket(col("bigram"), buckets).as("bucket"))
+      .join(ratios, Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(coalesce(sum("log_ratio"), lit(0.0)).as("log_weight"))
+  }
+
+  /** Keep the `k` highest-weight documents (ties broken on id, so the
+    * selected SET is deterministic). Runs as TakeOrdered — each
+    * partition surfaces at most k rows, the driver merges O(k) —
+    * distributed top-k, not a global sort. For percentile-style
+    * selection at 100 TB, compute a weight threshold once (the bucket
+    * table makes weights reproducible) and select by pure filter;
+    * [[dsirSelectByThreshold]] is that path. */
+  def dsirSelectTopK(weighted: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame =
+    weighted.orderBy(col("log_weight").desc, col(idCol).asc).limit(k)
+
+  /** Threshold selection: pure filter, zero extra shuffles — the
+    * production path once a threshold has been chosen (e.g. from a
+    * sampled quantile of `log_weight`). */
+  def dsirSelectByThreshold(weighted: DataFrame, minLogWeight: Double): DataFrame =
+    weighted.filter(col("log_weight") >= minLogWeight)
+}

@@ -148,6 +148,28 @@ object TextAnalysis {
       regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "),
       " +", " "))
 
+  /** HTML → text extraction — the first transform a crawl pipeline runs
+    * (the trafilatura/jusText step, reduced to its deterministic core):
+    * drop <script>/<style> subtrees wholesale (their text is code, not
+    * prose), strip the remaining tags, decode the five core entities,
+    * collapse whitespace. Every pattern sits in the Java∩RE2 regex
+    * subset ((?s) dot-matches-newline, non-greedy .*?, no backrefs), so
+    * DuckDB recomputes the extraction byte-for-byte — and the whole
+    * chain is ONE codegen'd projection: at 100 TB this is scan → map,
+    * zero shuffles, pruned to the html column.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // &amp; decodes LAST: "&amp;lt;" must yield "&lt;", not "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Boilerplate detector: word n-grams occurring in more than
     * `minDocs` distinct documents (headers/footers/licenses in a crawl).
     * One explode + one count shuffle; feed the result to a filter or to

@@ -1401,6 +1401,63 @@ object LlmQueries {
           col("id").as("id_b")), k)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(1.0).as("cos_sim"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): score every raw
+    // document by the add-1-smoothed log probability ratio of its
+    // hashed-bigram features under a TARGET corpus (here: the 'en'
+    // slice) vs the full RAW corpus. The md5 feature map makes the
+    // full pipeline — two 4096-bucket distributions, the broadcast
+    // log-ratio table, the per-doc sum — engine-portable, so the
+    // oracle recomputes every weight rather than spot-checking.
+    "x_dsir_weights" -> ((s, dir) => {
+      val raw = docs(s, dir)
+      graft.llm.Selection.dsirLogWeights(
+        raw, raw.filter(col("lang") === "en"), buckets = 4096)
+        .select(col("doc_id"), roundDet(col("log_weight"), 4).as("log_w"))
+    }),
+
+    // the selection step over those weights: top-20% by (weight desc,
+    // id asc) — TakeOrdered (per-partition top-k, driver merges O(k)),
+    // not a global sort; threshold selection is the pure-filter
+    // production twin (SelectionSpec pins the two consistent)
+    "x_dsir_select" -> ((s, dir) => {
+      val raw = docs(s, dir)
+      val weighted = graft.llm.Selection.dsirLogWeights(
+        raw, raw.filter(col("lang") === "en"), buckets = 4096)
+      val k = (raw.count() / 5L).toInt
+      graft.llm.Selection.dsirSelectTopK(weighted, k)
+        .select(col("doc_id"), roundDet(col("log_weight"), 4).as("log_w"))
+    }),
+
+    // deterministic sharding — the pipeline's OUTPUT step: shard
+    // membership and intra-shard order both come from independent
+    // salted md5 hashes of the doc id (reproducible across engines,
+    // cluster sizes, retries — no rand(), no global counters). The
+    // gate audits all 16 shards: counts, payload, and exact integer
+    // order-checksums; the physical write path (one Exchange on shard,
+    // local sorts, hive-partitioned files) is ShardingSpec's half.
+    "x_shard_assign" -> ((s, dir) =>
+      graft.llm.Sharding.shardStats(docs(s, dir), "doc_id",
+        nShards = 16, sizeCol = "n_chars")),
+
+    // HTML → text extraction, the crawl pipeline's first transform:
+    // wrap each document in a synthetic page (title, entity-bearing
+    // nav, script/style/comment subtrees) and require the extractor to
+    // recover exactly title + decoded nav + body. The whole chain is
+    // one codegen'd projection in the Java∩RE2 regex subset — the
+    // oracle replays it byte-for-byte in DuckDB.
+    "x_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc </title>"),
+        lit("<style type=\"text/css\">p { color: red }</style></head>"),
+        lit("<body><!-- crawl ts --><nav>Tom &amp; Jo&#39;s &lt;lab&gt;</nav>"),
+        lit("<p class=\"main\">"), col("text"),
+        lit("</p><script>var x = 1 < 2;</script></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.htmlToText(page).as("extracted"))
+        .withColumn("n_extracted", length(col("extracted")).cast("long"))
     })
   )
 
@@ -2663,6 +2720,121 @@ object LlmQueries {
          nz AS (SELECT * FROM d
                 WHERE list_sum(list_transform(v, x -> x * x)) > 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1.0::DOUBLE AS cos_sim
-         FROM nz a JOIN nz b ON a.v = b.v AND a.vec_id < b.vec_id"""
+         FROM nz a JOIN nz b ON a.v = b.v AND a.vec_id < b.vec_id""",
+
+    // DSIR weights: full recompute — hashed-bigram buckets (portable
+    // md5 map), add-1-smoothed target/raw distributions over the 4096
+    // spine, per-doc log-ratio sums (docs with no bigrams score 0)
+    "x_dsir_weights" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || '_' ||
+                  string_split(text, ' ')[i + 1])) AS bigram
+           FROM documents),
+         b AS (SELECT doc_id,
+                 ('0x' || substr(md5('dsir:' || bigram), 25, 8))::BIGINT
+                   % 4096 AS bucket
+               FROM grams),
+         tcnt AS (SELECT bucket, count(*) AS n_t FROM b
+                  JOIN documents d USING (doc_id)
+                  WHERE d.lang = 'en' GROUP BY 1),
+         rcnt AS (SELECT bucket, count(*) AS n_r FROM b GROUP BY 1),
+         tot AS (SELECT
+             (SELECT count(*) FROM b JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en') AS tot_t,
+             (SELECT count(*) FROM b) AS tot_r),
+         ratio AS (SELECT r.i AS bucket,
+             ln((coalesce(n_t, 0) + 1)::DOUBLE / (tot_t + 4096)) -
+             ln((coalesce(n_r, 0) + 1)::DOUBLE / (tot_r + 4096)) AS log_ratio
+           FROM range(0, 4096) r(i)
+           LEFT JOIN tcnt ON tcnt.bucket = r.i
+           LEFT JOIN rcnt ON rcnt.bucket = r.i
+           CROSS JOIN tot)
+         SELECT d.doc_id,
+           floor(coalesce(sum(log_ratio), 0.0) * 10000 + 0.5) / 10000 AS log_w
+         FROM documents d
+         LEFT JOIN b ON b.doc_id = d.doc_id
+         LEFT JOIN ratio ON ratio.bucket = b.bucket
+         GROUP BY 1""",
+
+    // top-20% selection over the SAME weights; ordered by the exact
+    // (unrounded) weight with the id tie-break, so the selected set is
+    // deterministic on both sides
+    "x_dsir_select" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || '_' ||
+                  string_split(text, ' ')[i + 1])) AS bigram
+           FROM documents),
+         b AS (SELECT doc_id,
+                 ('0x' || substr(md5('dsir:' || bigram), 25, 8))::BIGINT
+                   % 4096 AS bucket
+               FROM grams),
+         tcnt AS (SELECT bucket, count(*) AS n_t FROM b
+                  JOIN documents d USING (doc_id)
+                  WHERE d.lang = 'en' GROUP BY 1),
+         rcnt AS (SELECT bucket, count(*) AS n_r FROM b GROUP BY 1),
+         tot AS (SELECT
+             (SELECT count(*) FROM b JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en') AS tot_t,
+             (SELECT count(*) FROM b) AS tot_r),
+         ratio AS (SELECT r.i AS bucket,
+             ln((coalesce(n_t, 0) + 1)::DOUBLE / (tot_t + 4096)) -
+             ln((coalesce(n_r, 0) + 1)::DOUBLE / (tot_r + 4096)) AS log_ratio
+           FROM range(0, 4096) r(i)
+           LEFT JOIN tcnt ON tcnt.bucket = r.i
+           LEFT JOIN rcnt ON rcnt.bucket = r.i
+           CROSS JOIN tot),
+         w AS (SELECT d.doc_id, coalesce(sum(log_ratio), 0.0) AS lw
+               FROM documents d
+               LEFT JOIN b ON b.doc_id = d.doc_id
+               LEFT JOIN ratio ON ratio.bucket = b.bucket
+               GROUP BY 1)
+         SELECT doc_id, floor(lw * 10000 + 0.5) / 10000 AS log_w FROM w
+         QUALIFY row_number() OVER (ORDER BY lw DESC, doc_id ASC) <=
+           (SELECT count(*) // 5 FROM documents)""",
+
+    // Sharding.shardStats: membership and order hashes are independent
+    // salted md5 buckets; checksums are exact integer arithmetic
+    "x_shard_assign" ->
+      """SELECT ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 25, 8))::BIGINT
+                  % 16 AS shard,
+         count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS payload,
+         sum(ok)::BIGINT AS order_sum, min(ok)::BIGINT AS order_min,
+         max(ok)::BIGINT AS order_max
+         FROM (SELECT doc_id, n_chars,
+                 ('0x' || substr(md5('shard:order:' || doc_id::VARCHAR),
+                    25, 8))::BIGINT AS ok
+               FROM documents)
+         GROUP BY 1""",
+
+    // byte-for-byte replay of the extraction chain (Java∩RE2 regex
+    // subset; DuckDB needs the explicit 'g'/global flag Spark defaults)
+    "x_html_extract" ->
+      """WITH page AS (SELECT doc_id,
+           '<html><head><title>Doc </title>' ||
+           '<style type="text/css">p { color: red }</style></head>' ||
+           '<body><!-- crawl ts --><nav>Tom &amp; Jo&#39;s &lt;lab&gt;</nav>' ||
+           '<p class="main">' || text ||
+           '</p><script>var x = 1 < 2;</script></body></html>' AS html
+           FROM documents)
+         SELECT doc_id, extracted, len(extracted)::BIGINT AS n_extracted
+         FROM (SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS extracted
+           FROM page)"""
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Selection
+
+/** DSIR importance resampling (llm/Selection.scala): weight semantics
+  * against a driver-side recompute, selection-path consistency, and the
+  * broadcast shape of the scoring join. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 64
+
+  private lazy val corpus = Seq(
+    (1L, "spark table scan join", "en"),
+    (2L, "spark table scan scan", "en"),
+    (3L, "der die das und", "de"),
+    (4L, "le la les et", "fr"),
+    (5L, "spark join join table", "en"),
+    (6L, "one", "en"), // single word: no bigrams → weight 0
+    (7L, "der die spark table", "de")).toDF("doc_id", "text", "lang")
+
+  /** Driver-side recompute of the full DSIR pipeline with the same md5
+    * feature map — the semantic spec in ~20 lines. */
+  private def localWeights(rows: Seq[(Long, String, String)],
+      buckets: Int): Map[Long, Double] = {
+    def bucketsOf(t: String): Seq[Long] = {
+      val ws = t.split(" ")
+      ws.zip(ws.drop(1)).map { case (a, b) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"dsir:${a}_$b".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(24, 32)
+        java.lang.Long.parseLong(hex, 16) % buckets
+      }.toSeq
+    }
+    val all = rows.flatMap(r => bucketsOf(r._2))
+    val tgt = rows.filter(_._3 == "en").flatMap(r => bucketsOf(r._2))
+    val cT = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cR = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def ratio(b: Long): Double =
+      math.log((cT.getOrElse(b, 0L) + 1).toDouble / (tgt.size + buckets)) -
+        math.log((cR.getOrElse(b, 0L) + 1).toDouble / (all.size + buckets))
+    rows.map(r => r._1 -> bucketsOf(r._2).map(ratio).sum).toMap
+  }
+
+  test("dsirLogWeights matches the driver-side recompute") {
+    val got = Selection.dsirLogWeights(corpus,
+      corpus.filter(col("lang") === "en"), buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = localWeights(
+      corpus.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq, B)
+    assert(got.keySet == want.keySet) // every doc scored, incl. no-bigram
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - want(id)) < 1e-9, s"doc $id: $w vs ${want(id)}")
+    }
+    assert(got(6L) == 0.0) // no evidence → zero, not dropped/NaN
+    // target-looking docs outrank off-target docs
+    assert(got(1L) > got(3L) && got(5L) > got(4L))
+  }
+
+  test("weights are invariant under repartitioning") {
+    val a = Selection.dsirLogWeights(corpus,
+      corpus.filter(col("lang") === "en"), buckets = B).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Selection.dsirLogWeights(corpus.repartition(5),
+      corpus.filter(col("lang") === "en").repartition(3), buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("topK and threshold selection agree at the same cut") {
+    val w = Selection.dsirLogWeights(corpus,
+      corpus.filter(col("lang") === "en"), buckets = B).cache()
+    val top3 = Selection.dsirSelectTopK(w, 3).collect()
+    val cut = top3.map(_.getDouble(1)).min
+    val byThreshold = Selection.dsirSelectByThreshold(w, cut)
+    // no boundary ties in this corpus, so the sets coincide exactly
+    assert(byThreshold.count() == 3)
+    assert(top3.map(_.getLong(0)).toSet ==
+      byThreshold.collect().map(_.getLong(0)).toSet)
+    w.unpersist()
+  }
+
+  test("scoring joins the ratio table by broadcast, not shuffle") {
+    val plan = Selection.dsirLogWeights(corpus,
+      corpus.filter(col("lang") === "en"), buckets = B)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast scoring join in:\n$plan")
+  }
+}

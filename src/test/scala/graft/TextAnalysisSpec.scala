@@ -245,4 +245,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(0L) == 1.0)
     assert(s(1L) < 0.2)
   }
+
+  test("htmlToText strips subtrees/tags, decodes entities, stays one projection") {
+    val df = Seq(
+      (0L, "<html><head><title>T</title><style>p{x:1}</style></head>" +
+        "<body><h1>Head</h1><!-- note --><p>alpha <b>beta</b>\n gamma</p>" +
+        "<script>if (1 < 2) { alert('x') }</script></body></html>"),
+      (1L, "Tom &amp; Jo&#39;s &lt;lab&gt; &quot;quoted&quot;&nbsp;end"),
+      (2L, "&amp;lt; stays entity"), // && decode order: amp LAST
+      (3L, "plain text, no markup"),
+      (4L, "<p>unclosed paragraph"),
+      (5L, "")).toDF("doc_id", "html")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "T Head alpha beta gamma")
+    assert(got(1L) == "Tom & Jo's <lab> \"quoted\" end")
+    assert(got(2L) == "&lt; stays entity")
+    assert(got(3L) == "plain text, no markup")
+    assert(got(4L) == "unclosed paragraph")
+    assert(got(5L) == "")
+    // scale contract: a pure projection — no Exchange, no UDF
+    val plan = df.select(TextAnalysis.htmlToText(col("html")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
 }
