@@ -486,6 +486,110 @@ case class NearestCentroids(child: Expression,
     copy(child = c)
 }
 
+/** Product-quantization encode (Jégou et al. 2011): split an
+  * array<double> vector into `codebooks.length` contiguous subvectors
+  * and emit, per subspace, the index of the L2-nearest codeword — the
+  * vector's PQ code (array<int>, one byte of entropy per subspace at
+  * K≤256). The codebook tensor is baked in as a literal, the same
+  * tiny-broadcast-state pattern as [[NearestCentroids]]: encoding is a
+  * pure codegen'd map over the scan, no join, no explosion. Ties break
+  * to the lower codeword index (deterministic across engines).
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode needs at least one non-empty codebook")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val subDim: Int = cbs(0)(0).length
+
+  def compute(v: ArrayData): ArrayData = {
+    val m = cbs.length
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = cbs(mi)
+      val off = mi * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val c = cb(k)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val x = (if (off + j < v.numElements()) v.getDouble(off + j) else 0.0) - c(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** Asymmetric-distance computation (ADC) between an EXACT query vector
+  * and a PQ code: Σ_m ‖q_m − codebook_m[code_m]‖² — the compressed-
+  * domain scan distance of a PQ index (query stays exact, corpus is
+  * codes). O(M·subDim) per pair over the baked-in codebook literal,
+  * fully inside whole-stage codegen; at scale the scan reads M bytes
+  * per corpus vector instead of the full float payload.
+  */
+case class PqAdcDist(left: Expression, right: Expression,
+    codebooks: Seq[Seq[Seq[Double]]]) extends BinaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_adc_dist needs at least one non-empty codebook")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist"
+
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val subDim: Int = cbs(0)(0).length
+
+  def compute(q: ArrayData, codes: ArrayData): Double = {
+    val m = math.min(cbs.length, codes.numElements())
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val c = cbs(mi)(codes.getInt(mi))
+      val off = mi * subDim
+      var j = 0
+      while (j < subDim) {
+        val x = (if (off + j < q.numElements()) q.getDouble(off + j) else 0.0) - c(j)
+        acc += x * x
+        j += 1
+      }
+      mi += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(prettyName, this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => s"${ev.value} = $ref.compute($q, $c);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDist =
+    copy(left = l, right = r)
+}
+
 /** Positioned token k-gram hashes: element i (0-based) is a 64-bit
   * order-sensitive hash of tokens [i, i+k); empty when the doc has
   * fewer than k tokens. Each token is xxhash64'd ONCE, then each
@@ -688,4 +792,8 @@ object native {
     c(CountInSet(e(tokens), values))
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     c(NearestCentroids(e(vec), centroids, nProbe))
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    c(PqEncode(e(vec), codebooks))
+  def pqAdcDist(vec: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    c(PqAdcDist(e(vec), e(codes), codebooks))
 }

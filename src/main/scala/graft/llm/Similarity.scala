@@ -756,4 +756,174 @@ object Similarity {
       .agg(
         count(lit(1)).as("n_vecs"),
         roundDet(avg(col("_x")), 6).as("centroid_comp"))
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search"): the vector-COMPRESSION half of ANN,
+  // complementing IVF's candidate pruning. A 64-dim float64 vector (512
+  // bytes) becomes M sub-codes (M bytes at K≤256): the compressed-domain
+  // ADC scan touches ~1/64th of the bytes an exact scan reads — at
+  // 100 TB of embeddings that is the difference between an in-memory
+  // code sweep and a disk-bound vector scan.
+  // ---------------------------------------------------------------------
+
+  /** Train per-subspace PQ codebooks: the vector is split into `numSub`
+    * contiguous subvectors and each subspace gets its own
+    * `codesPerSub`-codeword L2 k-means codebook. ALL subspaces train in
+    * the SAME distributed pass per Lloyd round (assignment is one
+    * [[graft.expr.native.pqEncode]] map; the mean-update aggregates on
+    * (subspace, code, dim) — M·K·subDim partial sums, never the
+    * corpus). Deterministic like [[trainCentroids]]: seeds are the
+    * `codesPerSub` sample vectors with the smallest md5(id) (sliced
+    * per subspace), means are 1e-6-quantized each round. Driver state
+    * is the M×K×subDim codebook tensor — model config, like the IVF
+    * quantizer.
+    */
+  /** Unit-normalize an array<double> vector (zero vectors pass through
+    * unchanged). PQ trains/encodes on the unit sphere because the
+    * search ranks by COSINE: on unit vectors L2 order equals cosine
+    * order (‖a−b‖² = 2−2·cos), so the L2-native ADC sweep ranks
+    * correctly. */
+  private def unitVec(vec: Column): Column = {
+    val n = sqrt(graft.expr.native.arrayDot(vec, vec))
+    when(n > 0, transform(vec, x => x / n)).otherwise(vec)
+  }
+
+  def trainPqCodebooks(corpus: DataFrame, numSub: Int, codesPerSub: Int,
+      lloydIters: Int = 2, sampleFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Seq[Double]]] = {
+    require(numSub >= 1 && codesPerSub >= 1)
+    val base = corpus.select(col(idCol).as("id"),
+        unitVec(col(vecCol).cast("array<double>")).as("vec"))
+      .filter(size(col("vec")) > 0)
+    val sample = (if (sampleFraction >= 1.0) base
+      else base.filter(Sampling.hashBucket(col("id"), "pq-train")
+        < math.round(sampleFraction * 1000000L)))
+      .localCheckpoint(true)
+    val firstDim = sample.select(size(col("vec"))).head(1)
+    if (firstDim.isEmpty) return Seq.empty
+    val dim = firstDim(0).getInt(0)
+    require(dim % numSub == 0,
+      s"vector dim $dim must divide evenly into $numSub subspaces")
+    val subDim = dim / numSub
+    val seeds = sample
+      .withColumn("hk", md5(col("id").cast("string")))
+      .orderBy("hk").limit(codesPerSub) // TakeOrdered: no global sort
+      .select("vec").collect().map(_.getSeq[Double](0)).toSeq
+    if (seeds.isEmpty) return Seq.empty
+    def q(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // seed codebook m = subvector m of each seed (padded by cycling when
+    // the sample is sparser than codesPerSub — fewer codes, still valid)
+    var cbs: Seq[Seq[Seq[Double]]] = (0 until numSub).map(m =>
+      seeds.map(v => v.slice(m * subDim, (m + 1) * subDim)))
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = sample.select(col("vec"),
+        graft.expr.native.pqEncode(col("vec"), cbs).as("codes"))
+      val means = assigned
+        .select(posexplode(col("codes")).as(Seq("m", "code")), col("vec"))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("vec"), col("m") * lit(subDim) + lit(1),
+            lit(subDim))).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos").agg(avg("x").as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).map(q))
+        .toMap
+      // a codeword that lost all members keeps its previous position
+      cbs = cbs.zipWithIndex.map { case (cb, m) =>
+        cb.indices.map(k => means.getOrElse((m, k), cb(k)))
+      }
+      it += 1
+    }
+    cbs
+  }
+
+  /** Deterministic stand-in for offline-trained PQ codebooks
+    * (splitmix64 components, the [[graft.queries.LlmQueries]]
+    * pseudorandomCentroids idiom): any fixed codebook tensor is a valid
+    * quantizer for the planted-twin construction — identical vectors
+    * encode identically — so the gate can run the search path with zero
+    * training actions.
+    */
+  def pseudorandomPqCodebooks(numSub: Int, codesPerSub: Int,
+      subDim: Int): Seq[Seq[Seq[Double]]] = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until numSub).map(m => (0 until codesPerSub).map(k =>
+      (0 until subDim).map { d =>
+        splitmix((m.toLong * 7919L + k) * 1000003L + d).toDouble /
+          (1L << 63).toDouble.abs
+      }))
+  }
+
+  /** PQ-encode a corpus: (idCol, codes array<int>). One codegen'd map
+    * over the scan — the offline index-build step; at scale the codes
+    * table IS the searchable index (M bytes/vector). */
+  def pqEncodeCorpus(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      graft.expr.native.pqEncode(
+        unitVec(col(vecCol).cast("array<double>")), codebooks).as("codes"))
+
+  /** Approximate top-k via PQ ADC scan + exact re-rank — the standard
+    * production composition: the compressed-domain sweep ranks the
+    * whole corpus by asymmetric distance (query exact, corpus codes —
+    * M bytes/vector touched), keeps `rerank` candidates per query, and
+    * only those re-attach their full vectors for exact cosine scoring.
+    * Output schema matches [[bruteForceTopK]]/[[lshTopK]] (query_id,
+    * rank, neighbor_id, cos_sim), so [[recallAtK]] and the twin-gate
+    * construction apply unchanged.
+    *
+    * Scale shape: the ADC join carries (id, codes) only — never the
+    * wide vectors; candidates shuffle once for the per-query window
+    * (keyed on query_id, |queries|·rerank rows); the re-rank join
+    * re-attaches vectors for candidates only. A planted exact twin's
+    * code achieves the per-subspace minimum ADC distance, so it is
+    * always within the candidate cut (ties can only come from
+    * code-identical vectors).
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, "rerank candidate cut must be >= k")
+    val cBase = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .filter(graft.expr.native.arrayDot(col("cvec"), col("cvec")) > 0)
+    val qBase = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
+    val codes = cBase.select(col("neighbor_id"),
+      graft.expr.native.pqEncode(unitVec(col("cvec")), codebooks).as("codes"))
+    val adc = codes.join(
+        broadcast(qBase.select(col("query_id"),
+          unitVec(col("qvec")).as("qunit"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expr.native.pqAdcDist(col("qunit"), col("codes"), codebooks)
+          .as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = adc.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val rescored = candidates
+      .join(broadcast(qBase), Seq("query_id"))
+      .join(cBase, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        roundDet(col("cos_raw"), 6).as("cos_sim"))
+  }
 }

@@ -1441,6 +1441,23 @@ object LlmQueries {
       graft.llm.Sharding.shardStats(docs(s, dir), "doc_id",
         nShards = 16, sizeCol = "n_chars")),
 
+    // PQ (product-quantization) ADC search, oracle-paired through the
+    // same planted-twin reduction as the LSH/IVF gates: identical
+    // vectors PQ-encode identically under ANY codebook, and a twin's
+    // code achieves the per-subspace minimum asymmetric distance, so
+    // the compressed-domain sweep always keeps it inside the re-rank
+    // cut and exact re-ranking surfaces it at cos 1.0. Runs the
+    // production shape — pretrained (deterministic-pseudorandom)
+    // codebooks, zero training actions; codes carry 8 bytes/vector
+    // where the exact scan reads 512. Trained-codebook quality and the
+    // PQ recall floor stay pinned by SimilaritySpec.
+    "x_pq_adc_topk" -> ((s, dir) =>
+      annTwinGate(embs(s, dir), (c, q) =>
+        Similarity.pqAdcTopK(c, q, k = 5,
+          codebooks = Similarity.pseudorandomPqCodebooks(
+            numSub = 8, codesPerSub = 16, subDim = 8),
+          rerank = 32), k = 5)),
+
     // HTML → text extraction, the crawl pipeline's first transform:
     // wrap each document in a synthetic page (title, entity-bearing
     // nav, script/style/comment subtrees) and require the extractor to
@@ -2721,6 +2738,23 @@ object LlmQueries {
                 WHERE list_sum(list_transform(v, x -> x * x)) > 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1.0::DOUBLE AS cos_sim
          FROM nz a JOIN nz b ON a.v = b.v AND a.vec_id < b.vec_id""",
+
+    // twin-equality reduction, identical to the LSH/IVF ANN oracles:
+    // the codebook never enters the oracle because identical vectors
+    // encode identically and the gate's equality verify keeps only
+    // exact-equal pairs
+    "x_pq_adc_topk" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
 
     // DSIR weights: full recompute — hashed-bigram buckets (portable
     // md5 map), add-1-smoothed target/raw distributions over the 4096
