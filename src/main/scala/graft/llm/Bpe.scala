@@ -529,6 +529,13 @@ object Bpe {
       numMerges, minCount, batchCap, viewSize, checkpointEvery,
       stateDir, persistEvery)
 
+  /** Pass count of the last scaled-training run (the `Dedup.lastCcRounds`
+    * evidence pattern): each pass is ONE count-table collect + ONE
+    * map-only rewrite + ONE delta aggregation over changed words, so
+    * passes ≪ merges is the measurable form of "per-merge cost far below
+    * one full-table aggregation per merge". */
+  @volatile var lastScaledPasses: Int = 0
+
   private def runScaledLoop(init: TrainState, numMerges: Int,
       minCount: Long, batchCap: Int, viewSize: Int, checkpointEvery: Int,
       stateDir: Option[String], persistEvery: Int): Seq[Merge] = {
@@ -634,6 +641,7 @@ object Bpe {
       TrainState(words, counts, merges.toSeq, symbols.toSet, pass)))
     freeCheckpoint(lastWordsCp)
     freeCheckpoint(lastCountsCp)
+    lastScaledPasses = pass - init.pass
     merges.toSeq
   }
 
