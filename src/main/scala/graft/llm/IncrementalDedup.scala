@@ -122,6 +122,42 @@ object IncrementalDedup {
     */
   @volatile var lastStagePlans: Seq[graft.core.PlanAudit.Stage] = Nil
 
+  // -------------------------------------------------------------------
+  // Monotone-id bound: the max id ever admitted, kept as an O(1)
+  // atomically-renamed metadata file next to the manifest. The guard
+  // then compares the delivery's min against a FILE READ instead of
+  // aggregating over every index generation — at a 100 TB index with
+  // 10k generations the per-trigger cost of the old idx.agg(max) is an
+  // O(generations) footer sweep; the bound file is one open. The bound
+  // is the admitted DELIVERY max (survivors ⊆ delivery), i.e.
+  // delivery-level monotonicity — precisely the precondition the
+  // equivalence argument uses.
+  // -------------------------------------------------------------------
+
+  private def boundPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_maxid")
+
+  private def readIdBound(spark: SparkSession, root: String): Option[Long] = {
+    val p = boundPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeIdBound(spark: SparkSession, root: String, v: Long): Unit = {
+    val p = boundPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_maxid.tmp")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
   /** Signature-index state for a batch of documents: (id, sig, sharr). */
   def state(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 32): DataFrame =
@@ -154,11 +190,13 @@ object IncrementalDedup {
       layout: IndexLayout = FlatIndex): DataFrame = {
     val spark = delivery.sparkSession
     val k = bands * rowsPerBand
+    // manifest read ONCE per admission (replay guard + stage ordinal);
+    // layout.append re-reads under its own commit discipline
+    val committed0 = layout.committedTags(spark, indexRoot)
     // replay guard for streaming/restart callers: a tag that already
     // committed means this delivery was fully admitted once — the whole
     // dedup is skipped, not just the append (exactly-once admission)
-    if (deliveryTag.exists(t =>
-        layout.committedTags(spark, indexRoot).contains(s"gen-$t")))
+    if (deliveryTag.exists(t => committed0.contains(s"gen-$t")))
       return delivery.limit(0)
     val hasIndex = layout.hasIndex(spark, indexRoot)
     // persisted: candidates, verification, and the admission semi-join
@@ -169,13 +207,18 @@ object IncrementalDedup {
     val sigView = batch.select("id", "sig").persist(StorageLevel.MEMORY_AND_DISK)
     val idx = if (hasIndex) layout.readState(spark, indexRoot) else null
 
-    if (hasIndex && requireMonotoneIds) {
-      // one job for both sides (cross join of two 1-row aggregates);
-      // column-pruned scans + parquet footer stats keep the index side
-      // cheap
-      val row = idx.agg(max(col("id")).as("maxIdx"))
-        .crossJoin(batch.agg(min(col("id")).as("minNew"))).head()
-      val (maxIdx, minNew) = (row.getLong(0), row.getLong(1))
+    // one batch-only aggregate (also materializes the persisted state);
+    // the index side is the O(1) bound file — falling back to an index
+    // aggregation only for pre-bound-file indexes
+    val idRow = batch.agg(min(col("id")).as("minNew"),
+      max(col("id")).as("maxNew")).head()
+    val emptyDelivery = idRow.isNullAt(0)
+    val (minNew, maxNew) =
+      if (emptyDelivery) (Long.MinValue, Long.MinValue)
+      else (idRow.getLong(0), idRow.getLong(1))
+    if (!emptyDelivery && hasIndex && requireMonotoneIds) {
+      val maxIdx = readIdBound(spark, indexRoot).getOrElse(
+        idx.agg(max(col("id"))).head().getLong(0))
       require(minNew > maxIdx,
         s"addDelivery: delivery min id $minNew must exceed index max id " +
           s"$maxIdx for whole-corpus-rerun equivalence " +
@@ -229,7 +272,7 @@ object IncrementalDedup {
 
     // one delta generation per delivery: append cost ∝ delivery
     val survivors = batch.join(admitted, Seq("id"), "left_semi")
-    val ord = layout.committedTags(spark, indexRoot).size + 1
+    val ord = committed0.size + 1
     lastStagePlans = lastStagePlans ++ Seq(
       graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch),
       graft.core.PlanAudit.stage(s"d$ord:candidates", pairs),
@@ -239,6 +282,10 @@ object IncrementalDedup {
     // already returned, so a tag commits exactly once
     val genPath = layout.append(survivors, indexRoot, bands, rowsPerBand,
       deliveryTag)
+    // bound = admitted delivery's max id (survivors ⊆ delivery); ratchet
+    if (!emptyDelivery)
+      writeIdBound(spark, indexRoot,
+        math.max(maxNew, readIdBound(spark, indexRoot).getOrElse(Long.MinValue)))
     batch.unpersist()
     sigView.unpersist()
     // admitted ids re-read from the durable generation just written —

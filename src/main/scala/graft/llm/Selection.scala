@@ -60,20 +60,22 @@ object Selection {
       buckets: Int): DataFrame = {
     val spark = raw.sparkSession
     val b = lit(buckets.toLong)
+    // materialized once: each count table is referenced twice below
+    // (spine join + total), and a lazy subtree would re-explode the
+    // corpus per reference. B-bounded rows — config-sized state.
     val tc = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("n", "n_t")
+      .withColumnRenamed("n", "n_t").localCheckpoint(true)
     val rc = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("n", "n_r")
-    // totals are one-row aggregates attached by cross join (scalar
-    // attach, same idiom as LanguageModel); the full bucket spine makes
-    // unseen buckets explicit rather than join-dropped
+      .withColumnRenamed("n", "n_r").localCheckpoint(true)
+    // totals derive from the count tables themselves (Σ n over B rows)
+    // rather than re-exploding the corpus — the corpus is touched
+    // exactly twice total (once per distribution); the full bucket
+    // spine makes unseen buckets explicit rather than join-dropped
     val spine = spark.range(0, buckets).select(col("id").as("bucket"))
     spine
       .join(tc, Seq("bucket"), "left").join(rc, Seq("bucket"), "left")
-      .crossJoin(target.select(explode(bigrams(col(textCol))).as("g"))
-        .agg(count(lit(1)).as("tot_t")))
-      .crossJoin(raw.select(explode(bigrams(col(textCol))).as("g"))
-        .agg(count(lit(1)).as("tot_r")))
+      .crossJoin(tc.agg(coalesce(sum("n_t"), lit(0L)).as("tot_t")))
+      .crossJoin(rc.agg(coalesce(sum("n_r"), lit(0L)).as("tot_r")))
       .select(col("bucket"),
         (log((coalesce(col("n_t"), lit(0L)) + 1).cast("double") /
             (col("tot_t") + b).cast("double")) -
