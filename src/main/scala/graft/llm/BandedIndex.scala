@@ -134,7 +134,8 @@ final case class BandedIndex(numBuckets: Int = 256,
   def committedTags(spark: SparkSession, root: String): Seq[String] =
     Warehouse.deltaVersions(spark, stateRoot(root)) match {
       case Seq() => Seq.empty
-      case _ => Warehouse.committedGenerations(spark, stateRoot(root))
+      // ledger, not live: replay guard must survive compaction
+      case _ => Warehouse.generationLedger(spark, stateRoot(root))
     }
   def hasIndex(spark: SparkSession, root: String): Boolean =
     Warehouse.deltaVersions(spark, stateRoot(root)).nonEmpty

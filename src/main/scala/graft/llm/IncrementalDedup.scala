@@ -92,8 +92,10 @@ object IncrementalDedup {
     * — one full map-side pass over N signature rows, no pruning.
     */
   private[graft] object FlatIndex extends IndexLayout {
+    // ledger, not live generations: the replay guard (and the stage
+    // ordinal) must still see tags whose directories compaction folded
     def committedTags(spark: SparkSession, root: String): Seq[String] =
-      Warehouse.committedGenerations(spark, root)
+      Warehouse.generationLedger(spark, root)
     def hasIndex(spark: SparkSession, root: String): Boolean =
       Warehouse.deltaVersions(spark, root).nonEmpty
     def readState(spark: SparkSession, root: String): DataFrame =
@@ -170,6 +172,17 @@ object IncrementalDedup {
   /** Ids of every survivor admitted to the index so far. */
   def indexIds(spark: SparkSession, indexRoot: String): DataFrame =
     Warehouse.deltaRead(spark, indexRoot).select("id")
+
+  /** Fold a FLAT index's per-delivery generations into one compacted
+    * generation ([[Warehouse.compactDeltaLog]]): after thousands of
+    * deliveries the per-trigger union scan fans out over thousands of
+    * directories — compaction resets it to one, while the manifest
+    * ledger keeps every historical delivery tag replay-guarded and the
+    * `_maxid` bound is untouched. Run offline, any cadence; admissions
+    * before/after are byte-equivalent (spec-pinned).
+    */
+  def compactIndex(spark: SparkSession, indexRoot: String): String =
+    Warehouse.compactDeltaLog(spark, indexRoot)
 
   /** Dedup `delivery` against the index at `indexRoot` (created at its
     * first delivery), admit the delivery's survivors to the index, and

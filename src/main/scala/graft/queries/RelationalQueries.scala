@@ -645,6 +645,94 @@ object RelationalQueries {
           .as("revenue"))
     }),
 
+    // TPC-H Q7 (volume shipping): the two-nation bidirectional join —
+    // lineitem streams through FOUR broadcast dims (orders is fact-
+    // sized here so it joins by shuffle; supplier/customer/nation×2
+    // broadcast), the disjunctive nation-pair predicate prunes AFTER
+    // both nation joins, and the only required shuffle keys the final
+    // (supp_nation, cust_nation, year) aggregate.
+    "tpch_q7_nation_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n1, su("s_nationkey") === n1("s_nk"))
+        .join(n2, c("c_nationkey") === n2("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q10 (returned items): per-customer lost revenue from 'R'
+    // lineitems in one quarter — the classic fact⋈fact (lineitem ⋈
+    // orders) shuffle join with customer/nation broadcast, TakeOrdered
+    // for the top 20 (no global sort).
+    "tpch_q10_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q14 (promo revenue): conditional-aggregate ratio over one
+    // month of lineitem ⋈ part — part broadcasts, the month filter
+    // reaches the scan, one row out.
+    "tpch_q14_promo_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(roundDet(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) /
+          sum(disc), 4).as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 (discounted revenue, adapted to the synthetic part
+    // columns): three disjunctive brand/size/quantity branches — the
+    // OR-of-ANDs predicate Catalyst must keep partially pushable
+    // (p_brand IN (...) and the l_quantity range push to the scans;
+    // the per-branch conjunctions evaluate post-join).
+    "tpch_q19_disjunctive" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 30) &&
+            col("l_quantity").between(5, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(10, 40)))
+        .agg(roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
     // A14 — correlated EXISTS / NOT EXISTS subqueries (native Spark SQL;
@@ -1108,6 +1196,59 @@ object RelationalQueries {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+
+    "tpch_q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           extract(year FROM l_shipdate)::BIGINT AS l_year,
+           floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+             AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    "tpch_q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+           floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+             AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+
+    "tpch_q14_promo_revenue" ->
+      """SELECT floor(100.0 *
+           sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1.0 - l_discount)
+                    ELSE 0.0 END) /
+           sum(l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5) / 10000
+             AS promo_revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'""",
+
+    "tpch_q19_disjunctive" ->
+      """SELECT floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+             / 100 AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+                AND l_quantity BETWEEN 5 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 10 AND 40)""",
 
     "a14_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

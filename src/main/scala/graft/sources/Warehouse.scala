@@ -259,15 +259,108 @@ object Warehouse {
     s"$root/$gen"
   }
 
-  /** Names of every committed generation of the delta-log table. */
-  def committedGenerations(spark: SparkSession, root: String): Seq[String] = {
+  // ---- Snapshot manifests + compaction ------------------------------
+  //
+  // A long-lived delta-log accumulates one generation directory (and
+  // one manifest version file) per append — at a 100 TB index taking
+  // thousands of deliveries the union scan fans out over thousands of
+  // directories and every manifest resolve opens every version file.
+  // [[compactDeltaLog]] folds the live generations into ONE directory
+  // and commits a SNAPSHOT version file that (a) names the compacted
+  // generation as the only live one and (b) carries the full ledger of
+  // historical generation names, so tag-replay guards survive
+  // compaction (a replayed micro-batch whose generation was folded
+  // away must still be a no-op). The commit is the same single-key
+  // create as an append — readers resolve entirely before or entirely
+  // after. Folded directories are retained until [[vacuumDeltaLog]]
+  // (the VACUUM discipline: deleting eagerly would yank files out from
+  // under an in-flight scan that resolved the pre-compaction list).
+  //
+  // Version-file format: a plain file holds one generation name (an
+  // append); a snapshot file is
+  //   #snapshot\n<live gen>...\n#history\n<every gen name ever>...
+
+  private final case class Ledger(live: Seq[String], history: Seq[String])
+
+  private def readVersionFile(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(root), f"$v%09d")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def resolveLedger(spark: SparkSession, root: String): Ledger = {
     val fs = fsOf(spark, root)
-    deltaVersions(spark, root).map { v =>
-      val p = new org.apache.hadoop.fs.Path(manifestPath(root), f"$v%09d")
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+    var live = Vector.empty[String]
+    var history = Vector.empty[String]
+    deltaVersions(spark, root).foreach { v =>
+      readVersionFile(fs, root, v) match {
+        case "#snapshot" +: rest =>
+          val (l, h) = rest.span(_ != "#history")
+          live = l.toVector
+          history = (history ++ l ++ h.drop(1)).distinct
+        case single =>
+          live = live ++ single
+          history = (history ++ single).distinct
+      }
     }
+    Ledger(live, history)
+  }
+
+  /** Names of every LIVE generation of the delta-log table (post-
+    * compaction, the folded generations drop out; reads union these).
+    */
+  def committedGenerations(spark: SparkSession, root: String): Seq[String] =
+    resolveLedger(spark, root).live
+
+  /** Every generation name ever committed, live or folded — the
+    * replay-guard surface: a tagged generation stays in the ledger
+    * after compaction folds its directory away.
+    */
+  def generationLedger(spark: SparkSession, root: String): Seq[String] =
+    resolveLedger(spark, root).history
+
+  /** Fold the live generations of the delta-log at `root` into one
+    * compacted generation and commit a snapshot manifest naming it as
+    * the only live one (ledger preserved). Returns the compacted
+    * generation's path. Readers are never disturbed: the union they
+    * resolve is either the pre- or post-compaction list, and folded
+    * directories remain on disk until [[vacuumDeltaLog]].
+    */
+  def compactDeltaLog(spark: SparkSession, root: String,
+      partitionCols: Seq[String] = Nil): String = {
+    val ledger = resolveLedger(spark, root)
+    require(ledger.live.nonEmpty, s"nothing to compact under $root")
+    val v = deltaVersions(spark, root).last + 1
+    val gen = f"gen-compact-$v%09d"
+    val df = ledger.live.map(g => spark.read.parquet(s"$root/$g"))
+      .reduce(_.unionByName(_))
+    val w = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$root/$gen")
+    val content = ("#snapshot" +: Seq(gen)) ++
+      ("#history" +: (ledger.history :+ gen))
+    manifestCommit(spark, root, v, content.mkString("\n"))
+    s"$root/$gen"
+  }
+
+  /** Delete folded (non-live) generation directories. Run only after
+    * every reader that could have resolved a pre-compaction manifest
+    * is done — the retention decision is the caller's (Delta/Iceberg
+    * VACUUM semantics).
+    */
+  def vacuumDeltaLog(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val ledger = resolveLedger(spark, root)
+    val liveSet = ledger.live.toSet
+    val victims = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && !liveSet.contains(n))
+    victims.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+    victims.toSeq
   }
 
   /** Idempotent [[deltaAppend]] for replayed writers (foreachBatch
@@ -282,7 +375,9 @@ object Warehouse {
       tag: String, partitionCols: Seq[String] = Nil): Option[String] = {
     val spark = df.sparkSession
     val gen = s"gen-$tag"
-    if (committedGenerations(spark, root).contains(gen)) None
+    // ledger, not live: a tag whose generation was FOLDED by compaction
+    // is still committed — replaying it must stay a no-op
+    if (generationLedger(spark, root).contains(gen)) None
     else {
       val fs = fsOf(spark, root)
       val dir = new org.apache.hadoop.fs.Path(s"$root/$gen")

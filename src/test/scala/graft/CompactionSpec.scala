@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.IncrementalDedup
+import graft.sources.Warehouse
+
+/** Delta-log snapshot compaction (Warehouse.compactDeltaLog): read
+  * equivalence, replay-guard survival, continued appends, vacuum. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction folds live generations; reads are byte-equivalent") {
+    val root = tmpDir("graft-compact") + "/log"
+    Warehouse.deltaAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    Warehouse.deltaAppend(Seq((3L, "c")).toDF("id", "v"), root)
+    Warehouse.deltaAppendTagged(Seq((4L, "d")).toDF("id", "v"), root, "t4")
+    val before = spark.read.parquet(
+      Warehouse.committedGenerations(spark, root).map(g => s"$root/$g"): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(Warehouse.committedGenerations(spark, root).size == 3)
+
+    Warehouse.compactDeltaLog(spark, root)
+    // one live generation, same rows
+    val liveGens = Warehouse.committedGenerations(spark, root)
+    assert(liveGens.size == 1 && liveGens.head.startsWith("gen-compact-"))
+    val after = Warehouse.deltaRead(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    // the ledger still remembers the folded tag → replay is a no-op
+    assert(Warehouse.generationLedger(spark, root).contains("gen-t4"))
+    assert(Warehouse.deltaAppendTagged(
+      Seq((99L, "dup")).toDF("id", "v"), root, "t4").isEmpty)
+    assert(Warehouse.deltaRead(spark, root).count() == 4)
+
+    // appends continue after the snapshot; reads union snapshot + delta
+    Warehouse.deltaAppend(Seq((5L, "e")).toDF("id", "v"), root)
+    assert(Warehouse.committedGenerations(spark, root).size == 2)
+    assert(Warehouse.deltaRead(spark, root).count() == 5)
+
+    // vacuum removes only folded dirs; the live read is untouched
+    val victims = Warehouse.vacuumDeltaLog(spark, root)
+    assert(victims.nonEmpty && !victims.exists(liveGens.contains))
+    assert(Warehouse.deltaRead(spark, root).count() == 5)
+  }
+
+  test("index compaction preserves admission semantics end-to-end") {
+    val d = (0L until 400L).map(i =>
+      (i, s"doc $i body ${"w" + i % 50} tail ${"u" + i % 7}"))
+      .toDF("doc_id", "text")
+    def run(compactBetween: Boolean): Set[Long] = {
+      val root = tmpDir(s"graft-inc-compact-$compactBetween") + "/idx"
+      IncrementalDedup.addDelivery(d.filter(col("doc_id") < 150),
+        root, minJaccard = 1.0)
+      IncrementalDedup.addDelivery(
+        d.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+        root, minJaccard = 1.0)
+      if (compactBetween) {
+        IncrementalDedup.compactIndex(spark, root)
+        assert(Warehouse.committedGenerations(spark, root).size == 1)
+      }
+      // delivery 3 re-delivers 250-299 (must be rejected against the
+      // index — compacted or not) plus fresh 300+ rows
+      IncrementalDedup.addDelivery(
+        d.filter(col("doc_id") >= 300).union(
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text"))),
+        root, minJaccard = 1.0, requireMonotoneIds = false)
+      IncrementalDedup.indexIds(spark, root).collect().map(_.getLong(0)).toSet
+    }
+    val plain = run(compactBetween = false)
+    val compacted = run(compactBetween = true)
+    assert(plain == compacted)
+    assert(!compacted.exists(_ >= 10000L)) // re-delivered twins rejected
+  }
+}
