@@ -59,8 +59,11 @@ object RelationalQueries {
       // the synthetic lineitem does NOT key uniquely on (orderkey,
       // linenumber) (unlike TPC-H), so the delivery rows are an
       // aggregate keyed (orderkey mod 211, linenumber) — genuinely
-      // composite (neither column alone is close to unique) and exact
+      // composite (neither column alone is close to unique) and exact.
+      // Even-orderkey half: the property is composite-key ADMISSION
+      // through two DagRunner runs, not lineitem scan throughput
       val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 2 === 0)
         .groupBy(pmod(col("l_orderkey"), lit(211L)).as("k1"),
           col("l_linenumber").as("k2"))
         .agg(sum(col("l_quantity")).as("qty"),
@@ -835,7 +838,7 @@ object RelationalQueries {
       """WITH base AS (
            SELECT l_orderkey % 211 AS k1, l_linenumber AS k2,
              sum(l_quantity) AS qty, min(l_shipdate) AS first_ship
-           FROM lineitem GROUP BY 1, 2)
+           FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2)
          SELECT k1, k2,
            CASE WHEN first_ship < TIMESTAMP '1997-01-01'
                 THEN qty ELSE -qty END AS qty
