@@ -208,9 +208,22 @@ object IncrementalDedup {
     val committed0 = layout.committedTags(spark, indexRoot)
     // replay guard for streaming/restart callers: a tag that already
     // committed means this delivery was fully admitted once — the whole
-    // dedup is skipped, not just the append (exactly-once admission)
-    if (deliveryTag.exists(t => committed0.contains(s"gen-$t")))
+    // dedup is skipped, not just the append (exactly-once admission).
+    // Before returning, re-ratchet the `_maxid` bound from the replayed
+    // delivery: a crash BETWEEN the generation commit and the bound
+    // write would otherwise leave the bound stale at the previous
+    // delivery's max, letting the next delivery pass the monotone guard
+    // while overlapping already-admitted ids (silent equivalence break).
+    // One cheap aggregate over the (small) delivery, replay-path only.
+    if (deliveryTag.exists(t => committed0.contains(s"gen-$t"))) {
+      val replayMax = delivery.agg(max(col(idCol))).head()
+      if (!replayMax.isNullAt(0)) {
+        val m = replayMax.getLong(0)
+        if (readIdBound(spark, indexRoot).forall(_ < m))
+          writeIdBound(spark, indexRoot, m)
+      }
       return delivery.limit(0)
+    }
     val hasIndex = layout.hasIndex(spark, indexRoot)
     // persisted: candidates, verification, and the admission semi-join
     // all reference the delivery state; signatures + hashed shingles are
@@ -296,6 +309,10 @@ object IncrementalDedup {
     val genPath = layout.append(survivors, indexRoot, bands, rowsPerBand,
       deliveryTag)
     // bound = admitted delivery's max id (survivors ⊆ delivery); ratchet
+    // AFTER the commit (a pre-commit ratchet would wedge the replay of a
+    // failed append behind its own bound). The crash window between the
+    // commit and this write is healed by the replay-guard path above,
+    // which re-ratchets from the replayed delivery before returning.
     if (!emptyDelivery)
       writeIdBound(spark, indexRoot,
         math.max(maxNew, readIdBound(spark, indexRoot).getOrElse(Long.MinValue)))

@@ -77,10 +77,15 @@ object Selection {
       .crossJoin(tc.agg(coalesce(sum("n_t"), lit(0L)).as("tot_t")))
       .crossJoin(rc.agg(coalesce(sum("n_r"), lit(0L)).as("tot_r")))
       .select(col("bucket"),
-        (log((coalesce(col("n_t"), lit(0L)) + 1).cast("double") /
-            (col("tot_t") + b).cast("double")) -
-          log((coalesce(col("n_r"), lit(0L)) + 1).cast("double") /
-            (col("tot_r") + b).cast("double"))).as("log_ratio"))
+        // 1e-6 quantization (the trainCentroids idiom): pins the ratio
+        // table so per-doc sums — and the top-k selection boundary over
+        // them — are identical bit patterns in any engine, instead of
+        // depending on last-bit summation-order luck near the k-th rank
+        graft.functions.roundDet(
+          log((coalesce(col("n_t"), lit(0L)) + 1).cast("double") /
+              (col("tot_t") + b).cast("double")) -
+            log((coalesce(col("n_r"), lit(0L)) + 1).cast("double") /
+              (col("tot_r") + b).cast("double")), 6).as("log_ratio"))
   }
 
   /** Per-document DSIR log importance weight: the sum of `log_ratio`
@@ -92,11 +97,18 @@ object Selection {
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 4096): DataFrame = {
     val ratios = broadcast(logRatioTable(raw, target, textCol, buckets))
+    // sum in exact integer micro-units, divide once at the end: double
+    // summation is order-dependent in the last bits (partition merge
+    // order, engine differences), which can flip the top-k boundary and
+    // the rounded display value; a BIGINT sum of the 1e-6-quantized
+    // ratios is associative, so the weight is bitwise identical on any
+    // engine and any cluster layout
     raw.select(col(idCol), explode_outer(bigrams(col(textCol))).as("bigram"))
       .select(col(idCol), featureBucket(col("bigram"), buckets).as("bucket"))
       .join(ratios, Seq("bucket"), "left")
       .groupBy(idCol)
-      .agg(coalesce(sum("log_ratio"), lit(0.0)).as("log_weight"))
+      .agg((coalesce(sum(round(col("log_ratio") * 1e6).cast("long")), lit(0L))
+        .cast("double") / 1e6).as("log_weight"))
   }
 
   /** Keep the `k` highest-weight documents (ties broken on id, so the

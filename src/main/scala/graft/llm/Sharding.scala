@@ -74,9 +74,14 @@ object Sharding {
         max(col("order_key")).as("order_max"))
 
   /** Read one shard back in its deterministic order — what a training
-    * loader does. Partition pruning keeps this a one-directory scan. */
+    * loader does. Partition pruning keeps this a one-directory scan; the
+    * GLOBAL sort (not sortWithinPartitions) makes the order hold even
+    * when the scan splits the shard's file across row-group input
+    * partitions — and it costs no extra shuffle in the common case: one
+    * shard is one file's worth of rows, so the range exchange is over a
+    * single scan partition's output, tiny next to the training read. */
   def readShard(spark: SparkSession, path: String, shard: Int,
       idCol: String): DataFrame =
     spark.read.parquet(path).filter(col("shard") === shard)
-      .sortWithinPartitions(col("order_key"), col(idCol))
+      .orderBy(col("order_key"), col(idCol))
 }

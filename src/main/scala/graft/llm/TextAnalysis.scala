@@ -167,7 +167,10 @@ object TextAnalysis {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes \x0B (vertical tab) but
+    // RE2's does not — the one pattern in this chain where the dialects
+    // diverge, so spell out the exact set on both sides
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
   /** Boilerplate detector: word n-grams occurring in more than

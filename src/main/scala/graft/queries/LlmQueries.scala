@@ -2833,14 +2833,16 @@ object LlmQueries {
               WHERE d.lang = 'en') AS tot_t,
              (SELECT count(*) FROM b) AS tot_r),
          ratio AS (SELECT r.i AS bucket,
-             ln((coalesce(n_t, 0) + 1)::DOUBLE / (tot_t + 4096)) -
-             ln((coalesce(n_r, 0) + 1)::DOUBLE / (tot_r + 4096)) AS log_ratio
+             floor((ln((coalesce(n_t, 0) + 1)::DOUBLE / (tot_t + 4096)) -
+                    ln((coalesce(n_r, 0) + 1)::DOUBLE / (tot_r + 4096)))
+                   * 1000000 + 0.5) / 1000000 AS log_ratio
            FROM range(0, 4096) r(i)
            LEFT JOIN tcnt ON tcnt.bucket = r.i
            LEFT JOIN rcnt ON rcnt.bucket = r.i
            CROSS JOIN tot)
          SELECT d.doc_id,
-           floor(coalesce(sum(log_ratio), 0.0) * 10000 + 0.5) / 10000 AS log_w
+           floor((coalesce(sum(round(log_ratio * 1000000)::BIGINT), 0)::DOUBLE
+                  / 1000000) * 10000 + 0.5) / 10000 AS log_w
          FROM documents d
          LEFT JOIN b ON b.doc_id = d.doc_id
          LEFT JOIN ratio ON ratio.bucket = b.bucket
@@ -2870,13 +2872,16 @@ object LlmQueries {
               WHERE d.lang = 'en') AS tot_t,
              (SELECT count(*) FROM b) AS tot_r),
          ratio AS (SELECT r.i AS bucket,
-             ln((coalesce(n_t, 0) + 1)::DOUBLE / (tot_t + 4096)) -
-             ln((coalesce(n_r, 0) + 1)::DOUBLE / (tot_r + 4096)) AS log_ratio
+             floor((ln((coalesce(n_t, 0) + 1)::DOUBLE / (tot_t + 4096)) -
+                    ln((coalesce(n_r, 0) + 1)::DOUBLE / (tot_r + 4096)))
+                   * 1000000 + 0.5) / 1000000 AS log_ratio
            FROM range(0, 4096) r(i)
            LEFT JOIN tcnt ON tcnt.bucket = r.i
            LEFT JOIN rcnt ON rcnt.bucket = r.i
            CROSS JOIN tot),
-         w AS (SELECT d.doc_id, coalesce(sum(log_ratio), 0.0) AS lw
+         w AS (SELECT d.doc_id,
+                 coalesce(sum(round(log_ratio * 1000000)::BIGINT), 0)::DOUBLE
+                   / 1000000 AS lw
                FROM half d
                LEFT JOIN b ON b.doc_id = d.doc_id
                LEFT JOIN ratio ON ratio.bucket = b.bucket
@@ -2923,7 +2928,7 @@ object LlmQueries {
                  '(?s)<[^>]*>', ' ', 'g'),
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             '\s+', ' ', 'g')) AS extracted
+             '[ \t\n\f\r\x0B]+', ' ', 'g')) AS extracted
            FROM page)"""
   )
 }

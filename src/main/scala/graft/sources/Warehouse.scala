@@ -349,15 +349,21 @@ object Warehouse {
   /** Delete folded (non-live) generation directories. Run only after
     * every reader that could have resolved a pre-compaction manifest
     * is done — the retention decision is the caller's (Delta/Iceberg
-    * VACUUM semantics).
+    * VACUUM semantics). Victims are restricted to generations the
+    * LEDGER knows were committed and folded: a concurrent appender
+    * writes its parquet directory BEFORE its manifest commit, so an
+    * unknown `gen-*` directory may be an in-flight (or crashed) append
+    * — deleting it would make the upcoming commit point at nothing.
+    * Orphans from crashed appends are instead reclaimed by the retry
+    * itself ([[deltaAppendTagged]] deletes-and-rewrites its own tag).
     */
   def vacuumDeltaLog(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
     val ledger = resolveLedger(spark, root)
-    val liveSet = ledger.live.toSet
+    val foldedSet = ledger.history.toSet -- ledger.live.toSet
     val victims = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n.startsWith("gen-") && !liveSet.contains(n))
+      .filter(foldedSet.contains)
     victims.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
     victims.toSeq

@@ -37,10 +37,16 @@ class SelectionSpec extends SparkSpec {
     val tgt = rows.filter(_._3 == "en").flatMap(r => bucketsOf(r._2))
     val cT = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val cR = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    def ratio(b: Long): Double =
-      math.log((cT.getOrElse(b, 0L) + 1).toDouble / (tgt.size + buckets)) -
-        math.log((cR.getOrElse(b, 0L) + 1).toDouble / (all.size + buckets))
-    rows.map(r => r._1 -> bucketsOf(r._2).map(ratio).sum).toMap
+    // same determinism discipline as the engine: ratios quantized to
+    // 1e-6, summed in exact integer micro-units, divided once
+    def ratioMicro(b: Long): Long = {
+      val x =
+        math.log((cT.getOrElse(b, 0L) + 1).toDouble / (tgt.size + buckets)) -
+          math.log((cR.getOrElse(b, 0L) + 1).toDouble / (all.size + buckets))
+      math.round(math.floor(x * 1e6 + 0.5) / 1e6 * 1e6)
+    }
+    rows.map(r => r._1 -> bucketsOf(r._2).map(ratioMicro).sum.toDouble / 1e6)
+      .toMap
   }
 
   test("dsirLogWeights matches the driver-side recompute") {

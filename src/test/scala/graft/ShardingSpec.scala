@@ -65,6 +65,38 @@ class ShardingSpec extends SparkSpec {
     assert(df.count() == expect)
   }
 
+  test("readShard returns exact written order across row-group splits") {
+    // force many small row groups on write and many input splits on
+    // read — the layout where sortWithinPartitions silently returned a
+    // partition-layout-dependent order before readShard went global
+    val out = tmpDir("graft-shards-order") + "/corpus"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    // fat rows + 2 shards so one shard file holds many row groups
+    val fat = (0L until 4000L).toDF("doc_id")
+      .withColumn("text", concat(lit("x" * 200), col("doc_id")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    try {
+      hc.set("parquet.block.size", (16 * 1024).toString)
+      Sharding.writeShards(fat, "doc_id", 2, out)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val raw = spark.read.parquet(out).filter(col("shard") === 1)
+      assert(raw.rdd.getNumPartitions > 1,
+        "fixture failed to split the shard scan — case is vacuous")
+      val got = Sharding.readShard(spark, out, 1, "doc_id")
+        .select("order_key", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == got.sortBy(identity),
+        "readShard order broke across input splits")
+      assert(got.nonEmpty)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+    }
+  }
+
   test("the global shuffle is ONE exchange (no global sort / range part)") {
     val plan = Sharding.assignShards(docs, "doc_id", N)
       .repartition(N, col("shard"))
