@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.roundDet
-import org.apache.spark.sql.expressions.Window
 
 /** Two-level IVF coarse quantizer: flat `centroids` at level 1, plus a
   * sub-quantizer per SPLIT cell ([[Similarity.ivfReclusterIndex]]'s
@@ -97,12 +96,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        roundDet(col("cos_raw"), 6).as("cos_sim"))
+    rankByCosine(scored, k)
   }
 
   /** nBits-bit sign sketches for all tables in one native pass; plane
@@ -143,12 +137,7 @@ object Similarity {
       .join(cBase, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    candidates.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        roundDet(col("cos_raw"), 6).as("cos_sim"))
+    rankByCosine(candidates, k)
   }
 
   /** Spherical-k-means coarse quantizer for [[ivfTopK]]: deterministic
@@ -250,12 +239,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    candidates.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        roundDet(col("cos_raw"), 6).as("cos_sim"))
+    rankByCosine(candidates, k)
   }
 
   // ------------------------------------------------------------------
@@ -490,12 +474,31 @@ object Similarity {
       idCol: String, vecCol: String): DataFrame = {
     require(quantizer.centroids.nonEmpty,
       "ivfSearchIndex needs the index's quantizer")
-    val probe = math.min(nProbe, quantizer.centroids.size)
     val qBase = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
-    // level-1 probes; a split parent expands to ALL its children — the
-    // candidate set (and recall) is exactly the pre-split one
+    val (probes, scan) = probedScan(spark, indexPath, qBase, quantizer, nProbe)
+    val cBase = scan.select(col("cid"), col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val candidates = cBase.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+    rankByCosine(candidates, k)
+  }
+
+  /** Shared probed-index access for the IVF search family: level-1
+    * probes per query (a split parent expands to ALL its children — the
+    * candidate set, and recall, is exactly the pre-split one), the
+    * probed cell ids as a LITERAL partition filter, and the physical-
+    * plan self-assert that the scan really pruned to at most that many
+    * partition directories. Returns (probes with (query_id, qvec, cid),
+    * pruned index scan).
+    */
+  private def probedScan(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, qBase: DataFrame, quantizer: IvfQuantizer,
+      nProbe: Int): (DataFrame, DataFrame) = {
+    val probe = math.min(nProbe, quantizer.centroids.size)
     val probes0 = qBase.withColumn("cid",
       explode(graft.expr.native.nearestCentroids(
         col("qvec"), quantizer.centroids, probe)))
@@ -520,19 +523,34 @@ object Similarity {
     require(graft.sources.Warehouse.partitionsRead(scan) <= cells.length,
       s"IVF index scan read more than the ${cells.length} probed cells — " +
         "is the index hive-partitioned by cid?")
-    val cBase = scan.select(col("cid"), col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cvec"))
-    val candidates = cBase.join(broadcast(probes), Seq("cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    candidates.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        roundDet(col("cos_raw"), 6).as("cos_sim"))
+    (probes, scan)
   }
+
+  /** Per-query top-k by (cosine DESC, neighbor_id ASC) via the bounded
+    * top-k aggregate ([[graft.operators.TopK.grouped]]): O(k) partial
+    * state per (task, query) instead of a full candidate-group sort per
+    * query — the negated id turns the aggregate's descending tie-break
+    * into the ascending one the exact baseline uses. Output matches
+    * [[bruteForceTopK]]: (query_id, rank, neighbor_id, cos_sim).
+    */
+  private def rankByCosine(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.grouped(
+      scored.withColumn("nid", -col("neighbor_id")),
+      "query_id", "cos_raw", "nid", k)
+      .select(col("query_id"), col("rank"), (-col("nid")).as("neighbor_id"),
+        roundDet(col("cos_raw"), 6).as("cos_sim"))
+
+  /** Per-query smallest-`rerank` ADC candidate cut, same bounded-agg
+    * shape (negate distance AND id so "largest" = smallest distance,
+    * ascending-id ties). This replaces the `row_number` window that made
+    * every reducer sort a corpus-sized group per query — the flat-PQ
+    * scale-killer. */
+  private def adcCandidateCut(adc: DataFrame, rerank: Int): DataFrame =
+    graft.operators.TopK.grouped(
+      adc.withColumn("nadc", -col("adc"))
+        .withColumn("nid", -col("neighbor_id")),
+      "query_id", "nadc", "nid", rerank)
+      .select(col("query_id"), (-col("nid")).as("neighbor_id"))
 
   /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023 —
     * the public recipe: k-means the embeddings, dedup WITHIN clusters
@@ -909,21 +927,96 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         graft.expr.native.pqAdcDist(col("qunit"), col("codes"), codebooks)
           .as("adc"))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val candidates = adc.withColumn("crank", row_number().over(wAdc))
-      .filter(col("crank") <= rerank)
-      .select("query_id", "neighbor_id")
-    val rescored = candidates
-      .join(broadcast(qBase), Seq("query_id"))
-      .join(cBase, Seq("neighbor_id"))
+    val candidates = adcCandidateCut(adc, rerank)
+    // candidates (|queries|*rerank rows) BROADCAST into the corpus-side
+    // vector re-attach: the wide vectors never shuffle, the re-rank is a
+    // map-side join over the scan
+    val rescored = cBase
+      .join(broadcast(candidates.join(broadcast(qBase), Seq("query_id"))),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        roundDet(col("cos_raw"), 6).as("cos_sim"))
+    rankByCosine(rescored, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ (faiss IndexIVFPQ, Jégou et al. 2011 §V): the production
+  // composition of the two halves above — IVF's partition pruning bounds
+  // WHICH vectors a query touches (nProbe/nCells of the corpus), PQ's
+  // codes bound the BYTES each touched vector costs (M bytes, not the
+  // full vector). At 100 TB a search reads probed-cell code columns
+  // only; full vectors are fetched for the rerank candidates alone.
+  // ---------------------------------------------------------------------
+
+  /** Materialize the IVF-PQ index: the corpus hive-partitioned by coarse
+    * cell (the [[ivfWriteIndex]] layout) with a PQ `codes` column stored
+    * NEXT TO the vector. One native map over the scan — assignment and
+    * encoding in the same projection, no shuffle beyond the partitioned
+    * write. The ADC sweep later column-prunes to (id, codes) — the wide
+    * vector bytes stay on disk until the rerank re-attach asks for the
+    * few candidate rows.
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, quantizer: IvfQuantizer,
+      codebooks: Seq[Seq[Seq[Double]]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(quantizer.centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqWriteIndex needs a trained quantizer and codebooks")
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol), col(vecCol))
+      .filter(graft.expr.native.arrayDot(
+        col(vecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")) > 0)
+      .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
+      .withColumn("codes", graft.expr.native.pqEncode(
+        unitVec(col(vecCol).cast("array<double>")), codebooks))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeLiveCells(spark, path, presentCells(spark, path))
+  }
+
+  /** Search an [[ivfPqWriteIndex]] index: probed-cell partition pruning
+    * (plan-asserted, as in [[ivfSearchIndex]]), compressed-domain ADC
+    * sweep over the probed cells' (id, codes) columns only, bounded-agg
+    * candidate cut (O(rerank) partials — no corpus-sized window sort),
+    * then exact-cosine rerank re-attaching full vectors for candidates
+    * alone. Output schema matches [[bruteForceTopK]].
+    *
+    * Twin contract (the oracle reduction): a planted exact twin shares
+    * its probe's nearest cell under ANY quantizer, its code achieves the
+    * per-subspace minimum ADC distance within that cell, and exact
+    * rerank ranks it at cos 1.0 — so recall on the twin set is 1
+    * end-to-end.
+    */
+  def ivfPqSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      quantizer: IvfQuantizer, codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 4, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(quantizer.centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqSearchIndex needs the index's quantizer and codebooks")
+    require(rerank >= k, "rerank candidate cut must be >= k")
+    val qBase = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
+    val (probes, scan) = probedScan(spark, indexPath, qBase, quantizer, nProbe)
+    // compressed-domain sweep: codes only — the scan's ReadSchema never
+    // includes the vector column on this branch
+    val adc = scan.select(col("cid"), col(idCol).as("neighbor_id"),
+        col("codes"))
+      .join(broadcast(probes.select(col("cid"), col("query_id"),
+        unitVec(col("qvec")).as("qunit"))), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.expr.native.pqAdcDist(col("qunit"), col("codes"), codebooks)
+          .as("adc"))
+    val candidates = adcCandidateCut(adc, rerank)
+    // rerank: vectors fetched for candidates only, still cell-pruned
+    val cVec = scan.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val rescored = candidates
+      .join(broadcast(qBase), Seq("query_id"))
+      .join(cVec, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_raw"))
+    rankByCosine(rescored, k)
   }
 }

@@ -180,6 +180,19 @@ object LlmQueries {
       idx
     })
 
+  /** IVF-PQ index sibling of [[ivfIndexOnce]]: codes stored next to the
+    * vectors under the cell partitions, built once per corpus. */
+  private val ivfPqIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexOnce(s: SparkSession, dir: String, corpus: DataFrame,
+      cents: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): String =
+    ivfPqIndexBuilt.computeIfAbsent(dir, _ => {
+      val idx = s"/tmp/graft-ivfpq-index-${math.abs(dir.hashCode)}"
+      Similarity.ivfPqWriteIndex(corpus, graft.llm.IvfQuantizer(cents),
+        cbs, idx)
+      idx
+    })
+
   /** Staged stream-source files for the streaming-dedup gate — two
     * single-file parquet deliveries with ordered mtimes, built once per
     * corpus (they are pure functions of it) and reused read-only. */
@@ -1511,6 +1524,29 @@ object LlmQueries {
             numSub = 8, codesPerSub = 16, subDim = 8),
           rerank = 32), k = 5)),
 
+    // IVF-PQ (faiss IndexIVFPQ) — the production ANN composition: the
+    // coarse cells bound WHICH vectors a query touches (probed-cell
+    // partition pruning, plan-asserted inside the search) and the PQ
+    // codes bound the BYTES per touched vector (the ADC branch column-
+    // prunes to (id, codes); full vectors re-attach for the bounded-agg
+    // rerank candidates only). Twin oracle composes both halves'
+    // reductions: a twin shares its probe's nearest cell under ANY
+    // quantizer AND its code achieves the per-subspace minimum ADC
+    // distance, so end-to-end twin recall is 1. The index is built once
+    // per corpus (production lifecycle — the amortized offline step);
+    // the gate measures the search path. Natural-corpus recall floor
+    // stays pinned by SimilaritySpec; pruning by ScaleOpsSpec.
+    "x_pq_ivf_topk" -> ((s, dir) => {
+      val cents = pseudorandomCentroids(n = 16, dim = 64)
+      val cbs = Similarity.pseudorandomPqCodebooks(
+        numSub = 8, codesPerSub = 16, subDim = 8)
+      annTwinGate(embs(s, dir), (c, q) => {
+        val idx = ivfPqIndexOnce(s, dir, c, cents, cbs)
+        Similarity.ivfPqSearchIndex(s, idx, q, k = 5,
+          graft.llm.IvfQuantizer(cents), cbs, nProbe = 2, rerank = 16)
+      }, k = 5)
+    }),
+
     // HTML → text extraction, the crawl pipeline's first transform:
     // wrap each document in a synthetic page (title, entity-bearing
     // nav, script/style/comment subtrees) and require the extractor to
@@ -2798,6 +2834,22 @@ object LlmQueries {
     // encode identically and the gate's equality verify keeps only
     // exact-equal pairs
     "x_pq_adc_topk" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    // identical twin contract to x_pq_adc_topk: the IVF-PQ composition
+    // must not change WHAT is found (twin recall 1 end-to-end), only
+    // which partitions/bytes the search touches
+    "x_pq_ivf_topk" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL

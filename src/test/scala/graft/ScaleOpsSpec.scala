@@ -138,6 +138,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty)
   }
 
+  test("ivfPq index: pruned scan, code-only ADC branch, recall floor") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val cbs = graft.llm.Similarity.trainPqCodebooks(e, numSub = 16,
+      codesPerSub = 32, lloydIters = 2)
+    val idx = tmpDir("wh-ivfpq") + "/index"
+    graft.llm.Similarity.ivfPqWriteIndex(e,
+      graft.llm.IvfQuantizer(cents), cbs, idx)
+    val queries = e.filter(col("vec_id") < 8)
+    val res = graft.llm.Similarity.ivfPqSearchIndex(spark, idx, queries,
+      k = 5, graft.llm.IvfQuantizer(cents), cbs, nProbe = 4, rerank = 32)
+    // pruning: cells read <= the queries' distinct probed cells (the
+    // search also self-asserts this on the physical plan)
+    val probes = queries
+      .select(col("embedding").cast("array<double>").as("qvec"))
+      .select(explode(graft.expr.native.nearestCentroids(col("qvec"), cents, 4))
+        .as("cid")).distinct().collect().map(_.getInt(0))
+    val scan = spark.read.parquet(idx)
+      .filter(col("cid").isin(probes.map(Int.box).toIndexedSeq: _*))
+    assert(Warehouse.partitionsRead(scan) <= probes.length,
+      s"search must read <= ${probes.length} probed cells")
+    // compressed-domain contract: the ADC branch's parquet scan reads
+    // (id, codes) WITHOUT the wide vector column; the vector column
+    // appears only on the rerank re-attach branch
+    val planStr = res.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(planStr).toSeq
+      .filter(_.contains("codes"))
+    assert(readSchemas.nonEmpty, s"no codes-bearing scan in:\n$planStr")
+    assert(readSchemas.forall(!_.contains("embedding")),
+      s"ADC branch scan reads the vector column:\n${readSchemas.mkString("\n")}")
+    // recall floor vs the exact baseline on the natural corpus (floor
+    // below the measured value with margin; a quantizer/codebook/probe
+    // regression fails loudly)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.llm.Similarity.bruteForceTopK(e, queries, k = 5))
+    val got = pairs(res)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5 = $recall")
+  }
+
   test("ivfAppendIndex: delta append equals full rebuild, resident files untouched") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
