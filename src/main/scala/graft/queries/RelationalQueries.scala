@@ -60,14 +60,17 @@ object RelationalQueries {
       // linenumber) (unlike TPC-H), so the delivery rows are an
       // aggregate keyed (orderkey mod 211, linenumber) — genuinely
       // composite (neither column alone is close to unique) and exact.
-      // Even-orderkey half: the property is composite-key ADMISSION
-      // through two DagRunner runs, not lineitem scan throughput
+      // orderkey-eighth slice, aggregated ONCE (localCheckpoint): the
+      // property is composite-key ADMISSION through two DagRunner runs,
+      // not lineitem scan throughput — both runs derive from the same
+      // materialized delivery table
       val base = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 2 === 0)
+        .filter(col("l_orderkey") % 8 === 0)
         .groupBy(pmod(col("l_orderkey"), lit(211L)).as("k1"),
           col("l_linenumber").as("k2"))
         .agg(sum(col("l_quantity")).as("qty"),
           min(col("l_shipdate")).as("first_ship"))
+        .localCheckpoint(true)
       val run1 = base.filter(col("first_ship") < lit("1997-01-01").cast("date"))
         .select("k1", "k2", "qty")
       val run2 = base.select(col("k1"), col("k2"), (-col("qty")).as("qty"))
@@ -836,15 +839,25 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     // per-line winner: run 1 (+qty) iff the line shipped early, else
     // run 2's re-delivery (−qty) — composite-key dedup recomputed
+    // sequential two-run twin (the x_incremental_dedup discipline —
+    // see BASELINE.md): run-1 materialization, then run-2 admission
+    // anti-joined against it, not a one-shot CASE fold
     "p6_incremental_composite" ->
       """WITH base AS (
            SELECT l_orderkey % 211 AS k1, l_linenumber AS k2,
              sum(l_quantity) AS qty, min(l_shipdate) AS first_ship
-           FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2)
-         SELECT k1, k2,
-           CASE WHEN first_ship < TIMESTAMP '1997-01-01'
-                THEN qty ELSE -qty END AS qty
-         FROM base""",
+           FROM lineitem WHERE l_orderkey % 8 = 0 GROUP BY 1, 2),
+         run1 AS (
+           SELECT k1, k2, qty FROM base
+           WHERE first_ship < TIMESTAMP '1997-01-01'),
+         run2 AS (SELECT k1, k2, -qty AS qty FROM base),
+         adm2 AS (
+           SELECT r2.k1, r2.k2, r2.qty
+           FROM run2 r2 LEFT JOIN run1 r1
+             ON r1.k1 = r2.k1 AND r1.k2 = r2.k2
+           WHERE r1.k1 IS NULL)
+         SELECT k1, k2, qty FROM run1
+         UNION ALL SELECT k1, k2, qty FROM adm2""",
 
     // salting must be invisible in the result: plain join, same rows
     "x_skew_join" ->

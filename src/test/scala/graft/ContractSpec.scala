@@ -57,6 +57,64 @@ class ContractSpec extends SparkSpec {
       "gen_baseline.py no longer honors the artifact's own verdict")
   }
 
+  // Round-11 lesson: three lifecycle gates admitted in one round cost
+  // 8.7 s Spark against 1.0 s DuckDB and blew the 2x headline margin.
+  // The round protocol says to check the projected ratio BEFORE
+  // admitting an expensive gate; this test enforces it against the
+  // COMMITTED artifact pair: any gate costing > 1 s Spark at > 20x its
+  // DuckDB twin must either be rebalanced (trim the gate, or give the
+  // twin equivalent work) or carry an explicit justification here.
+  test("no unjustified bench-ratio outliers in the committed artifact pair") {
+    // gates whose Spark side performs work with no reasonable SQL
+    // equivalent, reviewed and accepted (keep this list SHORT and the
+    // reasons real — every entry spends headline margin):
+    val justified = Map(
+      "x_cosine_ann_ivf_append" ->
+        ("index clone + O(delta) append + partition-pruned search; the " +
+          "twin is the planted-twin equality oracle (ANN answers have " +
+          "no cheap exact SQL twin)"),
+      "x_pq_ivf_topk" ->
+        "IVF-PQ index search lifecycle vs the same equality oracle",
+      "x_bpe_train_scaled" ->
+        ("1024-merge iterative trainer vs the oracle's static ranking " +
+          "(the equivalence IS the property under test)"),
+      "x_ann_recall" ->
+        ("recall-CONTRACT gate: exact baseline + two approximate " +
+          "searches + recall joins; the oracle pins the exact side and " +
+          "the floor bits only"),
+      "p6_incremental_composite" ->
+        ("two sequential DagRunner incremental materializations " +
+          "(parquet writes + admission anti-join); twin replays the " +
+          "sequential plan sans writes — sits at the bar"))
+    val bench = java.nio.file.Paths.get("bench_sf0.1.json")
+    val duck = java.nio.file.Paths.get("duckdb_baseline_sf0.1.json")
+    assume(java.nio.file.Files.exists(bench) &&
+      java.nio.file.Files.exists(duck))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val b = om.readTree(bench.toFile)
+    val d = om.readTree(duck.toFile)
+    val bq = b.get("queries")
+    val dq = d.get("queries")
+    assert(bq != null && dq != null, "artifact pair missing queries maps")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    bq.fieldNames().forEachRemaining { name =>
+      val sSec = bq.get(name).asDouble()
+      val dNode = dq.get(name)
+      val dSec = if (dNode == null) Double.NaN
+        else if (dNode.isObject) dNode.get("median").asDouble()
+        else dNode.asDouble()
+      if (sSec > 1.0 && dSec > 0 && sSec / dSec > 20.0 &&
+          !justified.contains(name))
+        offenders += f"$name ($sSec%.2f s vs $dSec%.3f s = ${sSec / dSec}%.0fx)"
+    }
+    assert(offenders.isEmpty,
+      "bench gates over the 20x/1s pre-admission bar without justification " +
+        s"(trim, rebalance the oracle, or justify above): ${offenders.mkString(", ")}")
+    // justifications must not outlive their gates
+    val stale = justified.keySet.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"justified ratio-outliers no longer exist: $stale")
+  }
+
   test("representative queries run non-empty at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     Seq("p1_project_rename", "j2_join_agg_mart", "w1_latest_per_key",
