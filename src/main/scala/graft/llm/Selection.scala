@@ -95,8 +95,20 @@ object Selection {
     * id-keyed shuffle over the corpus. Output: (idCol, log_weight). */
   def dsirLogWeights(raw: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 4096): DataFrame =
+    dsirLogWeightsWithTable(raw,
+      logRatioTable(raw, target, textCol, buckets), textCol, idCol, buckets)
+
+  /** Scoring against a PRE-TRAINED ratio table — the production entry
+    * point: the (raw, target) distribution pair is corpus-level state
+    * trained once offline (the [[Similarity.trainCentroids]] lifecycle);
+    * per-batch scoring then issues zero training actions. `ratios` is
+    * the B-row (bucket, log_ratio) table from [[logRatioTable]] —
+    * B-bounded, so callers may hold it as collected config state. */
+  def dsirLogWeightsWithTable(raw: DataFrame, ratioTable: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 4096): DataFrame = {
-    val ratios = broadcast(logRatioTable(raw, target, textCol, buckets))
+    val ratios = broadcast(ratioTable)
     // sum in exact integer micro-units, divide once at the end: double
     // summation is order-dependent in the last bits (partition merge
     // order, engine differences), which can flip the top-k boundary and

