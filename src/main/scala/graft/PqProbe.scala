@@ -24,6 +24,19 @@ object PqProbe {
       val recall = (exact intersect pq).size.toDouble / exact.size
       println(f"PQPROBE m=$m%2d k=$kk%2d rerank=$rr%2d recall@5=$recall%.3f")
     }
+    // IVF-PQ composition: recall also loses to the coarse probe miss
+    // rate, so sweep nProbe against the trained 8-cell quantizer
+    val cents = Similarity.trainCentroids(e, nCentroids = 8, lloydIters = 1)
+    val cbs = Similarity.trainPqCodebooks(e, numSub = 16, codesPerSub = 32,
+      lloydIters = 2)
+    val idx = s"/tmp/graft-pqprobe-ivfpq-${math.abs(sfDir.hashCode)}"
+    Similarity.ivfPqWriteIndex(e, graft.llm.IvfQuantizer(cents), cbs, idx)
+    for (np <- Seq(2, 4, 8); rr <- Seq(32, 64)) {
+      val got = pairs(Similarity.ivfPqSearchIndex(spark, idx, q, k = 5,
+        graft.llm.IvfQuantizer(cents), cbs, nProbe = np, rerank = rr))
+      val recall = (exact intersect got).size.toDouble / exact.size
+      println(f"IVFPQPROBE nProbe=$np%2d rerank=$rr%2d recall@5=$recall%.3f")
+    }
     spark.stop()
   }
 }

@@ -52,10 +52,11 @@ object IvfQuantizer {
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
   *    set against the corpus; one map-side pass over the corpus plus a
-  *    per-query top-k (window over a shuffle keyed by query id). This is
-  *    the correctness baseline and is also the right plan at 100 TB when
+  *    per-query bounded top-k aggregate (O(k) partial state per task —
+  *    no reducer ever sorts a corpus-sized group). This is the
+  *    correctness baseline and is also the right plan at 100 TB when
   *    the query set is small: the corpus is never shuffled, only the
-  *    (query × k) candidates are.
+  *    bounded per-task partials are.
   *  - [[lshTopK]]: random-hyperplane (sign) LSH — corpus and queries are
   *    bucketed by an nBits-bit sketch; candidates are generated only
   *    within matching buckets, so the join is a hash-shuffle on the
