@@ -974,6 +974,42 @@ object Similarity {
     writeLiveCells(spark, path, presentCells(spark, path))
   }
 
+  /** Delta maintenance for an [[ivfPqWriteIndex]] index — the faiss
+    * `IndexIVFPQ.add` analogue, completing the build/search/append
+    * lifecycle: the delivery's vectors are assigned against the index's
+    * FROZEN coarse quantizer and PQ-encoded under its FROZEN codebooks,
+    * then appended under their cell partitions. O(delta) cost, resident
+    * cells untouched — both quantizer levels staying frozen is what
+    * keeps the layout and the ADC geometry valid across deliveries:
+    * identical vectors land in identical cells with identical codes, so
+    * search over the maintained index equals search over a full
+    * rebuild ([[ivfAppendIndex]]'s contract, extended to the codes).
+    * Re-training either quantizer on drifted data is an OFFLINE
+    * decision producing a NEW index path, deliberately not this method.
+    */
+  def ivfPqAppendIndex(delta: DataFrame, quantizer: IvfQuantizer,
+      codebooks: Seq[Seq[Seq[Double]]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(quantizer.centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqAppendIndex needs the index's quantizer and codebooks")
+    val spark = delta.sparkSession
+    val assigned = delta.select(col(idCol), col(vecCol))
+      .filter(graft.expr.native.arrayDot(
+        col(vecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")) > 0)
+      .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
+      .withColumn("codes", graft.expr.native.pqEncode(
+        unitVec(col(vecCol).cast("array<double>")), codebooks))
+    val newCells = assigned.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    // a delivery can populate a previously-empty cell: make it live
+    ivfLiveCells(spark, path).foreach { live =>
+      if (!newCells.subsetOf(live))
+        writeLiveCells(spark, path, live ++ newCells)
+    }
+  }
+
   /** Search an [[ivfPqWriteIndex]] index: probed-cell partition pruning
     * (plan-asserted, as in [[ivfSearchIndex]]), compressed-domain ADC
     * sweep over the probed cells' (id, codes) columns only, bounded-agg

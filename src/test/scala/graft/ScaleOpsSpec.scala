@@ -171,7 +171,10 @@ class ScaleOpsSpec extends SparkSpec {
       s"ADC branch scan reads the vector column:\n${readSchemas.mkString("\n")}")
     // recall floor vs the exact baseline on the natural corpus (floor
     // below the measured value with margin; a quantizer/codebook/probe
-    // regression fails loudly)
+    // regression fails loudly). PqProbe r12 sweep at this corpus:
+    // nProbe=4/rerank=32 → 0.74; nProbe=8/rerank=64 → 1.00; nProbe=2 is
+    // cell-miss-bound (0.54 regardless of rerank) — the classic IVFPQ
+    // tradeoff surface
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -179,6 +182,46 @@ class ScaleOpsSpec extends SparkSpec {
     val got = pairs(res)
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF-PQ recall@5 = $recall")
+  }
+
+  test("ivfPqAppendIndex: delta append equals full rebuild, resident files untouched") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val q8 = graft.llm.IvfQuantizer(cents)
+    val cbs = graft.llm.Similarity.trainPqCodebooks(e, numSub = 8,
+      codesPerSub = 16, lloydIters = 1)
+    val appended = tmpDir("wh-ivfpq-app") + "/index"
+    graft.llm.Similarity.ivfPqWriteIndex(
+      e.filter(col("vec_id") % 2 === 0), q8, cbs, appended)
+    def files(p: String): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += (f.getPath.toString -> f.getLen) }
+      b.result()
+    }
+    val before = files(appended)
+    graft.llm.Similarity.ivfPqAppendIndex(
+      e.filter(col("vec_id") % 2 =!= 0), q8, cbs, appended)
+    val after = files(appended)
+    assert(before.forall { case (f, len) => after.get(f).contains(len) },
+      "append rewrote resident index files")
+    assert(after.size > before.size, "append added no files")
+    // frozen quantizer + codebooks: search over the maintained index
+    // equals one full rebuild over the union, codes included
+    val rebuilt = tmpDir("wh-ivfpq-full") + "/index"
+    graft.llm.Similarity.ivfPqWriteIndex(e, q8, cbs, rebuilt)
+    val queries = e.filter(col("vec_id") < 4)
+    val viaAppend = graft.llm.Similarity.ivfPqSearchIndex(spark, appended,
+      queries, k = 5, q8, cbs, nProbe = 4, rerank = 16)
+    val viaRebuild = graft.llm.Similarity.ivfPqSearchIndex(spark, rebuilt,
+      queries, k = 5, q8, cbs, nProbe = 4, rerank = 16)
+    assert(viaAppend.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaAppend).isEmpty)
   }
 
   test("ivfAppendIndex: delta append equals full rebuild, resident files untouched") {
