@@ -230,7 +230,10 @@ object IncrementalDedup {
     // far smaller than the documents they summarize
     val batch = state(delivery, textCol, idCol, shingleN, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigView = batch.select("id", "sig").persist(StorageLevel.MEMORY_AND_DISK)
+    // a projection of the persisted batch: both candidate paths read it
+    // through the batch cache — a second persist would only buy another
+    // materialization pass and double-cache the signatures
+    val sigView = batch.select("id", "sig")
     val idx = if (hasIndex) layout.readState(spark, indexRoot) else null
 
     // one batch-only aggregate (also materializes the persisted state);
@@ -317,7 +320,6 @@ object IncrementalDedup {
       writeIdBound(spark, indexRoot,
         math.max(maxNew, readIdBound(spark, indexRoot).getOrElse(Long.MinValue)))
     batch.unpersist()
-    sigView.unpersist()
     // admitted ids re-read from the durable generation just written —
     // the returned plan scans parquet instead of replaying the dedup
     delivery.join(

@@ -99,4 +99,36 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ids(IncrementalDedup.indexIds(spark, root), "id") ==
       Seq(4L, 5L, 11L, 12L, 14L, 15L))
   }
+
+  test("tag replay heals a bound lost to a crash after the commit") {
+    // the r12 advisory's crash window: the generation COMMITS, then the
+    // process dies before the `_maxid` ratchet is written. Without the
+    // replay-path ratchet, the stale bound would let the next delivery
+    // pass the monotone guard while overlapping already-admitted ids —
+    // a silent break of the whole-corpus-rerun equivalence.
+    val root = tmpDir("incr-dedup-crash")
+    IncrementalDedup.addDelivery(d1, root, deliveryTag = Some("t1"))
+    IncrementalDedup.addDelivery(d2, root, deliveryTag = Some("t2"))
+    // simulate the crash: roll `_maxid` back to delivery-1's max (the
+    // value a crash between t2's commit and its bound write leaves)
+    val p = new org.apache.hadoop.fs.Path(root, "_maxid")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("5".getBytes("UTF-8")); out.close()
+    // recovery replays the last micro-batch with the same tag: the
+    // committed-tag guard skips re-admission (exactly-once) AND
+    // re-ratchets the bound from the replayed delivery
+    val replayed = IncrementalDedup.addDelivery(d2, root,
+      deliveryTag = Some("t2"))
+    assert(replayed.count() == 0, "replayed tag must admit nothing")
+    val healed = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+      .mkString.trim.toLong
+    assert(healed == 15L, s"bound not re-ratcheted on replay: $healed")
+    // the healed bound catches the overlap the stale bound would miss
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.addDelivery(
+        docsDf(13L -> "overlapping id thirteen"), root)
+    }
+    assert(ex.getMessage.contains("exceed index max id 15"))
+  }
 }
