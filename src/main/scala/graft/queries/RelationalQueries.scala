@@ -741,6 +741,78 @@ object RelationalQueries {
           .as("revenue"))
     }),
 
+    // TPC-H Q13 (customer order-count distribution): customer LEFT
+    // OUTER join orders with the join-side filter (priority != 5-LOW —
+    // the o_comment NOT LIKE analogue; the filter must sit IN the join,
+    // not under it, or customers with only low-priority orders
+    // disappear instead of counting zero), then the two-level
+    // aggregation: orders per customer → customers per order-count.
+    "tpch_q13_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // nulls not counted
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    // the suppliers achieving the MAXIMUM revenue — the scalar-
+    // subquery-over-an-aggregate shape. Revenue is rounded (roundDet)
+    // BEFORE the max/equality so the selection key is the same bit
+    // pattern on any engine; the max attaches as a broadcast one-row
+    // cross join, supplier attaches broadcast.
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(roundDet(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = rev.crossJoin(
+          broadcast(rev.agg(max(col("total_revenue")).as("_max"))))
+        .filter(col("total_revenue") === col("_max"))
+      t(s, dir, "supplier")
+        .join(top, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: the
+    // "late" predicate is l_returnflag = 'R' (no receipt/commit dates
+    // in the synthetic schema). For each returned line of a finished
+    // order: EXISTS another supplier's line in the same order
+    // (multi-supplier order) and NOT EXISTS another supplier's
+    // RETURNED line (this supplier is the only one who flubbed it) —
+    // the classic semi + anti self-join pair on the fact table, both
+    // keyed on orderkey with the supplier inequality as the residual
+    // condition; count per supplier, top 20.
+    "tpch_q21_waiting_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"), "left_semi")
+      val l2 = li.select(col("l_orderkey").as("_ok2"),
+        col("l_suppkey").as("_sk2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
+      val waiting = l1
+        .join(l2, col("l_orderkey") === col("_ok2") &&
+          col("l_suppkey") =!= col("_sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("_ok3") &&
+          col("l_suppkey") =!= col("_sk3"), "left_anti")
+      t(s, dir, "supplier")
+        .join(waiting, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
     // A14 — correlated EXISTS / NOT EXISTS subqueries (native Spark SQL;
@@ -1267,6 +1339,48 @@ object RelationalQueries {
                 AND l_quantity BETWEEN 5 AND 30)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                 AND l_quantity BETWEEN 10 AND 40)""",
+
+    "tpch_q13_custdist" ->
+      """WITH per_cust AS (
+           SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+           FROM customer c
+           LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '5-LOW'
+           GROUP BY 1)
+         SELECT c_count, count(*)::BIGINT AS custdist
+         FROM per_cust GROUP BY 1""",
+
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+               / 100 AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+         WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
+    "tpch_q21_waiting_supplier" ->
+      """SELECT s.s_name, count(*)::BIGINT AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+           AND l1.l_returnflag = 'R'
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+           AND o.o_orderstatus = 'F'
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY 1
+         ORDER BY numwait DESC, s.s_name ASC
+         LIMIT 20""",
+
 
     "a14_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
