@@ -393,6 +393,24 @@ object RelationalQueries {
           col("event_type"), col("n"))
     }),
 
+    // ST-analog — changelog compaction's batch twin: per-key compaction
+    // over each key's full event-time-ordered history equals the
+    // lag()-window reduction the oracle computes; the SAME compaction
+    // core runs per-micro-batch in the transformWithState processor,
+    // whose cross-batch state semantics (and equality to this batch
+    // path) are ChangeFilterSpec's half.
+    "st_change_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val ticks = Tables.events(s, dir).select(
+        concat(lit("s"), (col("user_id") % 16).cast("string"))
+          .as("station_id"),
+        (col("event_id") % 4).as("num_bikes"), col("ts"))
+        .as[graft.streaming.StatusTick]
+      graft.streaming.ChangeFilter.changesOnlyBatch(ticks)
+        .toDF().select(col("station_id"), col("num_bikes"),
+          col("prev_bikes"), col("ts"))
+    }),
+
     // ST-analog — rate-source intake accounting: ticks round-trip
     // through the real binary JSON envelope encode + decode, then rows
     // are accounted per 1-second micro-batch under the rowsPerSecond
@@ -1111,6 +1129,21 @@ object RelationalQueries {
 
     // first-principles twin of the envelope round-trip: tick v decodes
     // to station 'st'||(v%8), bikes v%20, report−updated = v
+    // lag-window reduction of the batch-mode compaction: first sight
+    // per station emits NULL prev; later rows emit iff the value moved
+    "st_change_compaction" ->
+      """WITH ticks AS (
+           SELECT 's' || (user_id % 16)::VARCHAR AS station_id,
+             (event_id % 4)::BIGINT AS num_bikes, ts
+           FROM events),
+         w AS (
+           SELECT station_id, num_bikes, ts,
+             lag(num_bikes) OVER (PARTITION BY station_id
+               ORDER BY ts, num_bikes) AS prev_bikes
+           FROM ticks)
+         SELECT station_id, num_bikes, prev_bikes, ts
+         FROM w WHERE prev_bikes IS NULL OR prev_bikes <> num_bikes""",
+
     "st_rate_intake" ->
       """SELECT (v // 97)::BIGINT AS batch_id, count(*)::BIGINT AS n_admitted,
          count(DISTINCT v % 8)::BIGINT AS n_stations,

@@ -45,22 +45,34 @@ class ChangeCompactor extends StatefulProcessor[String, StatusTick, StatusChange
 
   override def handleInputRows(key: String, rows: Iterator[StatusTick],
       timers: TimerValues): Iterator[StatusChange] = {
-    // deterministic within-batch order: the feed's event time, then the
-    // value (a micro-batch has no inherent row order)
-    val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.num_bikes))
-    val out = Seq.newBuilder[StatusChange]
-    sorted.foreach { t =>
-      val prev = if (last.exists()) Some(last.get()) else None
-      if (!prev.contains(t.num_bikes)) {
-        out += StatusChange(key, t.num_bikes, prev, t.ts)
-        last.update(t.num_bikes)
-      }
-    }
-    out.result().iterator
+    val prev0 = if (last.exists()) Some(last.get()) else None
+    val (out, prevN) = ChangeCompactor.compact(key, rows, prev0)
+    prevN.foreach(last.update)
+    out.iterator
   }
 }
 
 object ChangeCompactor {
+  /** The compaction core, shared verbatim by the streaming processor
+    * (per micro-batch, threading `prev` through RocksDB state) and the
+    * batch path (one call per key over all its rows). Rows process in
+    * deterministic (event time, value) order — a micro-batch has no
+    * inherent row order. Returns (emitted changes, last emitted value).
+    */
+  private[streaming] def compact(key: String, rows: Iterator[StatusTick],
+      prev0: Option[Long]): (Seq[StatusChange], Option[Long]) = {
+    val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.num_bikes))
+    val out = Seq.newBuilder[StatusChange]
+    var prev = prev0
+    sorted.foreach { t =>
+      if (!prev.contains(t.num_bikes)) {
+        out += StatusChange(key, t.num_bikes, prev, t.ts)
+        prev = Some(t.num_bikes)
+      }
+    }
+    (out.result(), prev)
+  }
+
   /** TTL for the per-key value: bounded when the query runs in
     * processing-time mode (keys silent past the TTL re-emit as fresh —
     * the state-size bound for unbounded key spaces), unbounded under
@@ -73,6 +85,21 @@ object ChangeCompactor {
 }
 
 object ChangeFilter {
+
+  /** Batch twin of [[changesOnly]] — same compaction core, no state
+    * store (each key's full history arrives in one group): one shuffle
+    * on the key, then a per-group pass. Provably equal to running the
+    * stream over the same rows in event-time order — the spec pins the
+    * two paths equal on shared data; the oracle gate pairs this path
+    * against the lag()-window reduction.
+    */
+  def changesOnlyBatch(ticks: Dataset[StatusTick]): Dataset[StatusChange] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.station_id).flatMapGroups { (k, rows) =>
+      ChangeCompactor.compact(k, rows, None)._1.iterator
+    }
+  }
 
   /** Compact a tick stream to its change stream. Append-mode output;
     * one state value per key on RocksDB. Pass `ttl` to bound state for

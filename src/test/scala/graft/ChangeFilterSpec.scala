@@ -45,6 +45,31 @@ class ChangeFilterSpec extends SparkSpec {
     assert(spark.table("changes").count() == 5)
   }
 
+  test("streaming compaction equals the batch twin on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // event-time-ordered batches (batch 1's times precede batch 2's):
+    // the precondition under which threading state across micro-batches
+    // must reproduce the one-pass batch result exactly
+    val b1 = Seq(StatusTick("a", 1, ts(0)), StatusTick("a", 1, ts(30)),
+      StatusTick("b", 9, ts(10)))
+    val b2 = Seq(StatusTick("a", 2, ts(60)), StatusTick("b", 9, ts(70)),
+      StatusTick("b", 8, ts(80)))
+    val mem = MemoryStream[StatusTick]
+    val q = ChangeFilter.changesOnly(mem.toDS())
+      .writeStream.format("memory").queryName("changes3")
+      .option("checkpointLocation", tmpDir("chg-ckpt3"))
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("changes3")
+      .as[(String, Long, Option[Long], java.sql.Timestamp)].collect().toSet
+    val batch = ChangeFilter.changesOnlyBatch((b1 ++ b2).toDS())
+      .as[(String, Long, Option[Long], java.sql.Timestamp)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.map(_._2) == Set(1L, 2L, 9L, 8L))
+  }
+
   test("within-batch order is event-time deterministic") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatusTick]
