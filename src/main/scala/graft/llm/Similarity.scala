@@ -412,9 +412,14 @@ object Similarity {
     bloated.foreach { case (cid, _) =>
       // materialized before anything writes under `path`: the rewrite
       // below appends to the same root this scan reads from, and the
-      // vacuum deletes the very files backing the lazy plan
+      // vacuum deletes the very files backing the lazy plan. ALL data
+      // columns ride the move (drop only the partition column being
+      // reassigned): an IVF-PQ index's `codes` column must survive a
+      // recluster — PQ codes are global subspace state, independent of
+      // which cell a vector lives in, so moving a row never re-encodes
+      // it — and any future payload column is likewise preserved.
       val cell = spark.read.parquet(path).filter(col("cid") === cid)
-        .select(col(idCol), col(vecCol))
+        .drop("cid")
         .localCheckpoint(true)
       val subs = trainCentroids(cell, subCells, lloydIters, sampleFraction,
         idCol, vecCol)

@@ -263,6 +263,55 @@ class ScaleOpsSpec extends SparkSpec {
       viaRebuild.exceptAll(viaAppend).isEmpty)
   }
 
+  test("ivfReclusterIndex preserves PQ codes: IVF-PQ search equals rebuild after a split") {
+    import graft.llm.{IvfQuantizer, Similarity}
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroids(e, nCentroids = 8, lloydIters = 1)
+    val cbs = Similarity.trainPqCodebooks(e, numSub = 8, codesPerSub = 16,
+      lloydIters = 1)
+    val q0 = IvfQuantizer(cents)
+    val idx = tmpDir("wh-ivfpq-recluster") + "/index"
+    Similarity.ivfPqWriteIndex(e, q0, cbs, idx)
+    // bloat the biggest cell with offset copies, PQ-append path
+    val assigned = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("embedding"))
+      .withColumn("cid", q0.cidExpr(col("v")))
+    val hotCell = assigned.groupBy("cid").count()
+      .orderBy(col("count").desc, col("cid")).head().getInt(0)
+    val hotRows = assigned.filter(col("cid") === hotCell)
+      .select("vec_id", "embedding")
+    (1 to 5).foreach { c =>
+      Similarity.ivfPqAppendIndex(
+        hotRows.select((col("vec_id") + c * 1000000L).as("vec_id"),
+          col("embedding")), q0, cbs, idx)
+    }
+    val q1 = Similarity.ivfReclusterIndex(spark, idx, q0,
+      bloatFactor = 3.0, subCells = 4, lloydIters = 1)
+    assert(q1.splits.keySet == Set(hotCell))
+    // the codes column rode the move: every row still carries its
+    // 8-subspace code vector (the recluster never re-encodes)
+    import spark.implicits._
+    val codeSizes = spark.read.parquet(idx)
+      .select(size(col("codes"))).distinct().as[Int].collect().toSet
+    assert(codeSizes == Set(8), s"codes mangled by recluster: $codeSizes")
+    // search over the maintained IVF-PQ index == full rebuild (which
+    // re-encodes from scratch) under the same two-level quantizer
+    val corpus = (0 to 5).map { c =>
+      if (c == 0) e.select(col("vec_id"), col("embedding"))
+      else hotRows.select((col("vec_id") + c * 1000000L).as("vec_id"),
+        col("embedding"))
+    }.reduce(_.unionByName(_))
+    val rebuilt = tmpDir("wh-ivfpq-recluster-full") + "/index"
+    Similarity.ivfPqWriteIndex(corpus, q1, cbs, rebuilt)
+    val queries = e.filter(col("vec_id") < 4)
+    val viaMaintained = Similarity.ivfPqSearchIndex(spark, idx, queries,
+      k = 5, q1, cbs, nProbe = 2, rerank = 16)
+    val viaRebuild = Similarity.ivfPqSearchIndex(spark, rebuilt, queries,
+      k = 5, q1, cbs, nProbe = 2, rerank = 16)
+    assert(viaMaintained.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaMaintained).isEmpty)
+  }
+
   test("ivfReclusterIndex: hot cell split; search equals rebuild; untouched cells byte-identical") {
     import graft.llm.{IvfQuantizer, Similarity}
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
