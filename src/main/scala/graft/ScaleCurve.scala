@@ -93,7 +93,11 @@ object ScaleCurve {
       "x_cosine_ann_ivf_pruned", "x_curation_pipeline",
       "x_compression_ratio", "x_bpe_encode", "x_substring_dedup",
       "x_substring_removal", "x_token_budget_mix",
-      "x_cosine_ann_ivf_append", "s_schema_drift", "x_bpe_train_scaled")
+      "x_cosine_ann_ivf_append", "s_schema_drift", "x_bpe_train_scaled",
+      // r12 additions (documents/embeddings-backed only: the curve
+      // corpus scales those two tables)
+      "x_pq_adc_topk", "x_pq_ivf_topk", "x_dsir_weights",
+      "x_shard_assign", "x_html_extract", "x_incremental_dedup")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
     names.foreach { name =>
