@@ -165,4 +165,40 @@ object Sampling {
     }
     d.filter(hashBucket(col(idCol), "tokbudget") < fracCol * Buckets)
   }
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): each row draws a uniform
+    * u ∈ (0, 1] from 48 bits of the portable md5 hash and takes key
+    * r = ln(u) / w; the k rows with the LARGEST keys are exactly a
+    * weight-proportional without-replacement sample. Same determinism
+    * contract as every operator here — no rand(), so the sample is
+    * identical across runs, engines, retries, and repartitioning.
+    *
+    * Cross-engine key stability: u is an exact dyadic rational (48-bit
+    * integer / 2^48 — exact in double on any engine); ln is the one
+    * transcendental, so it is quantized at 1e-9 (the DSIR discipline)
+    * before the exactly-rounded division by the weight — the ranking
+    * key is then the same bit pattern in Spark and DuckDB.
+    *
+    * Scale shape: one codegen'd projection computes the key, and the
+    * top-k runs as TakeOrdered — per-partition top-k, driver merges
+    * O(k); the corpus is never globally sorted. Output: (idCol,
+    * sample_key rounded to 6) ordered-set semantics (the oracle
+    * compares sorted rows).
+    */
+  def weightedSample(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val h48 = conv(substring(
+      md5(concat_ws(":", lit("wsample"), col(idCol).cast("string"))),
+      21, 12), 16, 10).cast("long")
+    val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0) // 2^48
+    val key = graft.functions.roundDet(log(u), 9) /
+      col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), key.as("_key"))
+      .orderBy(col("_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol),
+        graft.functions.roundDet(col("_key"), 6).as("sample_key"))
+  }
 }

@@ -894,6 +894,16 @@ object LlmQueries {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .groupBy("source").agg(count(lit(1)).as("n"))),
 
+    // weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    // n_chars-weighted top-200 by the deterministic md5-derived key —
+    // the weighted-subset selection a mixing pipeline runs when sources
+    // must be sampled ∝ document size. The key's one transcendental
+    // (ln) is 1e-9-quantized, so the selected SET and every rounded key
+    // hash-match the oracle's recompute.
+    "x_weighted_sample" -> ((s, dir) =>
+      graft.llm.Sampling.weightedSample(docs(s, dir), k = 200,
+        weightCol = "n_chars")),
+
     // per-language deterministic downsampling (oracle-paired like
     // x_hash_split)
     "x_stratified_sample" -> ((s, dir) =>
@@ -1677,6 +1687,21 @@ object LlmQueries {
          WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 25, 8))::BIGINT
                % 1000000 < f.frac * 1000000
          GROUP BY 1""",
+
+    // A-ES keys: exact 48-bit dyadic uniform, quantized ln, exact
+    // division by the weight — same bit pattern on both engines
+    "x_weighted_sample" ->
+      """WITH u AS (
+           SELECT doc_id, n_chars::DOUBLE AS w,
+             (('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 21, 12))::BIGINT
+                + 1) / 281474976710656.0 AS u
+           FROM documents WHERE n_chars > 0),
+         keyed AS (
+           SELECT doc_id,
+             (floor(ln(u) * 1000000000 + 0.5) / 1000000000) / w AS k
+           FROM u)
+         SELECT doc_id, floor(k * 1000000 + 0.5) / 1000000 AS sample_key
+         FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 200""",
 
     "x_stratified_sample" ->
       """SELECT lang, count(*)::BIGINT AS n FROM documents

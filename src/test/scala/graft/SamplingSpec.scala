@@ -113,6 +113,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixToTokenBudget(df, 20000L, Map("zz" -> 1.0)).isEmpty)
   }
 
+  test("weightedSample: deterministic A-ES, weight-proportional, without replacement") {
+    import org.apache.spark.sql.functions._
+    // 100 heavy docs (w=1000) among 900 light (w=1): a k=100 A-ES draw
+    // should be dominated by the heavy class
+    val df = (0L until 1000L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") < 100, 1000L).otherwise(1L))
+    val sample = Sampling.weightedSample(df, k = 100, weightCol = "w")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sample.length == 100)
+    assert(sample.map(_._1).distinct.length == 100) // without replacement
+    val heavy = sample.count(_._1 < 100)
+    assert(heavy >= 80, s"weighting ignored: $heavy/100 heavy docs sampled")
+    // id-stable: identical selection and keys under any partitioning
+    val again = Sampling.weightedSample(df.repartition(13), k = 100,
+      weightCol = "w").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sample.toSeq.sortBy(_._1) == again.toSeq.sortBy(_._1))
+    // plan: TakeOrdered (bounded per-partition top-k), not a global sort
+    val plan = Sampling.weightedSample(df, 100, "w")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("curation pipeline filters, dedups, and splits end-to-end") {
     val base = "the quick brown fox jumps over the lazy dog while the sun " +
       "sets slowly behind distant purple mountains casting long warm shadows"
