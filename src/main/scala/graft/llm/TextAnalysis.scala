@@ -136,6 +136,29 @@ object TextAnalysis {
   def urlDomain(url: Column): Column =
     regexp_replace(lower(urlHost(url)), "^www\\.", "")
 
+  /** Per-domain frequency cap: keep at most `cap` documents per domain,
+    * selected by a deterministic salted-md5 priority — the
+    * over-represented-domain control a crawl pipeline applies before
+    * mixing (a handful of template-heavy hosts otherwise dominate the
+    * token budget). Priority is a pure function of the id, so the kept
+    * set is identical across runs, engines, and crawl re-processings.
+    * Runs on the bounded top-k aggregate ([[graft.operators.TopK]]):
+    * O(cap) partial state per (task, domain) — no window sort, no
+    * single-reducer funnel even when one domain holds half the crawl.
+    * Returns the kept (domainCol, idCol) pairs; semi-join to apply.
+    */
+  def capPerDomain(df: org.apache.spark.sql.DataFrame, cap: Int,
+      domainCol: String = "domain",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val pri = conv(substring(
+      md5(concat_ws(":", lit("domaincap"), col(idCol).cast("string"))),
+      25, 8), 16, 10).cast("long")
+    graft.operators.TopK.grouped(
+      df.select(col(domainCol), col(idCol)).withColumn("_pri", pri),
+      domainCol, "_pri", idCol, cap)
+      .select(col(domainCol), col(idCol))
+  }
+
   /** Canonical text normalization for normalized-form dedup: lowercase,
     * strip everything but letters/digits/spaces (Unicode categories, so
     * non-Latin scripts survive), collapse whitespace runs, trim. The

@@ -610,6 +610,19 @@ object LlmQueries {
         minFrac = 0.01)
     }),
 
+    // per-domain frequency capping: a 40%-of-corpus hot domain and ~97
+    // long-tail domains, capped at 20 docs each by the deterministic
+    // md5 priority — bounded-agg top-k per domain (no window funnel),
+    // the over-represented-host control before mixing
+    "x_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 < 4, lit("bigsite.com"))
+          .otherwise(concat(lit("site"),
+            pmod(col("doc_id"), lit(97)).cast("string"), lit(".org")))
+          .as("domain"))
+      graft.llm.TextAnalysis.capPerDomain(d, cap = 20)
+    }),
+
     // domain-level crawl statistics over normalized URLs (planted URLs as
     // in x_url_extract, including a www. variant the normalizer strips)
     "x_domain_stats" -> ((s, dir) =>
@@ -2406,6 +2419,21 @@ object LlmQueries {
          FROM shared JOIN sizes USING (doc_id)
          WHERE floor(n_shared::DOUBLE / sizes.n_sh * 10000 + 0.5) / 10000
                >= 0.01""",
+
+    "x_domain_cap" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 < 4 THEN 'bigsite.com'
+                  ELSE 'site' || (doc_id % 97)::VARCHAR || '.org' END AS domain,
+             ('0x' || substr(md5('domaincap:' || doc_id::VARCHAR), 25, 8))::BIGINT
+               AS pri
+           FROM documents),
+         r AS (
+           SELECT domain, doc_id,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY pri DESC, doc_id DESC) AS rn
+           FROM d)
+         SELECT domain, doc_id FROM r WHERE rn <= 20""",
 
     "x_domain_stats" ->
       """WITH u AS (SELECT doc_id,
