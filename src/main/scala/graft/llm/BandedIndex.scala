@@ -197,4 +197,37 @@ final case class BandedIndex(numBuckets: Int = 256,
     */
   def indexIds(spark: SparkSession, root: String): DataFrame =
     readState(spark, root).select("id")
+
+  /** Fold this banded index's generations — the [[IncrementalDedup
+    * .compactIndex]] analogue for the two-sub-log layout. The state
+    * delta-log compacts via [[Warehouse.compactDeltaLog]] (its ledger
+    * survives, so tag-replay guards keep working); the compacted
+    * generation's bands twin is rebuilt by [[syncBands]] under its OWN
+    * adaptive bucket count (a big snapshot fans out to more buckets
+    * than the small per-delivery generations it folded — compaction
+    * IMPROVES pruning granularity); and a bands snapshot commit retires
+    * the superseded twins from the live list. Without that retirement
+    * the candidate join would still be CORRECT (the old twins' rows
+    * duplicate the new twin's — a superset, which the layout contract
+    * permits), but every lookup would scan gens× the pruned bytes.
+    * Folded directories stay on disk until [[Warehouse.vacuumDeltaLog]]
+    * on each sub-log. Admissions and pruned lookups are byte-equivalent
+    * across the fold (spec-pinned).
+    */
+  def compact(spark: SparkSession, root: String, bands: Int = 8,
+      rowsPerBand: Int = 4): String = {
+    val snap = Warehouse.compactDeltaLog(spark, stateRoot(root))
+    syncBands(spark, root, bands, rowsPerBand)
+    val stateGen = snap.split('/').last
+    val live = Warehouse.committedGenerations(spark, bandsRoot(root))
+    val twin = twinOf(stateGen, live).getOrElse(
+      sys.error(s"bands twin missing for $stateGen after syncBands"))
+    val ledger = Warehouse.generationLedger(spark, bandsRoot(root))
+    val v = Warehouse.deltaVersions(spark, bandsRoot(root)).last + 1
+    val content = ("#snapshot" +: Seq(twin)) ++
+      ("#history" +: (ledger :+ twin).distinct)
+    Warehouse.manifestCommit(spark, bandsRoot(root), v,
+      content.mkString("\n"))
+    snap
+  }
 }

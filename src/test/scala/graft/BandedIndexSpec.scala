@@ -76,6 +76,53 @@ class BandedIndexSpec extends SparkSpec {
       s"per-generation sizing must track each generation's rows ($gens)")
   }
 
+  test("compaction folds both sub-logs; admissions and pruned lookups unchanged") {
+    val d1 = corpus(0 until 150)
+    val d2 = corpus(1000 until 1100)
+    val micro = corpus(5000 until 5002)
+      .union(twin(corpus(3 until 5), 9000L)) // dups of survivors 3, 4
+    def run(compactBetween: Boolean): (Seq[Long], Seq[Long], Int) = {
+      val layout = BandedIndex(numBuckets = 32, minBucketRows = 1L,
+        auditPartitions = true)
+      val root = tmpDir(s"band-compact-$compactBetween")
+      IncrementalDedup.addDelivery(d1, root, minJaccard = 1.0,
+        layout = layout, deliveryTag = Some("t1"))
+      IncrementalDedup.addDelivery(d2, root, minJaccard = 1.0,
+        layout = layout, deliveryTag = Some("t2"))
+      if (compactBetween) {
+        layout.compact(spark, root)
+        // replay guard must survive the fold: a replayed tag is a no-op
+        assert(IncrementalDedup.addDelivery(d1, root, minJaccard = 1.0,
+          layout = layout, deliveryTag = Some("t1")).count() == 0)
+        // both sub-logs folded to one live generation; the snapshot's
+        // bands twin re-fans-out under its own (bigger) bucket count
+        assert(Warehouse.committedGenerations(spark, s"$root/state").size == 1)
+        val bandGens = Warehouse.committedGenerations(spark, s"$root/bands")
+        assert(bandGens.size == 1, s"bands not folded: $bandGens")
+        assert(bandGens.head.endsWith(".b32"),
+          s"snapshot twin lost the adaptive fan-out: $bandGens")
+      }
+      val admitted = IncrementalDedup.addDelivery(micro, root,
+        minJaccard = 1.0, layout = layout)
+      assert(layout.lastPruned, "micro lookup must stay pruned")
+      (ids(admitted), ids(layout.indexIds(spark, root), "id"),
+        layout.lastScannedPartitions)
+    }
+    val (admPlain, idxPlain, scanPlain) = run(compactBetween = false)
+    val (admFolded, idxFolded, scanFolded) = run(compactBetween = true)
+    assert(admPlain == Seq(5000L, 5001L) && admFolded == admPlain,
+      "compaction changed an admission")
+    assert(idxPlain == idxFolded, "compaction changed the survivor set")
+    // the fold's scan win: the pruned lookup pays <= keys dirs PER LIVE
+    // GENERATION (4 docs x 8 bands = 32 keys), so two generations cost
+    // up to 64 and the folded single generation at most 32 — compaction
+    // halves the per-trigger directory fan-out here
+    assert(scanPlain > 32 && scanPlain <= 64,
+      s"expected the 2-generation fan-out, scanned $scanPlain")
+    assert(scanFolded <= 32 && scanFolded < scanPlain,
+      s"fold did not shrink the pruned scan: $scanFolded vs $scanPlain")
+  }
+
   test("adaptive sizing keeps tiny generations at one bucket per band") {
     val layout = BandedIndex() // production defaults: minBucketRows 64k
     val root = tmpDir("band-adaptive")
