@@ -207,6 +207,38 @@ case class RollingHash64(child: Expression)
   * bounds and orderings (which are zlib-version-stable), never raw
   * byte counts.
   */
+/** Unicode NFC normalization (canonical composition) — the text
+  * canonicalization a crawl pipeline applies before any hashing or
+  * dedup: the same page crawled from sources emitting composed vs
+  * decomposed code points ("é" as one code point vs "e"+U+0301) must
+  * fingerprint identically, or every hash-keyed operator silently
+  * treats them as distinct documents. `java.text.Normalizer` is the
+  * JDK's implementation of UAX #15, the same algorithm DuckDB's
+  * `nfc_normalize` implements, so outputs are byte-equal across the
+  * oracle pair (normalization of assigned code points is stable across
+  * Unicode versions by policy). Fast path: `isNormalized` returns the
+  * input UTF8String untouched for the already-NFC majority — no
+  * String round-trip, no allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  def computeUtf8(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeUtf8(input.asInstanceOf[UTF8String])
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.computeUtf8($c)"
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
 case class DeflateRatio(child: Expression)
     extends UnaryExpression with NativeUnaryCodegen {
   import DeflateRatio.{deflaters, scratch}
@@ -783,6 +815,7 @@ object native {
   def removeCoveredTokens(tokens: Column, spans: Column): Column =
     c(RemoveCoveredTokens(e(tokens), e(spans)))
   def deflateRatio(text: Column): Column = c(DeflateRatio(e(text)))
+  def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
     c(SignSketches(e(vec), nTables, nBits))

@@ -159,6 +159,14 @@ object TextAnalysis {
       .select(col(domainCol), col(idCol))
   }
 
+  /** Unicode NFC canonicalization (native codegen'd expression): run
+    * FIRST in any normalize→hash chain so composed/decomposed variants
+    * of the same text fingerprint identically. See
+    * [[graft.expr.NfcNormalize]] for the cross-engine contract.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.expr.native.nfcNormalize(text)
+
   /** Canonical text normalization for normalized-form dedup: lowercase,
     * strip everything but letters/digits/spaces (Unicode categories, so
     * non-Latin scripts survive), collapse whitespace runs, trim. The

@@ -610,6 +610,21 @@ object LlmQueries {
         minFrac = 0.01)
     }),
 
+    // Unicode NFC canonicalization (native codegen'd expression):
+    // decomposed sequences planted next to the natural text must
+    // compose (code-point counts shrink) and the normalized bytes must
+    // equal DuckDB's nfc_normalize exactly — the pre-hash
+    // canonicalization without which composed/decomposed variants of
+    // one page dedup as distinct documents
+    "x_nfc_normalize" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" Cafe\u0301 No\u0308el A\u030Angstro\u0308m"))
+      docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.nfcNormalize(planted)).as("norm_md5"),
+        length(TextAnalysis.nfcNormalize(planted)).cast("long").as("n_norm"),
+        length(planted).cast("long").as("n_raw"))
+    }),
+
     // per-domain frequency capping: a 40%-of-corpus hot domain and ~97
     // long-tail domains, capped at 20 docs each by the deterministic
     // md5 priority — bounded-agg top-k per domain (no window funnel),
@@ -2419,6 +2434,19 @@ object LlmQueries {
          FROM shared JOIN sizes USING (doc_id)
          WHERE floor(n_shared::DOUBLE / sizes.n_sh * 10000 + 0.5) / 10000
                >= 0.01""",
+
+    "x_nfc_normalize" ->
+      """SELECT doc_id,
+           md5(nfc_normalize(text || ' Cafe' || chr(769) || ' No' ||
+             chr(776) || 'el A' || chr(778) || 'ngstro' || chr(776) || 'm'))
+             AS norm_md5,
+           length(nfc_normalize(text || ' Cafe' || chr(769) || ' No' ||
+             chr(776) || 'el A' || chr(778) || 'ngstro' || chr(776) || 'm'))::BIGINT
+             AS n_norm,
+           length(text || ' Cafe' || chr(769) || ' No' || chr(776) ||
+             'el A' || chr(778) || 'ngstro' || chr(776) || 'm')::BIGINT
+             AS n_raw
+         FROM documents""",
 
     "x_domain_cap" ->
       """WITH d AS (

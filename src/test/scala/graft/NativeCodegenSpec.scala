@@ -53,6 +53,8 @@ class NativeCodegenSpec extends SparkSpec {
       native.signSketches(col("vec"), 4, 12).as("sk"),
       native.nearestCentroids(col("vec"), centroids, 2).as("nc"),
       native.deflateRatio(col("text")).as("dr"),
+      native.nfcNormalize(concat(col("text"),
+        lit(" Cafe\u0301 A\u030A"))).as("nfc"),
       native.tokenKgramHashes(toks, 3).as("kg"),
       native.tokenKgramHashes128(toks, 3).as("kg2"),
       native.removeCoveredTokens(toks,
