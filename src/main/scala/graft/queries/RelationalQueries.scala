@@ -475,6 +475,36 @@ object RelationalQueries {
     // per returnflag, and grand total in ONE pass (Expand + single
     // aggregation shuffle — not three scans), with grouping_id
     // distinguishing the levels. DuckDB mirrors with GROUP BY ROLLUP.
+    // A+ — CUBE: all four grouping combinations in one pass (the
+    // multi-dimensional summary the rollup gate only half covers), with
+    // grouping_id disambiguating NULL-as-total from a NULL group value
+    "a15_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          roundDet(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    }),
+
+    // J+ — null-safe join (<=>): nulls match nulls, the semantics a
+    // plain equi-join silently drops. Nation keys nulled on a
+    // deterministic slice of both sides; the null-null pairs must
+    // survive. Spark plans <=> as a hash join on the null-safe key.
+    "j9_nullsafe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("c_nationkey")).as("nk"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"),
+        when(col("s_suppkey") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("s_nationkey")).as("nk2"))
+      c.join(su, col("nk") <=> col("nk2"))
+        .groupBy(coalesce(col("nk").cast("string"), lit("NULL")).as("nation_key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+    }),
+
     "a11_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1188,6 +1218,27 @@ object RelationalQueries {
          count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
          count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error
          FROM events GROUP BY 1""",
+
+    "a15_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+         count(*)::BIGINT AS n,
+         floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "j9_nullsafe_join" ->
+      """WITH c AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+           FROM customer),
+         su AS (SELECT s_suppkey,
+             CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS nk2
+           FROM supplier)
+         SELECT coalesce(nk::VARCHAR, 'NULL') AS nation_key,
+           count(*)::BIGINT AS n_pairs,
+           count(DISTINCT c_custkey)::BIGINT AS n_customers,
+           count(DISTINCT s_suppkey)::BIGINT AS n_suppliers
+         FROM c JOIN su ON c.nk IS NOT DISTINCT FROM su.nk2
+         GROUP BY 1""",
 
     "a11_rollup" ->
       """SELECT l_returnflag, l_linestatus,
