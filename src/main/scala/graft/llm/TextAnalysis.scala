@@ -204,6 +204,37 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
+  /** The high-frequency UTF-8-read-as-Latin-1/cp1252 double-encoding
+    * sequences and their true characters — the ftfy fast path. Every
+    * LHS is a printable Unicode literal (the cp1252 rendering of the
+    * mojibake bytes), so the identical replace chain reproduces in any
+    * engine; sequences whose cp1252 rendering contains a C1 control
+    * char (e.g. the right double quote) are deliberately excluded. */
+  private[llm] val MojibakeMap: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã¼" -> "ü", "Ã±" -> "ñ",
+    "Ã§" -> "ç", "Ã¶" -> "ö", "Ã¤" -> "ä",
+    "â€™" -> "’", "â€œ" -> "“", "â€¦" -> "…")
+
+  private val mojibakePattern = MojibakeMap.map(_._1).mkString("|")
+
+  /** Count of mojibake sequences in `text` — the encoding-damage score
+    * a crawl pipeline thresholds on. Literal alternation (no classes),
+    * identical under Java and RE2 regex semantics. */
+  def mojibakeHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(mojibakePattern), lit(0))).cast("long")
+
+  /** Repair double-encoded text by the table above: each sequence maps
+    * back to the character whose UTF-8 bytes were mis-decoded. A
+    * no-op on clean text, so it applies unconditionally — one
+    * codegen'd projection, scan → map at 100 TB (the general charset
+    * roundtrip needs a decoder with error-action control, which Spark 4
+    * surfaces as errors rather than U+FFFD; the table covers the
+    * sequences that dominate real crawls and stays expression-only). */
+  def repairMojibake(text: Column): Column =
+    MojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
   /** Boilerplate detector: word n-grams occurring in more than
     * `minDocs` distinct documents (headers/footers/licenses in a crawl).
     * One explode + one count shuffle; feed the result to a filter or to

@@ -1684,6 +1684,38 @@ object LlmQueries {
         .select(col("doc_id"),
           graft.llm.TextAnalysis.htmlToText(page).as("extracted"))
         .withColumn("n_extracted", length(col("extracted")).cast("long"))
+    }),
+
+    // Encoding repair (the ftfy fast path): a fifth of the corpus is
+    // PLANTED with UTF-8-as-Latin-1 mojibake (the "true" text carries
+    // é and curly quotes; the corrupted delivery carries their
+    // double-encoded renderings), then the table-driven repair must
+    // restore the true text byte-for-byte — `restored` is the
+    // per-document proof, md5 the cross-engine witness. Detection and
+    // repair are one codegen'd projection over the scan (zero
+    // shuffles); the cohort split rides the portable md5 bucket.
+    "x_encoding_repair" -> ((s, dir) => {
+      val cohort =
+        graft.llm.Sampling.hashBucket(col("doc_id"), "moji") < lit(200000L)
+      // the true text a clean crawl would have contained
+      val trueText = when(cohort,
+        replace(replace(col("text"), lit("the"), lit("thé")),
+          lit(" and "), lit(" “and” "))).otherwise(col("text"))
+      // what the broken decoder delivered
+      val corrupted = when(cohort,
+        replace(replace(trueText, lit("é"), lit("Ã©")),
+          lit("“"), lit("â€œ"))).otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("_true", trueText)
+        .withColumn("_corrupt", corrupted)
+        .select(col("doc_id"),
+          cohort.as("was_corrupt"),
+          graft.llm.TextAnalysis.mojibakeHits(col("_corrupt")).as("hits"),
+          (graft.llm.TextAnalysis.repairMojibake(col("_corrupt")) ===
+            col("_true")).as("restored"),
+          md5(graft.llm.TextAnalysis.repairMojibake(col("_corrupt")))
+            .as("repaired_md5"))
     })
   )
 
@@ -3234,6 +3266,38 @@ object LlmQueries {
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              '[ \t\n\f\r\x0B]+', ' ', 'g')) AS extracted
-           FROM page)"""
+           FROM page)""",
+
+    // plant → corrupt → repair replayed literally (the repair table is
+    // the contract; md5 is the cross-engine witness)
+    "x_encoding_repair" ->
+      """WITH base AS (SELECT doc_id, text,
+             (('0x' || substr(md5('moji:' || doc_id::VARCHAR), 25, 8))::BIGINT
+               % 1000000) < 200000 AS was_corrupt
+           FROM documents),
+         truth AS (SELECT doc_id, was_corrupt,
+             CASE WHEN was_corrupt
+                  THEN replace(replace(text, 'the', 'thé'),
+                               ' and ', ' “and” ')
+                  ELSE text END AS t
+           FROM base),
+         corr AS (SELECT doc_id, was_corrupt, t,
+             CASE WHEN was_corrupt
+                  THEN replace(replace(t, 'é', 'Ã©'), '“', 'â€œ')
+                  ELSE t END AS c
+           FROM truth),
+         rep AS (SELECT doc_id, was_corrupt, t, c,
+             replace(replace(replace(replace(replace(replace(replace(
+               replace(replace(replace(replace(c,
+                 'Ã©', 'é'), 'Ã¨', 'è'), 'Ãª', 'ê'), 'Ã¼', 'ü'),
+                 'Ã±', 'ñ'), 'Ã§', 'ç'), 'Ã¶', 'ö'), 'Ã¤', 'ä'),
+                 'â€™', '’'), 'â€œ', '“'), 'â€¦', '…') AS r
+           FROM corr)
+         SELECT doc_id, was_corrupt,
+           len(regexp_extract_all(c,
+             'Ã©|Ã¨|Ãª|Ã¼|Ã±|Ã§|Ã¶|Ã¤|â€™|â€œ|â€¦'))::BIGINT AS hits,
+           (r = t) AS restored,
+           md5(r) AS repaired_md5
+         FROM rep"""
   )
 }

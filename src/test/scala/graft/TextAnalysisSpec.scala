@@ -270,4 +270,26 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
   }
+
+  test("repairMojibake restores double-encoded text; clean text is a no-op") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "thÃ© cafÃ© has â€œgreatâ€™ coffeeâ€¦ yes"),
+      (1L, "already clean ascii text"),
+      (2L, "naÃ¯ve is NOT in the table")) // Ã¯ deliberately unmapped
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.repairMojibake(col("t")).as("r"),
+        TextAnalysis.mojibakeHits(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L)._1 == "thé café has “great’ coffee… yes")
+    assert(got(0L)._2 == 5L) // Ã© ×2, â€œ, â€™, â€¦
+    assert(got(1L) == ("already clean ascii text", 0L))
+    // unmapped sequences pass through untouched (no over-eager repair)
+    assert(got(2L) == ("naÃ¯ve is NOT in the table", 0L))
+    // scale contract: pure projection, no Exchange, no UDF
+    val plan = df.select(TextAnalysis.repairMojibake(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
 }
