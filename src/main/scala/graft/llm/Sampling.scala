@@ -49,6 +49,28 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Leakage-safe split: assign train/val/test by the near-dup CLUSTER
+    * id rather than the document id, so near-duplicate twins can never
+    * land on opposite sides of a train/test boundary — the
+    * contamination vector a plain per-document hash split leaves open
+    * (Lee et al. 2022 §6: duplicated text across splits inflates eval).
+    * `clusters` is [[Dedup.duplicateClusters]] output (id, cluster_id);
+    * documents absent from it are their own singleton cluster. The
+    * cluster table is ∝ the corpus's actual duplication (≪ corpus on
+    * real crawls), so the join broadcasts; assignment itself is the
+    * same portable md5-bucket rule as [[hashSplit]] — no extra shuffle
+    * beyond the one join. */
+  def clusterSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
+    val c = clusters.select(col("id").as("__cs_id"), col("cluster_id"))
+    val withCluster = df
+      .join(c, df(idCol) === col("__cs_id"), "left")
+      .drop("__cs_id")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    hashSplit(withCluster, "cluster_id", splits)
+  }
+
   /** Keep a deterministic `fraction` of rows, uniformly by id hash. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(idCol), "sample") < math.round(fraction * Buckets))

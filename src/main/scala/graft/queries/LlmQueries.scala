@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.roundDet
-import graft.llm.{Dedup, IncrementalDedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, IncrementalDedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-data-pipeline operator coverage (BASELINE.json extensions) over the
@@ -1716,6 +1716,43 @@ object LlmQueries {
             col("_true")).as("restored"),
           md5(graft.llm.TextAnalysis.repairMojibake(col("_corrupt")))
             .as("repaired_md5"))
+    }),
+
+    // Leakage-safe split: a full twin wave (identical text, re-keyed)
+    // doubles the corpus, then split assignment keys on the near-dup
+    // CLUSTER id — every twin must ride its base's split. A plain
+    // per-document hash split would scatter ~20% of twins across the
+    // train/test boundary; cluster-keyed assignment makes that
+    // structurally impossible, and the per-split doc/cluster/twin
+    // counts are the oracle-checkable evidence (the oracle recomputes
+    // clusters as min-id per identical-distinct-shingle class — the
+    // x_neardup_survivors reduction — and replays the same md5-bucket
+    // assignment on the cluster id).
+    "x_cluster_safe_split" -> ((s, dir) => {
+      // quarter corpus: the property under test is cluster-keyed
+      // assignment (twins must ride their base's split), which is
+      // volume-independent — the full-corpus clustering cost is
+      // already paid and measured by x_neardup_survivors
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 0)
+      val corpus = d.union(d.select(
+        twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+      val state = corpus.select(col("doc_id").as("id"),
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
+        .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
+      val pairs = Dedup.verifyJaccardFromShingles(cands, state)
+        .filter(col("jaccard") >= 1.0).select("id_a", "id_b")
+      val clusters = Dedup.duplicateClusters(pairs)
+      Sampling.clusterSafeSplit(
+          corpus.select("doc_id"), clusters, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          graft.functions.countIf(col("doc_id") >= 1000000000L)
+            .as("n_twins"))
     })
   )
 
@@ -3298,6 +3335,42 @@ object LlmQueries {
              'Ã©|Ã¨|Ãª|Ã¼|Ã±|Ã§|Ã¶|Ã¤|â€™|â€œ|â€¦'))::BIGINT AS hits,
            (r = t) AS restored,
            md5(r) AS repaired_md5
-         FROM rep"""
+         FROM rep""",
+
+    // clusters = min id per identical-distinct-shingle class (the
+    // x_neardup_survivors reduction, exact at jaccard 1.0); split =
+    // the portable md5 bucket of the CLUSTER id
+    "x_cluster_safe_split" ->
+      """WITH quarter AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM quarter
+           UNION ALL
+           SELECT doc_id + 1000000000, text FROM quarter),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1] || ' ' ||
+                         string_split(text,' ')[i+2]) END)), '|')) AS f
+           FROM corpus),
+         cl AS (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id
+           FROM fp),
+         sp AS (
+           SELECT doc_id, cluster_id,
+             CASE WHEN b < 800000 THEN 'train'
+                  WHEN b < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, cluster_id,
+                   ('0x' || substr(md5('split:' || cluster_id::VARCHAR),
+                     25, 8))::BIGINT % 1000000 AS b
+                 FROM cl))
+         SELECT split, count(*)::BIGINT AS n_docs,
+           count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+           sum(CASE WHEN doc_id >= 1000000000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_twins
+         FROM sp GROUP BY 1"""
   )
 }

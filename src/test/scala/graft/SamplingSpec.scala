@@ -26,6 +26,32 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("clusterSafeSplit: cluster members share a split; singletons keep hashSplit's") {
+    // clusters {1,2,901} and {3,4}; 5..40 are singletons
+    val docs = ((1L to 4L) ++ Seq(901L) ++ (5L to 40L)).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (901L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "cluster_id")
+    val out = Sampling.clusterSafeSplit(docs, clusters, "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every member of a cluster rides the same split — including 901,
+    // whose own id would hash elsewhere
+    assert(Set(out(1L), out(2L), out(901L)).size == 1)
+    assert(out(3L) == out(4L))
+    // singletons degrade to exactly hashSplit-by-id (cluster_id = id)
+    val plain = Sampling.hashSplit((5L to 40L).toDF("doc_id"), "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (5L to 40L).foreach(i => assert(out(i) == plain(i), s"doc $i"))
+    // and the operator is doing real work: some clustered doc's split
+    // differs from what its OWN id would have drawn (the leak a plain
+    // split would have committed)
+    val own = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Seq(1L, 2L, 901L, 3L, 4L).exists(i => out(i) != own(i)))
+  }
+
   test("deterministicSample keeps ~fraction, exactly reproducibly") {
     val n1 = Sampling.deterministicSample(ids, "doc_id", 0.25).count()
     val n2 = Sampling.deterministicSample(ids, "doc_id", 0.25).count()
