@@ -134,6 +134,28 @@ class PropertySpec extends SparkSpec {
     assert(out.count() == 5000)
   }
 
+  test("clusterSafeSplit: no cluster ever spans a split boundary") {
+    // random pair sets over a 200-id universe: whatever components they
+    // induce, every member of a component must draw the same split, and
+    // total row count is preserved (the join neither drops nor fans out)
+    val pairGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 199L), Gen.choose(0L, 199L)))
+    samples(pairGen, 5).foreach { rawPairs =>
+      val pairs = rawPairs.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct.toDF("id_a", "id_b")
+      val clusters = graft.llm.Dedup.duplicateClusters(pairs)
+      val out = graft.llm.Sampling.clusterSafeSplit(
+        (0L until 200L).toDF("doc_id"), clusters, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      assert(out.count() == 200)
+      val spanning = out.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("k"))
+        .filter(col("k") > 1).count()
+      assert(spanning == 0L)
+    }
+  }
+
   test("repetitionRatio lands in [0,1) and is 0 iff all tokens distinct") {
     val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
     val cases = samples(Gen.nonEmptyListOf(word).map(_.mkString(" ")), 200)
