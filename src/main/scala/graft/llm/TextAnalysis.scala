@@ -210,7 +210,7 @@ object TextAnalysis {
     * mojibake bytes), so the identical replace chain reproduces in any
     * engine; sequences whose cp1252 rendering contains a C1 control
     * char (e.g. the right double quote) are deliberately excluded. */
-  private[llm] val MojibakeMap: Seq[(String, String)] = Seq(
+  private[graft] val MojibakeMap: Seq[(String, String)] = Seq(
     "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã¼" -> "ü", "Ã±" -> "ñ",
     "Ã§" -> "ç", "Ã¶" -> "ö", "Ã¤" -> "ä",
     "â€™" -> "’", "â€œ" -> "“", "â€¦" -> "…")
@@ -219,9 +219,12 @@ object TextAnalysis {
 
   /** Count of mojibake sequences in `text` — the encoding-damage score
     * a crawl pipeline thresholds on. Literal alternation (no classes),
-    * identical under Java and RE2 regex semantics. */
+    * identical under Java and RE2 regex semantics; regexp_count counts
+    * non-overlapping matches without materializing the match array
+    * (the DuckDB twin's len(regexp_extract_all(...)) is the same
+    * count). */
   def mojibakeHits(text: Column): Column =
-    size(regexp_extract_all(text, lit(mojibakePattern), lit(0))).cast("long")
+    regexp_count(text, lit(mojibakePattern)).cast("long")
 
   /** Repair double-encoded text by the table above: each sequence maps
     * back to the character whose UTF-8 bytes were mis-decoded. A

@@ -134,6 +134,36 @@ class PropertySpec extends SparkSpec {
     assert(out.count() == 5000)
   }
 
+  test("repairMojibake: corrupt→repair round-trips; repair is idempotent") {
+    // random texts over ASCII + every repairable character; corruption
+    // is the REVERSE map (the true chars re-encoded as their mojibake
+    // renderings). The alphabet excludes the raw lead bytes Ã/â so a
+    // pattern can only arise from the corruption itself. Idempotence
+    // holds structurally: no RHS char can complete an LHS pattern
+    // (second chars of the table are ©¨ª¼±§¶¤/€-family, disjoint from
+    // every RHS) — this pins that property against future table edits.
+    val alphabet = Gen.oneOf(('a' to 'z') ++ Seq(' ', '.', ',') ++
+      Seq('é', 'è', 'ê', 'ü', 'ñ', 'ç', 'ö', 'ä', '’', '“', '…'))
+    val textGen = Gen.listOfN(40, alphabet).map(_.mkString)
+    val texts = samples(textGen, 40)
+    def corrupt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.llm.TextAnalysis.MojibakeMap.foldLeft(c) { case (acc, (bad, good)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(good), bad)
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    import graft.llm.TextAnalysis.repairMojibake
+    val out = df.select(col("t").as("orig"),
+        repairMojibake(corrupt(col("t"))).as("roundtrip"),
+        repairMojibake(repairMojibake(corrupt(col("t")))).as("twice"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"round-trip broke: '${r.getString(0)}' -> '${r.getString(1)}'")
+      assert(r.getString(2) == r.getString(1), "repair not idempotent")
+    }
+  }
+
   test("clusterSafeSplit: no cluster ever spans a split boundary") {
     // random pair sets over a 200-id universe: whatever components they
     // induce, every member of a component must draw the same split, and
