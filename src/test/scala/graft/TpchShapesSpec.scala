@@ -122,6 +122,31 @@ class TpchShapesSpec extends SparkSpec {
     assert(total == expect, s"$total vs $expect")
   }
 
+  test("q12 plan: returnflag + shipdate predicates reach the lineitem scan") {
+    val scans = gate("tpch_q12_priority_lines").queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    val li = scans.filter(_.metadata("Location").contains("lineitem"))
+    assert(li.nonEmpty && li.forall { s =>
+      val pf = s.metadata("PushedFilters")
+      pf.contains("EqualTo(l_returnflag,R)") && pf.contains("GreaterThanOrEqual")
+    }, s"pushed: ${li.map(_.metadata("PushedFilters"))}")
+  }
+
+  test("q22 plan: anti join against the pre-filtered urgent slice") {
+    val plan = gate("tpch_q22_idle_balance").queryExecution.optimizedPlan
+    val antis = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty, "q22 lost its anti join")
+    // the urgent-priority filter sits UNDER the anti join (probe side is
+    // the slice, not all orders)
+    assert(antis.exists(_.right.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("1-URGENT") => f
+    }.nonEmpty), "urgent filter not under the anti join")
+  }
+
   test("q8/q17 plans: dims broadcast; only fact-sized joins shuffle") {
     // q17's per-part avg must come back as a BROADCAST (the slice is
     // part-bounded), leaving at most the one aggregation exchange pair
