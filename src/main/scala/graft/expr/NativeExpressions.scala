@@ -220,6 +220,82 @@ case class RollingHash64(child: Expression)
   * input UTF8String untouched for the already-NFC majority — no
   * String round-trip, no allocation.
   */
+/** Single-pass multi-pattern literal replacement: one left-to-right
+  * scan applying `pairs` (find → replacement) instead of one full
+  * string rebuild per pattern the equivalent `replace` chain pays.
+  * Equivalent to that chain — in any order — iff the pattern set is
+  * scan-safe: no pattern is a prefix of another, no proper suffix of
+  * one pattern is a prefix of another (so matches sit at the same
+  * positions no matter which applies first), and no replacement
+  * contains any pattern's lead character (so a rewrite can never seed
+  * a new match). Validated once per instance at table build; the
+  * mojibake table is the motivating user (11 chained rebuilds → 1
+  * scan, and a hit-free string returns UNTOUCHED — the clean-corpus
+  * fast path at 100 TB is find-first-lead-char and bail).
+  */
+case class ReplaceMany(child: Expression, pairs: Seq[(String, String)])
+    extends UnaryExpression with NativeUnaryCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "replace_many"
+
+  @transient private lazy val byLead: java.util.HashMap[Character, Array[(String, String)]] = {
+    require(pairs.nonEmpty && pairs.forall(_._1.nonEmpty), "empty pattern")
+    for ((a, _) <- pairs; (b, _) <- pairs if a != b) {
+      require(!b.startsWith(a), s"pattern '$a' is a prefix of '$b'")
+      (1 until a.length).foreach { i =>
+        require(!b.startsWith(a.substring(i)),
+          s"suffix of '$a' is a prefix of '$b' — order-dependent")
+      }
+    }
+    val leads = pairs.map(_._1.charAt(0)).toSet
+    for ((_, r) <- pairs; c <- r)
+      require(!leads.contains(c), s"replacement '$r' contains a lead char")
+    val m = new java.util.HashMap[Character, Array[(String, String)]]()
+    pairs.groupBy(_._1.charAt(0)).foreach { case (c, ps) =>
+      m.put(c, ps.toArray)
+    }
+    m
+  }
+
+  def computeUtf8(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val tbl = byLead
+    var first = -1
+    var i = 0
+    while (first < 0 && i < n) {
+      if (tbl.containsKey(str.charAt(i))) first = i
+      i += 1
+    }
+    if (first < 0) return s
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(str, 0, first)
+    i = first
+    while (i < n) {
+      val cands = tbl.get(str.charAt(i))
+      var advanced = false
+      if (cands != null) {
+        var k = 0
+        while (!advanced && k < cands.length) {
+          val p = cands(k)
+          if (str.startsWith(p._1, i)) {
+            sb.append(p._2); i += p._1.length; advanced = true
+          }
+          k += 1
+        }
+      }
+      if (!advanced) { sb.append(str.charAt(i)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeUtf8(input.asInstanceOf[UTF8String])
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.computeUtf8($c)"
+  override protected def withNewChildInternal(c: Expression): ReplaceMany = copy(child = c)
+}
+
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with NativeUnaryCodegen {
   override def dataType: DataType = StringType
@@ -816,6 +892,8 @@ object native {
     c(RemoveCoveredTokens(e(tokens), e(spans)))
   def deflateRatio(text: Column): Column = c(DeflateRatio(e(text)))
   def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
+  def replaceMany(text: Column, pairs: Seq[(String, String)]): Column =
+    c(ReplaceMany(e(text), pairs))
   def arrayDot(a: Column, b: Column): Column = c(ArrayDot(e(a), e(b)))
   def signSketches(vec: Column, nTables: Int, nBits: Int): Column =
     c(SignSketches(e(vec), nTables, nBits))

@@ -228,15 +228,17 @@ object TextAnalysis {
 
   /** Repair double-encoded text by the table above: each sequence maps
     * back to the character whose UTF-8 bytes were mis-decoded. A
-    * no-op on clean text, so it applies unconditionally — one
-    * codegen'd projection, scan → map at 100 TB (the general charset
-    * roundtrip needs a decoder with error-action control, which Spark 4
-    * surfaces as errors rather than U+FFFD; the table covers the
-    * sequences that dominate real crawls and stays expression-only). */
+    * no-op on clean text, so it applies unconditionally — ONE native
+    * single-scan projection ([[graft.expr.ReplaceMany]]: clean text
+    * returns untouched after a lead-char probe; damaged text pays one
+    * rebuild instead of the 11 chained `replace` rewrites), scan → map
+    * at 100 TB (the general charset roundtrip needs a decoder with
+    * error-action control, which Spark 4 surfaces as errors rather
+    * than U+FFFD; the table covers the sequences that dominate real
+    * crawls and stays expression-only). Equivalence to the replace
+    * chain — including idempotence — is pinned in PropertySpec. */
   def repairMojibake(text: Column): Column =
-    MojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
-      replace(c, lit(bad), lit(good))
-    }
+    graft.expr.native.replaceMany(text, MojibakeMap)
 
   /** Boilerplate detector: word n-grams occurring in more than
     * `minDocs` distinct documents (headers/footers/licenses in a crawl).

@@ -55,6 +55,9 @@ class NativeCodegenSpec extends SparkSpec {
       native.deflateRatio(col("text")).as("dr"),
       native.nfcNormalize(concat(col("text"),
         lit(" Cafe\u0301 A\u030A"))).as("nfc"),
+      native.replaceMany(concat(col("text"),
+          lit(" th\u00C3\u00A9 \u00E2\u20AC\u0153quote\u00E2\u20AC\u00A6 \u00C3\u00A9 \u00C3x \u00E2\u20AC")),
+        graft.llm.TextAnalysis.MojibakeMap).as("rm"),
       native.tokenKgramHashes(toks, 3).as("kg"),
       native.tokenKgramHashes128(toks, 3).as("kg2"),
       native.removeCoveredTokens(toks,

@@ -142,25 +142,41 @@ class PropertySpec extends SparkSpec {
     // holds structurally: no RHS char can complete an LHS pattern
     // (second chars of the table are ©¨ª¼±§¶¤/€-family, disjoint from
     // every RHS) — this pins that property against future table edits.
+    // lead chars Ã/â/€ appear RAW too, so partial patterns (a lead with
+    // no valid continuation) must pass through untouched
     val alphabet = Gen.oneOf(('a' to 'z') ++ Seq(' ', '.', ',') ++
-      Seq('é', 'è', 'ê', 'ü', 'ñ', 'ç', 'ö', 'ä', '’', '“', '…'))
+      Seq('é', 'è', 'ê', 'ü', 'ñ', 'ç', 'ö', 'ä', '’', '“', '…') ++
+      Seq('Ã', 'â', '€'))
     val textGen = Gen.listOfN(40, alphabet).map(_.mkString)
     val texts = samples(textGen, 40)
     def corrupt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.llm.TextAnalysis.MojibakeMap.foldLeft(c) { case (acc, (bad, good)) =>
         regexp_replace(acc, java.util.regex.Pattern.quote(good), bad)
       }
+    // the sequential replace chain — the reference semantics the native
+    // single-scan ReplaceMany must reproduce exactly
+    def chain(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.llm.TextAnalysis.MojibakeMap.foldLeft(c) { case (acc, (bad, good)) =>
+        replace(acc, lit(bad), lit(good))
+      }
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "t")
     import graft.llm.TextAnalysis.repairMojibake
     val out = df.select(col("t").as("orig"),
         repairMojibake(corrupt(col("t"))).as("roundtrip"),
-        repairMojibake(repairMojibake(corrupt(col("t")))).as("twice"))
+        repairMojibake(repairMojibake(corrupt(col("t")))).as("twice"),
+        chain(corrupt(col("t"))).as("viaChain"),
+        repairMojibake(col("t")).as("repairRaw"),
+        chain(col("t")).as("chainRaw"))
       .collect()
     out.foreach { r =>
       assert(r.getString(1) == r.getString(0),
         s"round-trip broke: '${r.getString(0)}' -> '${r.getString(1)}'")
       assert(r.getString(2) == r.getString(1), "repair not idempotent")
+      assert(r.getString(3) == r.getString(1),
+        s"native != replace chain on '${r.getString(0)}'")
+      assert(r.getString(4) == r.getString(5),
+        s"native != chain on raw text '${r.getString(0)}'")
     }
   }
 
