@@ -96,4 +96,35 @@ object LanguageModel {
           (col("c1").cast("double") + lit(k) * col("v").cast("double")))), 4)
         .as("avg_bigram_logp"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-K
+    * vocabulary — the tokenizer-coverage signal: a document whose token
+    * occurrences mostly fall outside the working vocabulary will
+    * fragment into byte-level pieces under the trained tokenizer
+    * (inflating its token budget) or is simply not in the target
+    * language/domain. Vocabulary selection is deterministic: top
+    * `vocabSize` words by (count DESC, word ASC), so the rank-boundary
+    * tie is byte-ordered identically in Spark and the SQL oracle.
+    *
+    * Scale design (100 TB): the frequency table is one word-keyed
+    * aggregation with map-side partials; the top-K cut is a TakeOrdered
+    * (O(vocabSize) partial state per task, no global sort); the
+    * vocabulary — vocabSize rows by construction — broadcasts to the
+    * membership join, so scoring is map-side over the token stream and
+    * the only remaining shuffle is the per-document mean.
+    */
+  def oovRate(df: DataFrame, vocabSize: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabSize)
+      .select(col("word"), lit(1).as("_inv"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        roundDet(avg(when(col("_inv").isNull, 1.0).otherwise(0.0)), 4)
+          .as("oov_rate"))
+  }
 }

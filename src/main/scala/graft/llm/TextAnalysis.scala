@@ -136,6 +136,51 @@ object TextAnalysis {
   def urlDomain(url: Column): Column =
     regexp_replace(lower(urlHost(url)), "^www\\.", "")
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: tracking noise that
+    * varies per click while addressing the same resource. Shared with the
+    * DuckDB oracle regex (Java∩RE2 subset).
+    */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+
+  /** URL canonicalization for crawl dedup: two spellings of one resource
+    * must hash identically before URL-level dedup, or the crawl admits
+    * every tracking-tagged variant as a distinct page. Applied rules
+    * (the conservative, semantics-preserving subset):
+    *   - scheme and host lowercased (path/query case is significant and
+    *     kept),
+    *   - default ports stripped (`:80` for http, `:443` for https),
+    *   - fragment dropped (never sent to the server),
+    *   - empty path becomes `/`,
+    *   - tracking parameters ([[TrackingParamRe]]) dropped and the
+    *     remaining query parameters sorted byte-wise (`a=1&b=2` ≡
+    *     `b=2&a=1`); an emptied query drops its `?`.
+    * Pure expression tree over one projection — the 100 TB path is
+    * scan → canonicalize → hash-dedup, no shuffle before the dedup key.
+    * The parameter filter is a HOF lambda (CodegenFallback) over the
+    * handful of `&`-split slices per URL — interpreted cost is bounded
+    * by URL length, not document length.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val pathRaw =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(pathRaw === "", lit("/")).otherwise(pathRaw)
+    // query = first '?' (not the last — [^#?]* cannot skip one) up to
+    // the fragment; a '?' inside the query stays part of it
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamRe))
+    val canonQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
   /** Per-domain frequency cap: keep at most `cap` documents per domain,
     * selected by a deterministic salted-md5 priority — the
     * over-represented-domain control a crawl pipeline applies before

@@ -1753,6 +1753,48 @@ object LlmQueries {
           countDistinct(col("cluster_id")).as("n_clusters"),
           graft.functions.countIf(col("doc_id") >= 1000000000L)
             .as("n_twins"))
+    }),
+
+    // URL canonicalization + canonical-URL dedup: three planted
+    // spellings per document — an uppercase-host/default-port/
+    // tracking-tagged/fragmented variant, its clean twin (same
+    // resource), and a per-(doc_id % 7) shared host-only URL — must
+    // collapse so each doc's two variants group together (n_variants =
+    // 2) and the 7 shared hosts accumulate corpus-wide groups. The
+    // group key is the canonical STRING itself, so the oracle replays
+    // the rule chain byte-for-byte (all regexes in the Java∩RE2 subset)
+    "x_url_canonicalize" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(7)).cast("string")
+      val id = col("doc_id").cast("string")
+      val raw = array(
+        concat(lit("HTTPS://Example"), k, lit(".ORG:443/Page/"), id,
+          lit("?utm_source=feed&b=2&a=1&fbclid=xyz#frag")),
+        concat(lit("https://example"), k, lit(".org/Page/"), id,
+          lit("?a=1&b=2")),
+        concat(lit("http://Mirror.example"), k, lit(".NET:80?ref=home")))
+      docs(s, dir)
+        .select(col("doc_id"), explode(raw).as("url"))
+        .select(col("doc_id"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"))
+    }),
+
+    // tokenizer-coverage signal: per-doc OOV rate against the corpus's
+    // own top-1000 vocabulary (count DESC, word ASC — the boundary tie
+    // is byte-ordered identically in both engines)
+    "x_oov_rate" -> ((s, dir) =>
+      graft.llm.LanguageModel.oovRate(docs(s, dir), vocabSize = 1000)),
+
+    // snapshot drift: PSI over the token-count distribution between two
+    // md5-bucket halves of the corpus (the portable split idiom), per-bin
+    // decomposition — no cross-engine sum of doubles in the gate output
+    "x_psi_drift" -> ((s, dir) => {
+      val bucket = Sampling.hashBucket(col("doc_id"), "drift")
+      graft.llm.Drift.psiTokenDrift(
+        docs(s, dir).filter(bucket < 500000),
+        docs(s, dir).filter(bucket >= 500000))
     })
   )
 
@@ -3371,6 +3413,98 @@ object LlmQueries {
            count(DISTINCT cluster_id)::BIGINT AS n_clusters,
            sum(CASE WHEN doc_id >= 1000000000 THEN 1 ELSE 0 END)::BIGINT
              AS n_twins
-         FROM sp GROUP BY 1"""
+         FROM sp GROUP BY 1""",
+
+    // byte-for-byte replay of TextAnalysis.canonicalizeUrl (all
+    // patterns in the Java∩RE2 subset; DuckDB list_sort/array_sort are
+    // both binary-collation ascending)
+    "x_url_canonicalize" ->
+      """WITH u AS (
+           SELECT doc_id, unnest([
+             'HTTPS://Example' || (doc_id % 7)::VARCHAR ||
+               '.ORG:443/Page/' || doc_id::VARCHAR ||
+               '?utm_source=feed&b=2&a=1&fbclid=xyz#frag',
+             'https://example' || (doc_id % 7)::VARCHAR ||
+               '.org/Page/' || doc_id::VARCHAR || '?a=1&b=2',
+             'http://Mirror.example' || (doc_id % 7)::VARCHAR ||
+               '.NET:80?ref=home']) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pathraw,
+             regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
+           FROM u),
+         f AS (
+           SELECT doc_id, scheme, hostraw, pathraw,
+             -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+             -- array_join: coalesce to keep the emptied-query rule equal
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)')
+             )), '&'), '') AS cq
+           FROM p),
+         c AS (
+           SELECT doc_id,
+             scheme || '://' ||
+             (CASE WHEN scheme = 'http'
+                     THEN regexp_replace(hostraw, ':80$', '')
+                   WHEN scheme = 'https'
+                     THEN regexp_replace(hostraw, ':443$', '')
+                   ELSE hostraw END) ||
+             (CASE WHEN pathraw = '' THEN '/' ELSE pathraw END) ||
+             (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url
+           FROM f)
+         SELECT canon_url, min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_variants
+         FROM c GROUP BY 1""",
+
+    "x_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         f AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+         v AS (SELECT word FROM f ORDER BY cnt DESC, word LIMIT 1000)
+         SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(CASE WHEN v.word IS NULL THEN 1.0 ELSE 0.0 END)
+             * 10000 + 0.5) / 10000 AS oov_rate
+         FROM t LEFT JOIN v ON t.word = v.word
+         GROUP BY t.doc_id""",
+
+    // PSI per-bin decomposition; smoothing (cnt+1)/(total+16) keeps
+    // empty bins finite; snapshot halves via the portable md5 bucket
+    "x_psi_drift" ->
+      """WITH d AS (
+           SELECT text,
+             ('0x' || substr(md5('drift:' || doc_id::VARCHAR), 25, 8))
+               ::BIGINT % 1000000 AS b
+           FROM documents),
+         bins AS (SELECT unnest(range(0, 16))::BIGINT AS bin),
+         rc AS (SELECT least(floor(len(string_split(text, ' ')) / 32.0),
+                  15)::BIGINT AS bin, count(*)::BIGINT AS cnt
+                FROM d WHERE b < 500000 GROUP BY 1),
+         cc AS (SELECT least(floor(len(string_split(text, ' ')) / 32.0),
+                  15)::BIGINT AS bin, count(*)::BIGINT AS cnt
+                FROM d WHERE b >= 500000 GROUP BY 1),
+         rt AS (SELECT coalesce(sum(cnt), 0) AS total FROM rc),
+         ct AS (SELECT coalesce(sum(cnt), 0) AS total FROM cc),
+         r AS (SELECT bin,
+                 (coalesce(rc.cnt, 0) + 1)::DOUBLE /
+                   (rt.total + 16)::DOUBLE AS ref_frac
+               FROM bins LEFT JOIN rc USING (bin) CROSS JOIN rt),
+         c AS (SELECT bin,
+                 (coalesce(cc.cnt, 0) + 1)::DOUBLE /
+                   (ct.total + 16)::DOUBLE AS cur_frac
+               FROM bins LEFT JOIN cc USING (bin) CROSS JOIN ct)
+         SELECT bin,
+           floor(ref_frac * 1000000 + 0.5) / 1000000 AS ref_frac,
+           floor(cur_frac * 1000000 + 0.5) / 1000000 AS cur_frac,
+           floor((cur_frac - ref_frac) * ln(cur_frac / ref_frac)
+             * 1000000 + 0.5) / 1000000 AS psi_contrib
+         FROM r JOIN c USING (bin)"""
   )
 }

@@ -17,6 +17,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.3333) < 1e-9)
   }
 
+  test("canonicalizeUrl applies the full rule chain") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("url")
+        .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+        .head().getString(0)
+    // host/scheme lowercased, default port stripped, tracking params
+    // dropped, survivors sorted, fragment dropped — path case kept
+    assert(canon("HTTPS://Example.ORG:443/Page/9?utm_source=f&b=2&a=1#x")
+      == "https://example.org/Page/9?a=1&b=2")
+    assert(canon("https://example.org/Page/9?a=1&b=2")
+      == "https://example.org/Page/9?a=1&b=2")
+    // empty path → "/", emptied query drops its '?'
+    assert(canon("http://Mirror.example.NET:80?ref=home")
+      == "http://mirror.example.net/")
+    // non-default port kept; :80 is NOT stripped from https
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+    // query '?' belongs to the query once one was seen; utm prefix
+    // family matches bare keys too
+    assert(canon("http://a.com/x?b=1?c=2&utm_campaign") == "http://a.com/x?b=1?c=2")
+    // non-tracking key sharing a tracking prefix as a VALUE survives
+    assert(canon("http://a.com/x?q=utm_source") == "http://a.com/x?q=utm_source")
+  }
+
   test("gopherFlags computes the rule signals and verdict") {
     val longText = (("the with have that cats " * 12).trim) // 60 words, mean len 3.8, 4 stop kinds
     val df = Seq(
