@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.roundDet
 
 /** Distribution-drift monitoring between corpus snapshots — the check a
   * continuously-refreshed training corpus runs before admitting a new
@@ -16,43 +15,60 @@ import graft.functions.roundDet
   * finite. Conventional reading: < 0.1 stable, 0.1–0.25 moderate drift,
   * > 0.25 action required.
   *
-  * Scale design (100 TB): each snapshot contributes ONE map-side-partial
-  * aggregation onto a fixed `nBins`-row spine (driver state is the bin
-  * count, a constant); the per-snapshot total is a one-row aggregate
-  * broadcast in; the final join is nBins × nBins-row. Nothing here is
-  * proportional to corpus size except the two scans. Output is per-bin
+  * Scale design (100 TB): each snapshot is scanned EXACTLY ONCE — both
+  * snapshots union into one tagged, map-side-partial aggregation onto
+  * the fixed bin spine, so the shuffle carries ≤ 2·nBins rows per task.
+  * The aggregate (≤ 2·nBins rows — a constant, like a trained quantizer)
+  * folds to fractions and per-bin PSI on the driver; nothing downstream
+  * of the single aggregation touches the corpus again. Output is per-bin
   * (the auditable evidence, and — deliberately — no cross-engine sum of
   * doubles: the scalar PSI is the trivial fold of the returned rows).
   */
 object Drift {
 
+  /** Tagged per-(side, bin) counts of the token-count histogram — the
+    * one corpus-sized aggregation behind [[psiTokenDrift]], exposed so
+    * the plan shape (one shuffle, one scan per snapshot) is assertable.
+    */
+  def binnedCounts(ref: DataFrame, cur: DataFrame, binWidth: Int,
+      nBins: Int, textCol: String): DataFrame = {
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.select(
+        least(
+          floor(size(split(col(textCol), " ")).cast("double") / binWidth),
+          lit((nBins - 1).toDouble)).cast("long").as("bin"),
+        lit(side).as("side"))
+    binned(ref, "ref").unionByName(binned(cur, "cur"))
+      .groupBy("side", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-bin PSI decomposition of the token-count distribution shift
     * between `ref` and `cur`. Returns (bin, ref_frac, cur_frac,
     * psi_contrib), fractions smoothed (cnt+1)/(total+nBins) and rounded
-    * at 1e-6 (the repo's cross-engine determinism floor).
+    * at 1e-6 (the repo's cross-engine determinism floor). PSI terms are
+    * computed from the UNROUNDED fractions, then rounded — matching the
+    * SQL oracle's evaluation order.
     */
   def psiTokenDrift(ref: DataFrame, cur: DataFrame, binWidth: Int = 32,
       nBins: Int = 16, textCol: String = "text"): DataFrame = {
     require(binWidth > 0 && nBins > 0, "binWidth and nBins must be positive")
-    def fracs(df: DataFrame, out: String): DataFrame = {
-      val spine = df.sparkSession.range(nBins.toLong)
-        .select(col("id").as("bin"))
-      val bin = least(
-        floor(size(split(col(textCol), " ")).cast("double") / binWidth),
-        lit((nBins - 1).toDouble)).cast("long").as("bin")
-      val counts = df.select(bin).groupBy("bin").agg(count(lit(1)).as("cnt"))
-      val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
-      spine.join(counts, Seq("bin"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("bin"),
-          ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-            (col("total") + lit(nBins.toLong)).cast("double")).as(out))
-    }
-    fracs(ref, "ref_frac").join(fracs(cur, "cur_frac"), Seq("bin"))
-      .select(col("bin"),
-        roundDet(col("ref_frac"), 6).as("ref_frac"),
-        roundDet(col("cur_frac"), 6).as("cur_frac"),
-        roundDet((col("cur_frac") - col("ref_frac")) *
-          log(col("cur_frac") / col("ref_frac")), 6).as("psi_contrib"))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val counts = binnedCounts(ref, cur, binWidth, nBins, textCol)
+      .collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("cnt"))
+      .toMap
+    def tot(side: String): Long =
+      (0L until nBins).map(b => counts.getOrElse((side, b), 0L)).sum
+    val (refTot, curTot) = (tot("ref"), tot("cur"))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def frac(side: String, total: Long, b: Long): Double =
+      (counts.getOrElse((side, b), 0L) + 1).toDouble / (total + nBins)
+    (0L until nBins).map { b =>
+      val rf = frac("ref", refTot, b)
+      val cf = frac("cur", curTot, b)
+      (b, r6(rf), r6(cf), r6((cf - rf) * math.log(cf / rf)))
+    }.toDF("bin", "ref_frac", "cur_frac", "psi_contrib")
   }
 }

@@ -19,6 +19,15 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(s - 1.0) < 1e-4, s"fracs sum to $s")
   }
 
+  test("binnedCounts scans each snapshot once through one aggregation") {
+    val ref = (0L until 20L).map(i => doc(i, 10)).toDF("doc_id", "text")
+    val cur = (0L until 20L).map(i => doc(i, 50)).toDF("doc_id", "text")
+    val (shuffles, _, _) =
+      graft.core.PlanAudit.counts(Drift.binnedCounts(ref, cur, 32, 16, "text"))
+    assert(shuffles == 1,
+      s"the corpus-sized work must be ONE tagged aggregation, got $shuffles")
+  }
+
   test("psiTokenDrift flags a shifted length distribution") {
     val ref = (0L until 60L).map(i => doc(i, 10)).toDF("doc_id", "text")
     val cur = (0L until 60L).map(i => doc(i, 200)).toDF("doc_id", "text")
