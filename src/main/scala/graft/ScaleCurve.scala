@@ -98,7 +98,8 @@ object ScaleCurve {
       // corpus scales those two tables)
       "x_pq_adc_topk", "x_pq_ivf_topk", "x_dsir_weights",
       "x_shard_assign", "x_html_extract", "x_incremental_dedup",
-      "x_encoding_repair", "x_cluster_safe_split")
+      "x_encoding_repair", "x_cluster_safe_split",
+      "x_url_canonicalize", "x_oov_rate", "x_psi_drift")
     val names = if (only.nonEmpty) allNames.filter(only.contains) else allNames
     println(f"${"query"}%-28s 1x(s)   ${mult}x(s)  ratio  (linear=$mult.0)")
     names.foreach { name =>
