@@ -38,6 +38,56 @@ class DriftSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("psi_contrib") >= 0.0))
   }
 
+  test("psiTokenDriftStream scores each window like the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = (0L until 30L)
+      .map(i => doc(i, 8 + (i % 4).toInt * 40)).toDF("doc_id", "text")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 01:05:00")
+    val mkText = (words: Int) => Seq.fill(words)("w").mkString(" ")
+    // stable window: drawn from the reference's own length mixture
+    val w1 = (0 until 20).map(i => (t1, mkText(8 + (i % 4) * 40)))
+    val w2 = (0 until 20).map(_ => (t2, mkText(200)))  // drifted window
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = Drift.psiTokenDriftStream(
+      mem.toDF.toDF("event_time", "text"), Drift.referenceFracs(ref),
+      windowDur = "1 hour")
+    assert(out.isStreaming, "the monitor must be a streaming plan")
+    val q = out.writeStream.format("memory").queryName("psi_stream")
+      .outputMode("complete").start()
+    try { mem.addData(w1 ++ w2: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("psi_stream").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Long]("bin")) ->
+        (r.getAs[Double]("ref_frac"), r.getAs[Double]("cur_frac"),
+          r.getAs[Double]("psi_contrib"))).toMap
+    assert(got.size == 32, "16 bins per emitted window")
+    // each window's rows equal the batch operator on that window's slice
+    for ((ts, docsDf) <- Seq(
+        t1 -> w1.map(_._2).zipWithIndex.map { case (t, i) => (i.toLong, t) },
+        t2 -> w2.map(_._2).zipWithIndex.map { case (t, i) => (i.toLong, t) })) {
+      val windowStart = java.sql.Timestamp.valueOf(
+        ts.toLocalDateTime.withMinute(0).withSecond(0))
+      val batch = Drift.psiTokenDrift(ref, docsDf.toDF("doc_id", "text"))
+        .collect()
+      batch.foreach { r =>
+        val key = (windowStart, r.getAs[Long]("bin"))
+        assert(got(key) == ((r.getAs[Double]("ref_frac"),
+          r.getAs[Double]("cur_frac"), r.getAs[Double]("psi_contrib"))),
+          s"window $windowStart bin ${r.getAs[Long]("bin")}")
+      }
+    }
+    // the drifted window crosses the action threshold; the stable one not
+    def psiSum(ts: java.sql.Timestamp): Double = {
+      val ws = java.sql.Timestamp.valueOf(
+        ts.toLocalDateTime.withMinute(0).withSecond(0))
+      got.collect { case ((w, _), (_, _, p)) if w == ws => p }.sum
+    }
+    assert(psiSum(t2) > 0.25 && psiSum(t1) < 0.25)
+  }
+
   test("oovRate scores vocabulary coverage with a deterministic boundary") {
     // corpus vocabulary: "aa" (4 occurrences), "bb" (2), "zz" (2) — with
     // vocabSize = 2 the cnt-DESC/word-ASC order keeps {aa, bb}, so the
