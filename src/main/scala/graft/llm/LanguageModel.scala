@@ -114,17 +114,35 @@ object LanguageModel {
     * the only remaining shuffle is the per-document mean.
     */
   def oovRate(df: DataFrame, vocabSize: Int = 1000,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(split(col(textCol), " ")).as("word"))
-    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    oovRateWithVocab(df, trainVocab(df, vocabSize, textCol),
+      textCol, idCol)
+
+  /** The vocabulary cut behind [[oovRate]], separable as trained state
+    * (the DSIR-table / quantizer lifecycle): one word-keyed aggregation
+    * + TakeOrdered over the training corpus, persisted once, reused by
+    * every subsequent scoring pass — so scoring a new delivery (or a
+    * stream) costs one corpus scan, not a vocabulary retrain.
+    */
+  def trainVocab(df: DataFrame, vocabSize: Int = 1000,
+      textCol: String = "text"): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(vocabSize)
-      .select(col("word"), lit(1).as("_inv"))
-    toks.join(broadcast(vocab), Seq("word"), "left")
+      .select(col("word"))
+
+  /** [[oovRate]] against a pretrained `vocab` (one `word` column):
+    * broadcast membership join over the token stream, one per-document
+    * mean shuffle — the frozen-vocabulary scoring pass.
+    */
+  def oovRateWithVocab(df: DataFrame, vocab: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(vocab.select(col("word"), lit(1).as("_inv"))),
+        Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         roundDet(avg(when(col("_inv").isNull, 1.0).otherwise(0.0)), 4)
           .as("oov_rate"))
-  }
 }

@@ -88,6 +88,41 @@ class DriftSpec extends SparkSpec {
     assert(psiSum(t2) > 0.25 && psiSum(t1) < 0.25)
   }
 
+  test("psiTokenDriftStream finalizes windows under append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = (0L until 16L).map(i => doc(i, 10)).toDF("doc_id", "text")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:05:00")
+    val late = java.sql.Timestamp.valueOf("2026-01-01 02:30:00")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = Drift.psiTokenDriftStream(
+      mem.toDF.toDF("event_time", "text"), Drift.referenceFracs(ref),
+      windowDur = "1 hour")
+    val q = out.writeStream.format("memory").queryName("psi_append")
+      .outputMode("append").start()
+    try {
+      mem.addData((0 until 8).map(_ => (t1, "w w w")): _*)
+      q.processAllAvailable()
+      // window still open: nothing emitted yet
+      assert(spark.table("psi_append").isEmpty)
+      // an event past watermarkDelay beyond the window closes it
+      mem.addData((late, "w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("psi_append").collect()
+    assert(rows.length == 16, "the closed window emits its 16 bins once")
+  }
+
+  test("oovRateWithVocab scores new deliveries against frozen state") {
+    val train = Seq((0L, "aa aa bb")).toDF("doc_id", "text")
+    val vocab = LanguageModel.trainVocab(train, vocabSize = 2)
+    // unseen delivery: "aa" and "bb" covered, "zz" OOV
+    val delivery = Seq((7L, "aa zz bb zz")).toDF("doc_id", "text")
+    val r = LanguageModel.oovRateWithVocab(delivery, vocab).head()
+    assert(r.getAs[Long]("n_tokens") == 4L &&
+      r.getAs[Double]("oov_rate") == 0.5)
+  }
+
   test("oovRate scores vocabulary coverage with a deterministic boundary") {
     // corpus vocabulary: "aa" (4 occurrences), "bb" (2), "zz" (2) — with
     // vocabSize = 2 the cnt-DESC/word-ASC order keeps {aa, bb}, so the
