@@ -177,8 +177,12 @@ object TextAnalysis {
     val kept = filter(split(query, "&"),
       p => p =!= lit("") && !p.rlike(TrackingParamRe))
     val canonQ = array_join(array_sort(kept), "&")
-    concat(scheme, lit("://"), host, path,
-      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+    // a string with no scheme://host prefix is not a URL this grammar
+    // covers — pass it through unchanged rather than emitting "://"
+    // + fragments of the input as a fabricated key
+    when(scheme === "" || hostRaw === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
   }
 
   /** Per-domain frequency cap: keep at most `cap` documents per domain,

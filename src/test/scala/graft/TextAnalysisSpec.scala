@@ -39,6 +39,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(canon("http://a.com/x?b=1?c=2&utm_campaign") == "http://a.com/x?b=1?c=2")
     // non-tracking key sharing a tracking prefix as a VALUE survives
     assert(canon("http://a.com/x?q=utm_source") == "http://a.com/x?q=utm_source")
+    // not a scheme://host URL → passed through unchanged, never "://"+junk
+    assert(canon("not a url") == "not a url")
+    assert(canon("/relative/path?a=1") == "/relative/path?a=1")
+    assert(canon("mailto:x@y.z") == "mailto:x@y.z")
+  }
+
+  test("canonicalizeUrl is idempotent (a dedup key must be a fixpoint)") {
+    import org.scalacheck.Gen
+    val seg = Gen.oneOf("Page", "a", "x%20y", "UP", "1")
+    val param = Gen.oneOf("a=1", "b=2", "utm_source=f", "ref=home", "q=utm_x",
+      "gclid=1", "B=%3d", "c")
+    val gen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTPS", "ftp")
+      host <- Gen.oneOf("A.com", "a.com:8080", "www.B.org:443", "c.net:80")
+      segs <- Gen.listOfN(2, seg)
+      ps <- Gen.listOf(param)
+      frag <- Gen.oneOf("", "#f", "#a?b")
+    } yield s"$scheme://$host/${segs.mkString("/")}" +
+      (if (ps.isEmpty) "" else ps.mkString("?", "&", "")) + frag
+    val urls = Gen.listOfN(120, gen).sample.get
+    val once = urls.toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    once.zip(twice).foreach { case (a, b) => assert(a == b, s"not a fixpoint: $a") }
   }
 
   test("gopherFlags computes the rule signals and verdict") {
