@@ -138,10 +138,15 @@ object TextAnalysis {
 
   /** Query parameters dropped by [[canonicalizeUrl]]: tracking noise that
     * varies per click while addressing the same resource. Shared with the
-    * DuckDB oracle regex (Java∩RE2 subset).
+    * DuckDB oracle regex (Java∩RE2 subset) — the terminator is `\z`
+    * (end of TEXT in both engines), not `$`, which Java alone lets match
+    * before a trailing newline. Bare `ref` is deliberately NOT in the
+    * list: on many sites it is a functional routing parameter
+    * (`?ref=main` selecting content), and dropping it would collapse
+    * distinct pages — only the unambiguous tracker families are safe.
     */
   val TrackingParamRe: String =
-    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|mc_cid|mc_eid)(=|\\z)"
 
   /** URL canonicalization for crawl dedup: two spellings of one resource
     * must hash identically before URL-level dedup, or the crawl admits
@@ -163,10 +168,15 @@ object TextAnalysis {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostRaw = lower(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+    // userinfo (case-SENSITIVE per RFC 3986 — credentials) split off the
+    // authority before the host is lowercased; greedy up-to-last-@, since
+    // a host cannot contain '@'
+    val userinfo =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    val hostRaw = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443\\z", ""))
       .otherwise(hostRaw)
     val pathRaw =
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
@@ -181,7 +191,7 @@ object TextAnalysis {
     // covers — pass it through unchanged rather than emitting "://"
     // + fragments of the input as a fabricated key
     when(scheme === "" || hostRaw === "", url)
-      .otherwise(concat(scheme, lit("://"), host, path,
+      .otherwise(concat(scheme, lit("://"), userinfo, host, path,
         when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
   }
 

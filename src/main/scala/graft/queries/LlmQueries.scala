@@ -3430,35 +3430,39 @@ object LlmQueries {
                '.NET:80?ref=home']) AS url
            FROM documents),
          p AS (
-           SELECT doc_id,
+           SELECT doc_id, url,
              lower(regexp_extract(url,
                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) AS userinfo,
              lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)',
+               1)) AS hostraw,
              regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pathraw,
              regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
            FROM u),
          f AS (
-           SELECT doc_id, scheme, hostraw, pathraw,
+           SELECT doc_id, url, scheme, userinfo, hostraw, pathraw,
              -- array_to_string([]) is NULL in DuckDB but '' in Spark's
              -- array_join: coalesce to keep the emptied-query rule equal
              coalesce(array_to_string(list_sort(list_filter(
                string_split(q, '&'),
                x -> x <> '' AND NOT regexp_matches(x,
-                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)')
+                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|mc_cid|mc_eid)(=|\z)')
              )), '&'), '') AS cq
            FROM p),
          c AS (
            SELECT doc_id,
-             scheme || '://' ||
+             CASE WHEN scheme = '' OR hostraw = '' THEN url ELSE
+             scheme || '://' || userinfo ||
              (CASE WHEN scheme = 'http'
-                     THEN regexp_replace(hostraw, ':80$', '')
+                     THEN regexp_replace(hostraw, ':80\z', '')
                    WHEN scheme = 'https'
-                     THEN regexp_replace(hostraw, ':443$', '')
+                     THEN regexp_replace(hostraw, ':443\z', '')
                    ELSE hostraw END) ||
              (CASE WHEN pathraw = '' THEN '/' ELSE pathraw END) ||
-             (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url
+             (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) END AS canon_url
            FROM f)
          SELECT canon_url, min(doc_id) AS keep_id,
            count(*)::BIGINT AS n_variants
