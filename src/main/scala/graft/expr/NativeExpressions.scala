@@ -227,8 +227,9 @@ case class RollingHash64(child: Expression)
   * scan-safe: no pattern is a prefix of another, no proper suffix of
   * one pattern is a prefix of another (so matches sit at the same
   * positions no matter which applies first), and no replacement
-  * contains any pattern's lead character (so a rewrite can never seed
-  * a new match). Validated once per instance at table build; the
+  * contains any character occurring in any pattern (so a rewrite can
+  * never seed a new match, even one straddling untouched adjacent
+  * text). Validated once per instance at table build; the
   * mojibake table is the motivating user (11 chained rebuilds → 1
   * scan, and a hit-free string returns UNTOUCHED — the clean-corpus
   * fast path at 100 TB is find-first-lead-char and bail).
@@ -247,9 +248,15 @@ case class ReplaceMany(child: Expression, pairs: Seq[(String, String)])
           s"suffix of '$a' is a prefix of '$b' — order-dependent")
       }
     }
-    val leads = pairs.map(_._1.charAt(0)).toSet
+    // a replacement char occurring ANYWHERE in any pattern (not just as
+    // a lead) can seed a new match against adjacent untouched text
+    // (e.g. (ab→X),(cX→Y) on "cab": the chain yields "Y", the scan
+    // "cX") — ban every pattern char, which is what actually makes the
+    // scan order-independent
+    val patternChars = pairs.flatMap(_._1).toSet
     for ((_, r) <- pairs; c <- r)
-      require(!leads.contains(c), s"replacement '$r' contains a lead char")
+      require(!patternChars.contains(c),
+        s"replacement '$r' contains a pattern char '$c'")
     val m = new java.util.HashMap[Character, Array[(String, String)]]()
     pairs.groupBy(_._1.charAt(0)).foreach { case (c, ps) =>
       m.put(c, ps.toArray)

@@ -1051,9 +1051,27 @@ object Similarity {
         graft.expr.native.pqAdcDist(col("qunit"), col("codes"), codebooks)
           .as("adc"))
     val candidates = adcCandidateCut(adc, rerank)
-    // rerank: vectors fetched for candidates only, still cell-pruned
-    val cVec = scan.select(col(idCol).as("neighbor_id"),
+    // rerank: vectors fetched for candidates only, still cell-pruned.
+    // A bare join would bound only the join OUTPUT — the scan would
+    // still read the wide vector column for every probed-cell row. The
+    // candidate id set (config-bounded: ≤ |queries| × rerank) is
+    // collected and becomes an isin predicate ON the vector scan, so
+    // the filter reaches the parquet reader and only candidate rows
+    // survive to the join. The collect re-runs the ADC sweep once at
+    // build — two passes over the M-byte codes column cost far less
+    // than one wide-vector read of every probed-cell row, and keeping
+    // `candidates` lazy leaves the codes-only scan contract assertable
+    // on the returned plan. Above the pushdown bound, fall back to the
+    // plain join rather than shipping a huge literal list.
+    val maxPushdownIds = 100000
+    val candIds = candidates.select("neighbor_id").distinct()
+      .limit(maxPushdownIds + 1).collect().map(_.getLong(0))
+    val cVecBase = scan.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cvec"))
+    val cVec =
+      if (candIds.length <= maxPushdownIds)
+        cVecBase.filter(col("neighbor_id").isin(candIds: _*))
+      else cVecBase
     val rescored = candidates
       .join(broadcast(qBase), Seq("query_id"))
       .join(cVec, Seq("neighbor_id"))

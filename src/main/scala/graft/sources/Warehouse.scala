@@ -252,6 +252,13 @@ object Warehouse {
     val spark = df.sparkSession
     val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
     val gen = f"gen-$v%09d"
+    // an existing dir at the NEXT version can only be a crashed earlier
+    // attempt (a committed one would have bumped the version): reclaim
+    // it, exactly as the tagged path does — otherwise errorifexists
+    // wedges every retry and vacuum (ledger-scoped) can't reach it
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$gen")
+    if (fs.exists(dir)) fs.delete(dir, true)
     val w = df.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$root/$gen")
@@ -355,7 +362,9 @@ object Warehouse {
     * unknown `gen-*` directory may be an in-flight (or crashed) append
     * — deleting it would make the upcoming commit point at nothing.
     * Orphans from crashed appends are instead reclaimed by the retry
-    * itself ([[deltaAppendTagged]] deletes-and-rewrites its own tag).
+    * itself: [[deltaAppendTagged]] deletes-and-rewrites its own tag,
+    * and [[deltaAppend]] deletes an uncommitted directory squatting on
+    * the next version before writing.
     */
   def vacuumDeltaLog(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)

@@ -36,12 +36,17 @@ final case class StatusChange(station_id: String, num_bikes: Long,
   * schema-evolvable state — the API Spark 4 positions for new stateful
   * operators; this operator doubles as the engine's coverage of it.
   */
-class ChangeCompactor extends StatefulProcessor[String, StatusTick, StatusChange] {
+class ChangeCompactor(ttl: Option[java.time.Duration] = None)
+    extends StatefulProcessor[String, StatusTick, StatusChange] {
   @transient private var last: ValueState[Long] = _
 
+  // ttl is a CONSTRUCTOR field so it serializes with the processor to
+  // executor JVMs — a companion-object var would only ever mutate the
+  // driver's copy (silently unbounded state on a real cluster) and
+  // race between concurrent queries in one JVM
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     last = getHandle.getValueState[Long]("last_bikes", Encoders.scalaLong,
-      ChangeCompactor.ttlFor(timeMode))
+      ChangeCompactor.ttlFor(ttl, timeMode))
 
   override def handleInputRows(key: String, rows: Iterator[StatusTick],
       timers: TimerValues): Iterator[StatusChange] = {
@@ -77,8 +82,8 @@ object ChangeCompactor {
     * processing-time mode (keys silent past the TTL re-emit as fresh —
     * the state-size bound for unbounded key spaces), unbounded under
     * TimeMode.None (TTL requires a processing-time clock). */
-  @volatile var stateTtl: Option[java.time.Duration] = None
-  private def ttlFor(timeMode: TimeMode): TTLConfig = stateTtl match {
+  private[streaming] def ttlFor(ttl: Option[java.time.Duration],
+      timeMode: TimeMode): TTLConfig = ttl match {
     case Some(d) if timeMode == TimeMode.ProcessingTime() => TTLConfig(d)
     case _ => TTLConfig.NONE
   }
@@ -110,10 +115,10 @@ object ChangeFilter {
       ttl: Option[java.time.Duration] = None): Dataset[StatusChange] = {
     val spark = ticks.sparkSession
     import spark.implicits._
-    ChangeCompactor.stateTtl = ttl
     val timeMode =
       if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ticks.groupByKey(_.station_id)
-      .transformWithState(new ChangeCompactor, timeMode, OutputMode.Append())
+      .transformWithState(new ChangeCompactor(ttl), timeMode,
+        OutputMode.Append())
   }
 }

@@ -43,6 +43,22 @@ class CompactionSpec extends SparkSpec {
     assert(Warehouse.deltaRead(spark, root).count() == 5)
   }
 
+  test("deltaAppend retries over an orphan from a crashed earlier attempt") {
+    val root = tmpDir("graft-orphan") + "/log"
+    Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)
+    // simulate a crash BETWEEN the parquet write and the manifest
+    // commit: the next version's directory exists, uncommitted
+    Seq((99L, "junk")).toDF("id", "v")
+      .write.parquet(s"$root/gen-000000002")
+    assert(Warehouse.committedGenerations(spark, root).size == 1)
+    // the retry must reclaim the orphan, not wedge on errorifexists —
+    // and the committed generation holds the RETRY's rows
+    Warehouse.deltaAppend(Seq((2L, "b")).toDF("id", "v"), root)
+    val rows = Warehouse.deltaRead(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set(1L -> "a", 2L -> "b"))
+  }
+
   test("index compaction preserves admission semantics end-to-end") {
     val d = (0L until 400L).map(i =>
       (i, s"doc $i body ${"w" + i % 50} tail ${"u" + i % 7}"))

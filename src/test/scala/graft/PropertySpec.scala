@@ -329,4 +329,17 @@ class PropertySpec extends SparkSpec {
       assert(r == rate && out.toSeq == pcm.toSeq, s"wav rate=$rate n=$n")
     }
   }
+
+  test("ReplaceMany rejects a replacement containing ANY pattern char") {
+    // (ab→X),(cX→Y) passes a lead-char-only check yet diverges from the
+    // replace chain on "cab" (chain: "Y"; scan: "cX") — the validator
+    // must ban replacement chars occurring anywhere in any pattern
+    val bad = graft.expr.ReplaceMany(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      Seq("ab" -> "X", "cX" -> "Y"))
+    intercept[IllegalArgumentException] {
+      bad.computeUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString("cab"))
+    }
+  }
 }

@@ -169,6 +169,12 @@ class ScaleOpsSpec extends SparkSpec {
     assert(readSchemas.nonEmpty, s"no codes-bearing scan in:\n$planStr")
     assert(readSchemas.forall(!_.contains("embedding")),
       s"ADC branch scan reads the vector column:\n${readSchemas.mkString("\n")}")
+    // rerank re-attach: the candidate id set must FILTER the vector
+    // scan (isin/INSET), not merely bound the join output — otherwise
+    // the wide column is read for every probed-cell row
+    assert(planStr.contains("INSET") || planStr.contains("neighbor_id#") &&
+      planStr.contains(" IN "),
+      s"no candidate-id pushdown on the rerank vector scan:\n$planStr")
     // recall floor vs the exact baseline on the natural corpus (floor
     // below the measured value with margin; a quantizer/codebook/probe
     // regression fails loudly). PqProbe r12 sweep at this corpus:
