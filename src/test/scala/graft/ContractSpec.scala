@@ -74,7 +74,9 @@ class ContractSpec extends SparkSpec {
           "twin is the planted-twin equality oracle (ANN answers have " +
           "no cheap exact SQL twin)"),
       "x_pq_ivf_topk" ->
-        "IVF-PQ index search lifecycle vs the same equality oracle",
+        ("IVF-PQ index search lifecycle vs the same equality oracle; " +
+          "includes the rerank candidate-id pushdown's extra driver " +
+          "round (one collect of the bounded candidate pairs)"),
       "x_bpe_train_scaled" ->
         ("1024-merge iterative trainer vs the oracle's static ranking " +
           "(the equivalence IS the property under test)"),

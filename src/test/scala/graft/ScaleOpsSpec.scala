@@ -160,21 +160,26 @@ class ScaleOpsSpec extends SparkSpec {
       .filter(col("cid").isin(probes.map(Int.box).toIndexedSeq: _*))
     assert(Warehouse.partitionsRead(scan) <= probes.length,
       s"search must read <= ${probes.length} probed cells")
-    // compressed-domain contract: the ADC branch's parquet scan reads
-    // (id, codes) WITHOUT the wide vector column; the vector column
-    // appears only on the rerank re-attach branch
-    val planStr = res.queryExecution.executedPlan.toString
-    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(planStr).toSeq
+    // compressed-domain contract: the ADC sweep's parquet scan reads
+    // (id, codes) WITHOUT the wide vector column
+    val sweepStr = graft.llm.Similarity.ivfPqAdcSweep(spark, idx, queries,
+      graft.llm.IvfQuantizer(cents), cbs, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(sweepStr).toSeq
       .filter(_.contains("codes"))
-    assert(readSchemas.nonEmpty, s"no codes-bearing scan in:\n$planStr")
+    assert(readSchemas.nonEmpty, s"no codes-bearing scan in:\n$sweepStr")
     assert(readSchemas.forall(!_.contains("embedding")),
-      s"ADC branch scan reads the vector column:\n${readSchemas.mkString("\n")}")
-    // rerank re-attach: the candidate id set must FILTER the vector
-    // scan (isin/INSET), not merely bound the join output — otherwise
-    // the wide column is read for every probed-cell row
-    assert(planStr.contains("INSET") || planStr.contains("neighbor_id#") &&
-      planStr.contains(" IN "),
+      s"ADC sweep scan reads the vector column:\n${readSchemas.mkString("\n")}")
+    // rerank re-attach: the collected candidate id set must FILTER the
+    // vector scan (isin/INSET), not merely bound the join output —
+    // otherwise the wide column is read for every probed-cell row; the
+    // sweep itself ran once at build (no codes scan left in this plan)
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(planStr.contains("INSET") ||
+      planStr.contains("neighbor_id#") && planStr.contains(" IN "),
       s"no candidate-id pushdown on the rerank vector scan:\n$planStr")
+    assert(!"ReadSchema: [^\\n]*".r.findAllIn(planStr).exists(_.contains("codes")),
+      "single-sweep contract: the rerank plan must not re-sweep codes")
     // recall floor vs the exact baseline on the natural corpus (floor
     // below the measured value with margin; a quantizer/codebook/probe
     // regression fails loudly). PqProbe r12 sweep at this corpus:
