@@ -741,4 +741,59 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Quality-aware canonical selection per duplicate cluster: keep the
+    * member maximizing `scoreCol` (smallest id on ties) instead of the
+    * min-id convention [[dropNearDuplicates]] uses — at curation time
+    * the surviving copy of a duplicated page should be the BEST one
+    * (longest, highest quality score), not the accidentally
+    * first-crawled one (the "keep best" policy of public dedup
+    * pipelines, e.g. CCNet's per-cluster selection).
+    *
+    * `clusters` is [[duplicateClusters]] output (id, cluster_id); docs
+    * absent from it are their own singleton cluster — same contract as
+    * [[Sampling.clusterSafeSplit]]. The cluster table is ∝ actual
+    * duplication, so its join broadcasts; selection and the member
+    * count ride ONE aggregation: `max(struct(score, ~id))` is a plain
+    * O(1)-state declarative argmax (bitwise NOT turns the struct's
+    * lexicographic descending id order into the ascending tie-break,
+    * with no `Long.MinValue` negation overflow), so a hot cluster
+    * (boilerplate duplicated millions of times at crawl scale) never
+    * funnels through one reducer sort and the whole operator is a
+    * single shuffle. Non-integral id types route through
+    * [[graft.operators.TopK.grouped]]'s window fallback.
+    *
+    * Output: one row per cluster — (cluster_id, rep_id, rep_score,
+    * n_members).
+    */
+  def clusterRepresentatives(docs: DataFrame, clusters: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val c = broadcast(clusters.select(col("id").as("__cr_id"),
+      col("cluster_id").as("__cr_cluster")))
+    val withCluster = docs
+      .join(c, docs(idCol) === col("__cr_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cr_cluster"), col(idCol)))
+      .drop("__cr_id", "__cr_cluster")
+    import org.apache.spark.sql.types._
+    val integralId = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId)
+      withCluster.groupBy("cluster_id")
+        .agg(max(struct(col(scoreCol), bitwise_not(col(idCol)).as("__nid")))
+          .as("__m"), count(lit(1)).as("n_members"))
+        .select(col("cluster_id"),
+          bitwise_not(col("__m.__nid")).as("rep_id"),
+          col(s"__m.$scoreCol").as("rep_score"), col("n_members"))
+    else {
+      val sizes = withCluster.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      graft.operators.TopK.grouped(withCluster, "cluster_id",
+          scoreCol, idCol, k = 1, idAscending = true)
+        .select(col("cluster_id"), col(idCol).as("rep_id"),
+          col(scoreCol).as("rep_score"))
+        .join(sizes, Seq("cluster_id"))
+    }
+  }
 }

@@ -57,17 +57,23 @@ object Sampling {
     * `clusters` is [[Dedup.duplicateClusters]] output (id, cluster_id);
     * documents absent from it are their own singleton cluster. The
     * cluster table is ∝ the corpus's actual duplication (≪ corpus on
-    * real crawls), so the join broadcasts; assignment itself is the
-    * same portable md5-bucket rule as [[hashSplit]] — no extra shuffle
-    * beyond the one join. */
+    * real crawls), so the join is broadcast-hinted; assignment itself
+    * is the same portable md5-bucket rule as [[hashSplit]] — no extra
+    * shuffle beyond the one join. Output carries the effective split
+    * key as `cluster_id` — REPLACING any incoming column of that name
+    * (the join itself works through namespaced internal columns, so an
+    * input that already has `cluster_id` never hits an
+    * ambiguous-reference failure). */
   def clusterSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
-    val c = clusters.select(col("id").as("__cs_id"), col("cluster_id"))
+    val c = broadcast(clusters.select(col("id").as("__cs_id"),
+      col("cluster_id").as("__cs_cluster")))
     val withCluster = df
       .join(c, df(idCol) === col("__cs_id"), "left")
       .drop("__cs_id")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("cluster_id", coalesce(col("__cs_cluster"), col(idCol)))
+      .drop("__cs_cluster")
     hashSplit(withCluster, "cluster_id", splits)
   }
 

@@ -533,30 +533,29 @@ object Similarity {
   }
 
   /** Per-query top-k by (cosine DESC, neighbor_id ASC) via the bounded
-    * top-k aggregate ([[graft.operators.TopK.grouped]]): O(k) partial
-    * state per (task, query) instead of a full candidate-group sort per
-    * query — the negated id turns the aggregate's descending tie-break
-    * into the ascending one the exact baseline uses. Output matches
+    * top-k aggregate ([[graft.operators.TopK.grouped]] with
+    * `idAscending = true`): O(k) partial state per (task, query)
+    * instead of a full candidate-group sort per query, and the id may
+    * be ANY orderable type (integral ids keep the bounded scale path;
+    * others route to the window fallback inside TopK). Output matches
     * [[bruteForceTopK]]: (query_id, rank, neighbor_id, cos_sim).
     */
   private def rankByCosine(scored: DataFrame, k: Int): DataFrame =
     graft.operators.TopK.grouped(
-      scored.withColumn("nid", -col("neighbor_id")),
-      "query_id", "cos_raw", "nid", k)
-      .select(col("query_id"), col("rank"), (-col("nid")).as("neighbor_id"),
+      scored, "query_id", "cos_raw", "neighbor_id", k, idAscending = true)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
         roundDet(col("cos_raw"), 6).as("cos_sim"))
 
   /** Per-query smallest-`rerank` ADC candidate cut, same bounded-agg
-    * shape (negate distance AND id so "largest" = smallest distance,
-    * ascending-id ties). This replaces the `row_number` window that made
-    * every reducer sort a corpus-sized group per query — the flat-PQ
-    * scale-killer. */
+    * shape (negate the double-typed distance so "largest" = smallest —
+    * total on doubles — with ascending-id ties via the TopK flag). This
+    * replaces the `row_number` window that made every reducer sort a
+    * corpus-sized group per query — the flat-PQ scale-killer. */
   private def adcCandidateCut(adc: DataFrame, rerank: Int): DataFrame =
     graft.operators.TopK.grouped(
-      adc.withColumn("nadc", -col("adc"))
-        .withColumn("nid", -col("neighbor_id")),
-      "query_id", "nadc", "nid", rerank)
-      .select(col("query_id"), (-col("nid")).as("neighbor_id"))
+      adc.withColumn("nadc", -col("adc")),
+      "query_id", "nadc", "neighbor_id", rerank, idAscending = true)
+      .select(col("query_id"), col("neighbor_id"))
 
   /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023 —
     * the public recipe: k-means the embeddings, dedup WITHIN clusters
@@ -1027,12 +1026,23 @@ object Similarity {
     * per-subspace minimum ADC distance within that cell, and exact
     * rerank ranks it at cos 1.0 — so recall on the twin set is 1
     * end-to-end.
+    *
+    * `maxPushdownIds` bounds the candidate-id pushdown: at most that
+    * many (query, candidate) pairs are collected to the driver to build
+    * the `isin` predicate that reaches the vector scan. Pass 0 to force
+    * the always-lazy join shape. CAVEAT on the lazy/fallback path: the
+    * ADC sweep executes TWICE — once for the `limit(max+1)` probe that
+    * discovers the overflow (skipped entirely when `maxPushdownIds`
+    * is 0) and once inside the final plan — so choose 0 up front when
+    * the probe batch is known to be corpus-sized.
     */
   def ivfPqSearchIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int,
       quantizer: IvfQuantizer, codebooks: Seq[Seq[Seq[Double]]],
       nProbe: Int = 4, rerank: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxPushdownIds: Int = 100000): DataFrame = {
+    require(maxPushdownIds >= 0, "maxPushdownIds must be >= 0 (0 = lazy)")
     require(quantizer.centroids.nonEmpty && codebooks.nonEmpty,
       "ivfPqSearchIndex needs the index's quantizer and codebooks")
     require(rerank >= k, "rerank candidate cut must be >= k")
@@ -1058,8 +1068,9 @@ object Similarity {
     // corpus-vs-corpus batch) the fully-lazy join shape applies: the
     // probe's sweep is discarded and re-runs in the final plan —
     // acceptable on the path whose candidate set is itself
-    // corpus-sized, where no literal list could be shipped anyway.
-    val maxPushdownIds = 100000
+    // corpus-sized, where no literal list could be shipped anyway;
+    // callers that KNOW the batch is corpus-sized pass
+    // maxPushdownIds = 0 to skip the doomed probe too.
     val cVecBase = scan.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cvec"))
     val rescoredOf = (cand: DataFrame, cVec: DataFrame) => cand
@@ -1067,9 +1078,10 @@ object Similarity {
       .join(cVec, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val collected = candidates.limit(maxPushdownIds + 1).collect()
+    val collected = if (maxPushdownIds == 0) Array.empty[org.apache.spark.sql.Row]
+      else candidates.limit(maxPushdownIds + 1).collect()
     val rescored =
-      if (collected.length <= maxPushdownIds) {
+      if (maxPushdownIds > 0 && collected.length <= maxPushdownIds) {
         import spark.implicits._
         val local = collected
           .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))

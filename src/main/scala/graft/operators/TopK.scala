@@ -49,15 +49,34 @@ object TopK {
         s"$PinnedSparkMinor*: private CollectTopK bridge unverified, " +
         "using public window fallback (correct, not bounded-buffer)")
 
-  /** Top `k` rows per `keyCol`, ordered by (`orderCol`, `idCol`)
-    * descending — the id is the deterministic tie-break. Returns
-    * (keyCol, rank 1..k, orderCol, idCol).
+  /** Top `k` rows per `keyCol`, ordered by `orderCol` descending with
+    * `idCol` as the deterministic tie-break — descending by default,
+    * ascending with `idAscending = true` (the exact-ANN baseline's
+    * convention). Returns (keyCol, rank 1..k, orderCol, idCol).
+    *
+    * The ascending tie-break keeps the bounded-aggregate scale path for
+    * integral id types by flipping the id with bitwise NOT — a total,
+    * order-reversing bijection on two's-complement integers (~x = -x-1,
+    * so unlike arithmetic negation it has no `Long.MinValue` overflow)
+    * — and un-flipping on output. Any other orderable id type (string,
+    * decimal, timestamp) routes to the public window path, which orders
+    * natively: correct for every type, minus the bounded-buffer bound.
     */
   def grouped(df: DataFrame, keyCol: String, orderCol: String,
-      idCol: String, k: Int): DataFrame = {
+      idCol: String, k: Int, idAscending: Boolean = false): DataFrame = {
     require(k > 0)
-    if (bridgeUsable) groupedViaBoundedAgg(df, keyCol, orderCol, idCol, k)
-    else { warnOnce; groupedViaWindow(df, keyCol, orderCol, idCol, k) }
+    import org.apache.spark.sql.types._
+    val integralId = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!bridgeUsable) { warnOnce; groupedViaWindow(df, keyCol, orderCol, idCol, k, idAscending) }
+    else if (!idAscending) groupedViaBoundedAgg(df, keyCol, orderCol, idCol, k)
+    else if (integralId)
+      groupedViaBoundedAgg(df.withColumn(idCol, bitwise_not(col(idCol))),
+        keyCol, orderCol, idCol, k)
+        .withColumn(idCol, bitwise_not(col(idCol)))
+    else groupedViaWindow(df, keyCol, orderCol, idCol, k, idAscending = true)
   }
 
   private[graft] def groupedViaBoundedAgg(df: DataFrame, keyCol: String,
@@ -70,15 +89,18 @@ object TopK {
         col(s"s.$orderCol").as(orderCol), col(s"s.$idCol").as(idCol))
 
   /** Public-API fallback: row_number over a window. Identical output
-    * ordering contract ((orderCol, idCol) DESC, rank 1..k); pays the
-    * per-key funnel the bounded aggregate avoids.
+    * ordering contract (orderCol DESC, idCol tie-break per flag, rank
+    * 1..k); pays the per-key funnel the bounded aggregate avoids.
     */
   private[graft] def groupedViaWindow(df: DataFrame, keyCol: String,
-      orderCol: String, idCol: String, k: Int): DataFrame =
+      orderCol: String, idCol: String, k: Int,
+      idAscending: Boolean = false): DataFrame =
     df.select(col(keyCol), col(orderCol), col(idCol))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(keyCol))
-          .orderBy(col(orderCol).desc, col(idCol).desc)).cast("long"))
+          .orderBy(col(orderCol).desc,
+            if (idAscending) col(idCol).asc else col(idCol).desc))
+        .cast("long"))
       .filter(col("rank") <= k)
       .select(col(keyCol), col("rank"), col(orderCol), col(idCol))
 }

@@ -1775,6 +1775,41 @@ object LlmQueries {
             .as("n_twins"))
     }),
 
+    // Quality-aware canonical selection per duplicate cluster: planted
+    // padded twins share their base's normal form (padding is
+    // punctuation/whitespace the normalizer strips) but are LONGER, so
+    // the representative must be the twin — the "keep best copy"
+    // policy, vs the min-id convention x_neardup_survivors pins. The
+    // oracle replays normalized-equality clusters + (len DESC, id ASC)
+    // argmax per cluster.
+    "x_cluster_rep" -> ((s, dir) => {
+      // quarter corpus: representative selection is volume-independent
+      // (the x_cluster_safe_split precedent) — full-corpus clustering
+      // cost is already paid and measured by x_neardup_survivors
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 0)
+      val corpus = d.union(d.select(
+        twinId(col("doc_id"), 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" ... !!!")).as("text")))
+      val n = corpus.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("nh"))
+      val mins = n.groupBy("nh").agg(min(col("doc_id")).as("cluster_id"))
+      val clusters = n.join(mins, Seq("nh"))
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      Dedup.clusterRepresentatives(
+        n.select("doc_id", "len"), clusters, "doc_id", "len")
+    }),
+
+    // BM25 keyword retrieval over the corpus: top-20 docs for a fixed
+    // 3-term query. The one transcendental (idf's ln) is 1e-9-quantized
+    // on the driver; per-(doc,term) scores are summed as integer
+    // micro-units, so the ranking and every score hash-match the
+    // oracle's replay of the same Okapi formula.
+    "x_bm25_search" -> ((s, dir) =>
+      graft.llm.Ranking.bm25TopK(docs(s, dir),
+        Seq("vector", "stream", "window"), k = 20)),
+
     // URL canonicalization + canonical-URL dedup: three planted
     // spellings per document — an uppercase-host/default-port/
     // tracking-tagged/fragmented variant, its clean twin (same
@@ -3398,6 +3433,61 @@ object LlmQueries {
            (r = t) AS restored,
            md5(r) AS repaired_md5
          FROM rep""",
+
+    // clusters = normalized-equality classes keyed by min id; the
+    // representative is the (len DESC, id ASC) argmax per class —
+    // planted padded twins must win over their shorter base docs
+    "x_cluster_rep" ->
+      """WITH quarter AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM quarter
+           UNION ALL
+           SELECT doc_id + 1000000000, text || ' ... !!!' FROM quarter),
+         n AS (SELECT doc_id, length(text)::BIGINT AS len,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+               FROM corpus),
+         c AS (SELECT nh, min(doc_id) AS cluster_id,
+                 count(*)::BIGINT AS n_members
+               FROM n GROUP BY 1),
+         r AS (SELECT nh, doc_id, len,
+                 row_number() OVER (PARTITION BY nh
+                   ORDER BY len DESC, doc_id ASC) AS rk
+               FROM n)
+         SELECT c.cluster_id, r.doc_id AS rep_id, r.len AS rep_score,
+           c.n_members
+         FROM r JOIN c USING (nh) WHERE rk = 1""",
+
+    // Okapi BM25 replay: idf ln quantized at 1e-9, per-(doc,term)
+    // scores floored to integer micro-units before the per-doc sum —
+    // identical expression tree to Ranking.bm25TopK
+    "x_bm25_search" ->
+      """WITH stats AS (
+           SELECT count(*)::BIGINT AS n,
+             sum(len(string_split(text, ' ')))::BIGINT AS total
+           FROM documents),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+             unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM toks
+           WHERE tok IN ('vector', 'stream', 'window') GROUP BY 1, 2, 3),
+         dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         idf AS (SELECT tok,
+             round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e9) / 1e9 AS idf
+           FROM dfs, stats),
+         sc AS (SELECT t.doc_id,
+             floor(idf.idf * (t.tf * (1.2 + 1.0)) /
+               (t.tf + 1.2 * ((1.0 - 0.75) +
+                 0.75 * (t.dl::DOUBLE / (total::DOUBLE / n::DOUBLE))))
+               * 1e6 + 0.5)::BIGINT AS su
+           FROM tf t JOIN idf USING (tok), stats),
+         agg AS (SELECT doc_id, sum(su)::BIGINT AS score_u
+                 FROM sc GROUP BY 1)
+         SELECT doc_id, score_u FROM agg
+         ORDER BY score_u DESC, doc_id LIMIT 20""",
 
     // clusters = min id per identical-distinct-shingle class (the
     // x_neardup_survivors reduction, exact at jaccard 1.0); split =

@@ -32,6 +32,25 @@ object RelationalQueries {
     // The salt spreads the hot key over 16 shuffle partitions; the
     // no-task->2x-mean runtime assert lives in SkewJoinSpec, the
     // result contract here: salting must not duplicate or drop a row.
+    // Z-order layout key (Morton curve over range-binned dims): the
+    // multi-column file-skipping lever — a contiguous zkey range is a
+    // (user, time) HYPERCUBE, so per-file min/max stats prune scans
+    // filtering on EITHER dimension. The gate audits the curve itself:
+    // 64 top-6-bit z-buckets with per-bucket spans of both dims; the
+    // oracle replays the integer bin + bit-interleave byte-for-byte
+    // (locality/pruning asserts live in ZOrderSpec — span bounds here
+    // are the hash-checked evidence the buckets are hypercubes).
+    "x_zorder_key" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      val (keyed, _) = graft.operators.ZOrder.withZKey(
+        ev, Seq("user_id", "ts_us"), bits = 8)
+      keyed.groupBy(shiftright(col("zkey"), 10).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("ts_us").as("min_ts"), max("ts_us").as("max_ts"))
+    }),
+
     "x_skew_join" -> ((s, dir) => {
       val fact = t(s, dir, "lineitem").select(
         when(col("l_orderkey") % 10 < 3, lit(0L))
@@ -1128,6 +1147,24 @@ object RelationalQueries {
          UNION ALL SELECT k1, k2, qty FROM adm2""",
 
     // salting must be invisible in the result: plain join, same rows
+    "x_zorder_key" -> {
+      val interleave = (0 until 8).map(i =>
+        s"(((b0 >> $i) & 1) << ${2 * i}) | (((b1 >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                      min(ts_us) AS tmin, max(ts_us) AS tmax FROM e),
+         k AS (SELECT user_id, ts_us,
+                 (user_id - umin) * 256 // (umax - umin + 1) AS b0,
+                 (ts_us - tmin) * 256 // (tmax - tmin + 1) AS b1
+               FROM e, b),
+         z AS (SELECT user_id, ts_us, ($interleave) AS zkey FROM k)
+         SELECT zkey >> 10 AS zbucket, count(*)::BIGINT AS n,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(ts_us) AS min_ts, max(ts_us) AS max_ts
+         FROM z GROUP BY 1"""
+    },
+
     "x_skew_join" ->
       """WITH fact AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
                   ELSE l_orderkey % 97 END AS key, l_quantity

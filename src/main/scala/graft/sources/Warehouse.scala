@@ -250,20 +250,63 @@ object Warehouse {
   def deltaAppend(df: DataFrame, root: String,
       partitionCols: Seq[String] = Nil): String = {
     val spark = df.sparkSession
-    val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
-    val gen = f"gen-$v%09d"
-    // an existing dir at the NEXT version can only be a crashed earlier
-    // attempt (a committed one would have bumped the version): reclaim
-    // it, exactly as the tagged path does — otherwise errorifexists
-    // wedges every retry and vacuum (ledger-scoped) can't reach it
-    val fs = fsOf(spark, root)
-    val dir = new org.apache.hadoop.fs.Path(s"$root/$gen")
-    if (fs.exists(dir)) fs.delete(dir, true)
+    // Writer-UNIQUE generation directory. Version numbers are not
+    // writer-unique, so naming the directory by version (and reclaiming
+    // a squatter before writing, as an earlier revision did) let a
+    // concurrent appender delete another appender's in-flight data and
+    // then commit a manifest pointing at the survivor's rows. With a
+    // unique name there is nothing to reclaim and nothing another
+    // writer could destroy: the manifest's single-key create alone
+    // decides what is committed. A crashed attempt leaves an orphan
+    // directory no manifest names — invisible to every reader, and
+    // sweepable once quiescent via [[orphanGenerations]].
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val gen = s"gen-a$token"
     val w = df.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$root/$gen")
-    manifestCommit(spark, root, v, gen)
+    commitNextVersion(spark, root, gen)
     s"$root/$gen"
+  }
+
+  /** Commit `gen` at the next free manifest version — a CAS loop on the
+    * version key: losing the single-key create race to a concurrent
+    * appender re-reads the tip and retries at the next version; the
+    * already-written generation directory is reused verbatim, never
+    * rewritten. Returns the version committed at. (Object-store
+    * manifest backends need create-if-absent semantics, same as every
+    * other commit in this file.)
+    */
+  private[graft] def commitNextVersion(spark: SparkSession, root: String,
+      gen: String, staleTipPlusOne: Long = -1L): Long = {
+    // staleTipPlusOne is a test seam: a racing appender's commit lands
+    // between our tip resolve and our create, so tests inject the
+    // stale (already-taken) version to drive the retry branch
+    var v = if (staleTipPlusOne > 0) staleTipPlusOne
+      else deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
+    while (true) {
+      try { manifestCommit(spark, root, v, gen); return v }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          v = math.max(v + 1,
+            deltaVersions(spark, root).lastOption.getOrElse(0L) + 1)
+      }
+    }
+    v // unreachable
+  }
+
+  /** Generation directories that no manifest version names — crashed
+    * append attempts (a writer creates its directory BEFORE its
+    * commit). Invisible to readers; safe to delete only when no append
+    * is in flight, which is the caller's retention decision, exactly
+    * like [[vacuumDeltaLog]].
+    */
+  def orphanGenerations(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val known = resolveLedger(spark, root).history.toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && !known.contains(n)).toSeq
   }
 
   // ---- Snapshot manifests + compaction ------------------------------
@@ -361,10 +404,10 @@ object Warehouse {
     * writes its parquet directory BEFORE its manifest commit, so an
     * unknown `gen-*` directory may be an in-flight (or crashed) append
     * — deleting it would make the upcoming commit point at nothing.
-    * Orphans from crashed appends are instead reclaimed by the retry
-    * itself: [[deltaAppendTagged]] deletes-and-rewrites its own tag,
-    * and [[deltaAppend]] deletes an uncommitted directory squatting on
-    * the next version before writing.
+    * Orphans from crashed appends are reclaimed separately:
+    * [[deltaAppendTagged]] deletes-and-rewrites its own (writer-unique)
+    * tag on retry, and crashed [[deltaAppend]] attempts surface via
+    * [[orphanGenerations]] for an operator sweep once quiescent.
     */
   def vacuumDeltaLog(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)

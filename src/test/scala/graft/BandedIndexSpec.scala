@@ -70,8 +70,10 @@ class BandedIndexSpec extends SparkSpec {
     assert(ids(admitted) == Seq(5000L, 5001L),
       "pruned lookup must still see the colliding index rows")
     // sizing is per generation: 300 docs fan out to all 32 buckets,
-    // the 2-survivor micro generation only to 2
-    val gens = Warehouse.committedGenerations(spark, s"$root/bands").sorted
+    // the 2-survivor micro generation only to 2 (committedGenerations
+    // lists in COMMIT order — generation names are writer-unique, not
+    // lexicographically ordered)
+    val gens = Warehouse.committedGenerations(spark, s"$root/bands")
     assert(gens.head.endsWith(".b32") && gens.last.endsWith(".b2"),
       s"per-generation sizing must track each generation's rows ($gens)")
   }

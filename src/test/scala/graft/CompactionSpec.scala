@@ -43,20 +43,46 @@ class CompactionSpec extends SparkSpec {
     assert(Warehouse.deltaRead(spark, root).count() == 5)
   }
 
-  test("deltaAppend retries over an orphan from a crashed earlier attempt") {
+  test("a crashed append attempt is invisible and surfaced as an orphan") {
     val root = tmpDir("graft-orphan") + "/log"
     Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)
     // simulate a crash BETWEEN the parquet write and the manifest
-    // commit: the next version's directory exists, uncommitted
+    // commit: a writer-unique directory exists that no manifest names
     Seq((99L, "junk")).toDF("id", "v")
-      .write.parquet(s"$root/gen-000000002")
+      .write.parquet(s"$root/gen-adeadbeef0000")
     assert(Warehouse.committedGenerations(spark, root).size == 1)
-    // the retry must reclaim the orphan, not wedge on errorifexists —
-    // and the committed generation holds the RETRY's rows
+    // a later append must neither wedge on the orphan nor expose it
     Warehouse.deltaAppend(Seq((2L, "b")).toDF("id", "v"), root)
     val rows = Warehouse.deltaRead(spark, root).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows == Set(1L -> "a", 2L -> "b"))
+    assert(Warehouse.orphanGenerations(spark, root) ==
+      Seq("gen-adeadbeef0000"))
+  }
+
+  test("deltaAppend survives losing the commit race to a concurrent appender") {
+    val root = tmpDir("graft-race") + "/log"
+    val a = Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)
+    // simulate appender B winning version 2 while OUR append is between
+    // resolving the tip and committing: B's generation + manifest entry
+    // appear out from under us, then OUR commit targets the taken key
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/gen-arival0000000")
+    Warehouse.manifestCommit(spark, root, 2L, "gen-arival0000000")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$root/gen-aours00000000")
+    // the CAS loop must hit the taken version 2 (injected as the stale
+    // pre-race tip), retry, and land at 3 — keeping our data dir and
+    // never touching B's rows (the old version-named scheme deleted
+    // B's in-flight dir here)
+    val vOurs = Warehouse.commitNextVersion(spark, root,
+      "gen-aours00000000", staleTipPlusOne = 2L)
+    assert(vOurs == 3L)
+    val c = s"$root/gen-aours00000000"
+    assert(c != a && !c.endsWith("gen-arival0000000"))
+    assert(Warehouse.deltaVersions(spark, root) == Seq(1L, 2L, 3L))
+    val rows = Warehouse.deltaRead(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(Warehouse.orphanGenerations(spark, root).isEmpty)
   }
 
   test("index compaction preserves admission semantics end-to-end") {

@@ -66,8 +66,9 @@ class IncrementalDedupSpec extends SparkSpec {
     val root = tmpDir("incr-dedup-gens")
     IncrementalDedup.addDelivery(d1, root)
     assert(Warehouse.deltaVersions(spark, root) == Seq(1L))
+    val gen1 = Warehouse.committedGenerations(spark, root).head
     def gen1Files(): Map[String, Long] =
-      new java.io.File(s"$root/gen-000000001").listFiles()
+      new java.io.File(s"$root/$gen1").listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> f.lastModified()).toMap
     val before = gen1Files()
@@ -77,8 +78,9 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(gen1Files() == before,
       "delivery 2 must not rewrite delivery 1's generation")
     // the new generation holds ONLY delivery 2's survivors
-    assert(ids(spark.read.parquet(s"$root/gen-000000002"), "id") ==
-      Seq(12L, 15L))
+    val gen2 = Warehouse.committedGenerations(spark, root).last
+    assert(gen2 != gen1)
+    assert(ids(spark.read.parquet(s"$root/$gen2"), "id") == Seq(12L, 15L))
   }
 
   test("monotone-id precondition is enforced (and bypassable)") {

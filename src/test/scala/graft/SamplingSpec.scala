@@ -52,6 +52,24 @@ class SamplingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 901L, 3L, 4L).exists(i => out(i) != own(i)))
   }
 
+  test("clusterSafeSplit replaces a pre-existing cluster_id and broadcasts") {
+    val docs = (1L to 10L).toDF("doc_id")
+      .withColumn("cluster_id", org.apache.spark.sql.functions.lit(-99L))
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val out = Sampling.clusterSafeSplit(docs, clusters, "doc_id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+    // no ambiguous-reference failure; incoming cluster_id is REPLACED
+    // by the effective split key (joined cluster, else own id)
+    val keys = out.select("doc_id", "cluster_id").as[(Long, Long)]
+      .collect().toMap
+    assert(keys(2L) == 1L && keys(5L) == 5L && !keys.values.exists(_ == -99L))
+    // the documented plan: the clusters side broadcasts
+    val bcasts = out.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "clusters join must be a broadcast join")
+  }
+
   test("deterministicSample keeps ~fraction, exactly reproducibly") {
     val n1 = Sampling.deterministicSample(ids, "doc_id", 0.25).count()
     val n2 = Sampling.deterministicSample(ids, "doc_id", 0.25).count()

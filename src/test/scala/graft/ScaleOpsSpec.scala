@@ -49,6 +49,41 @@ class ScaleOpsSpec extends SparkSpec {
       case w: LWindow => w }.isEmpty)
   }
 
+  test("TopK ascending tie-break: integral ids stay on the bounded path") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // ties on v exercise the ASC tie-break; Long.MinValue/MaxValue pin
+    // the no-overflow property (arithmetic negation would throw/flip)
+    val df = (Seq(("g0", Long.MinValue, 5.0), ("g0", Long.MaxValue, 5.0),
+      ("g0", 0L, 5.0), ("g0", -1L, 5.0), ("g0", 7L, 3.0)) ++
+      (0 until 300).map(i => ("g1", i.toLong, (i % 4).toDouble)))
+      .toDF("k", "id", "v")
+    val got = graft.operators.TopK
+      .grouped(df, "k", "v", "id", k = 3, idAscending = true)
+    val want = graft.operators.TopK
+      .groupedViaWindow(df, "k", "v", "id", k = 3, idAscending = true)
+    assert(got.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+    // MinValue wins the ASC tie at v=5.0
+    assert(got.filter(col("k") === "g0" && col("rank") === 1L)
+      .select("id").as[Long].head() == Long.MinValue)
+    // still the scalable shape: no window node on the integral path
+    assert(got.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty)
+    // id column type and values round-trip the bitwise-NOT flip intact
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("TopK ascending tie-break: string ids route to the window path") {
+    val df = Seq(("g0", "b", 5.0), ("g0", "a", 5.0), ("g0", "c", 1.0),
+      ("g1", "z", 2.0)).toDF("k", "id", "v")
+    val got = graft.operators.TopK
+      .grouped(df, "k", "v", "id", k = 2, idAscending = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+      .toSet
+    assert(got == Set(("g0", 1L, "a"), ("g0", 2L, "b"), ("g1", 1L, "z")))
+  }
+
   test("TopK bridge guard: pinned Spark minor matches, fallback agrees") {
     // the private-API bridge is only taken on the Spark line it was
     // verified against; on this build the pin must hold (a Spark upgrade
