@@ -764,7 +764,8 @@ object Dedup {
     * [[graft.operators.TopK.grouped]]'s window fallback.
     *
     * Output: one row per cluster — (cluster_id, rep_id, rep_score,
-    * n_members).
+    * n_members). `scoreCol` must be non-null (a null field inside the
+    * argmax struct would make the tie order engine-defined).
     */
   def clusterRepresentatives(docs: DataFrame, clusters: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {

@@ -69,8 +69,11 @@ object ZOrder {
     val n = bins.length
     require(n >= 2, "z-ordering needs at least 2 dimensions")
     require(n * bits <= 62, s"$n dims x $bits bits exceeds a long key")
+    // widen to long first: an IntegerType bin shifted past bit 31
+    // would silently wrap
+    val wide = bins.map(_.cast("long"))
     val terms = for (i <- 0 until bits; d <- 0 until n) yield
-      shiftleft(shiftright(bins(d), i).bitwiseAND(lit(1L)), i * n + d)
+      shiftleft(shiftright(wide(d), i).bitwiseAND(lit(1L)), i * n + d)
     terms.reduce(_.bitwiseOR(_))
   }
 
@@ -81,6 +84,9 @@ object ZOrder {
     * projection over the scan. Returns (keyed frame, per-column bounds)
     * so writers can persist the bounds and keep later deliveries on the
     * SAME grid (a key is only comparable under the grid that minted it).
+    * A NULL in any participating dimension yields a NULL key (range
+    * partitioning then groups such rows together — filter or impute
+    * first if that is not the intended layout).
     */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 8,
       outCol: String = "zkey"): (DataFrame, Seq[(Long, Long)]) = {

@@ -428,6 +428,11 @@ object Warehouse {
     * the manifest commit leaves an orphan directory that the retry
     * deletes and rewrites before committing — the manifest stays the
     * single source of truth for what was admitted exactly once.
+    * HARD PRECONDITION: the tag is writer-unique (one live writer per
+    * tag, the foreachBatch epoch contract) — the delete-and-rewrite
+    * reclaim is only safe because no OTHER writer can be mid-flight on
+    * the same tag. Untagged concurrent appends use [[deltaAppend]],
+    * whose writer-unique directory names need no reclaim at all.
     */
   def deltaAppendTagged(df: DataFrame, root: String,
       tag: String, partitionCols: Seq[String] = Nil): Option[String] = {
