@@ -68,15 +68,7 @@ object LanguageModel {
     */
   def bigramLogProb(df: DataFrame, k: Double = 1.0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // occurrence bigrams (NOT Dedup.shingles, which is a distinct SET —
-    // an LM needs every repeat to count)
-    val bigrams = df
-      .filter(size(split(col(textCol), " ")) >= 2)
-      .withColumn("_toks", split(col(textCol), " "))
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(_toks) - 1), " +
-          "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"))
-        .as("bigram"))
+    val bigrams = occurrenceBigrams(df, textCol, idCol)
     // corpus model: c(w1 w2) per bigram, c(w1 ·) per context word
     val bgCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
     val ctxCounts = bgCounts
@@ -96,6 +88,55 @@ object LanguageModel {
           (col("c1").cast("double") + lit(k) * col("v").cast("double")))), 4)
         .as("avg_bigram_logp"))
   }
+
+  /** Occurrence bigrams (NOT Dedup.shingles, which is a distinct SET —
+    * an LM needs every repeat to count). */
+  private def occurrenceBigrams(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = df
+    .filter(size(split(col(textCol), " ")) >= 2)
+    .withColumn("_toks", split(col(textCol), " "))
+    .select(col(idCol), explode(expr(
+      "transform(sequence(1, size(_toks) - 1), " +
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"))
+      .as("bigram"))
+
+  /** The TRAINED add-k bigram model of [[bigramLogProb]], materialized
+    * as (bigram, logp) — what a KenLM artifact is: train once offline,
+    * persist, score any number of passes. Scoring a corpus with
+    * [[bigramLogProbWith]] against this table equals [[bigramLogProb]]
+    * exactly (same per-bigram value, same per-doc mean).
+    */
+  def bigramModel(df: DataFrame, k: Double = 1.0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bigrams = occurrenceBigrams(df, textCol, idCol)
+    val bgCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val ctxCounts = bgCounts
+      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    bgCounts
+      .join(ctxCounts.withColumnRenamed("w1", "_w1"),
+        substring_index(col("bigram"), " ", 1) === col("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"), log(
+        (col("c2").cast("double") + lit(k)) /
+          (col("c1").cast("double") + lit(k) * col("v").cast("double")))
+        .as("logp"))
+  }
+
+  /** Score per-document mean bigram log-probability against a
+    * pretrained [[bigramModel]] table: explode → one model join → one
+    * per-doc mean. Bigrams unseen by the model are dropped (scoring a
+    * corpus the model was trained on never hits that case).
+    */
+  def bigramLogProbWith(df: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    occurrenceBigrams(df, textCol, idCol)
+      .join(model, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(roundDet(avg(col("logp")), 4).as("avg_bigram_logp"))
 
   /** Per-document out-of-vocabulary rate against the corpus's own top-K
     * vocabulary — the tokenizer-coverage signal: a document whose token

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus keyword retrieval — BM25 (Robertson/Spärck Jones, the public
@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * topical slices out of a crawl ("find the k docs most about X")
   * without an embedding index.
   *
-  * Scale shape: per-doc lengths are a map-side projection (no
-  * explode); the exploded token stream is filtered to the QUERY terms
-  * BEFORE any aggregation, so the one tf shuffle carries only matching
-  * (doc, term) rows — ∝ hits, not corpus; document frequencies reduce
-  * to ≤|terms| driver-held rows (bounded config state, like the IVF
-  * centroids); and the final cut is a TakeOrdered top-k — O(k) partial
-  * state per task, never a global sort.
+  * Scale shape: per-doc lengths ride the explode projection (no
+  * corpus-wide join); the exploded token stream is filtered to the
+  * QUERY terms BEFORE any aggregation, so the one tf shuffle carries
+  * only matching (doc, term) rows — ∝ hits, not corpus; corpus
+  * statistics reduce to ≤|terms|+1 driver-held rows in ONE tagged-union
+  * job (bounded offline-trainable state, the IVF-quantizer/DSIR-table
+  * lifecycle — train once, score any number of passes); and the final
+  * cut is a TakeOrdered top-k — O(k) partial state per task, never a
+  * global sort.
   *
   * Cross-engine determinism (the oracle hash-compares): the one
   * transcendental (idf's ln) is quantized to 1e-9 integer units on the
@@ -25,46 +27,69 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Offline-trainable BM25 corpus state for a fixed term set: document
+    * count, average document length, and the 1e-9-quantized idf per
+    * term. Bounded by |terms| — model state, not data.
+    */
+  final case class Bm25Stats(n: Long, avgdl: Double, idfU: Map[String, Long])
+
+  /** Train [[Bm25Stats]] in ONE job: the corpus aggregate (N, Σdl) and
+    * the per-term document frequencies travel as a tagged union into a
+    * single collect of ≤|terms|+1 rows.
+    */
+  def bm25Train(docs: DataFrame, queryTerms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): Bm25Stats = {
+    require(queryTerms.nonEmpty, "bm25Train needs at least one query term")
+    val dl = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val statsSide = docs.agg(count(lit(1)).cast("long").as("c1"),
+        sum(dl).as("c2"))
+      .select(lit(null).cast("string").as("tok"), col("c1"), col("c2"))
+    val dfSide = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("tok").agg(countDistinct(col("doc_id")).as("c1"))
+      .select(col("tok"), col("c1"), lit(0L).as("c2"))
+    val rows = statsSide.unionByName(dfSide).collect()
+    val (nRow, dfRows) = rows.partition(_.isNullAt(0))
+    val n = nRow.head.getLong(1)
+    require(n > 0, "empty corpus")
+    val totalLen = nRow.head.getLong(2)
+    val dfByTerm = dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfU = queryTerms.distinct.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L).toDouble
+      t -> math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e9)
+    }.toMap
+    Bm25Stats(n, totalLen.toDouble / n.toDouble, idfU)
+  }
+
   /** Top `k` documents by BM25 over whitespace tokens for `queryTerms`.
-    * Output: (doc_id, score_u) — score in integer micro-units,
-    * descending, ties to the smaller id.
+    * Pass pretrained `stats` to score with zero training actions (the
+    * production lifecycle); omitted, they are trained inline. Output:
+    * (doc_id, score_u) — score in integer micro-units, descending,
+    * ties to the smaller id.
     */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+      idCol: String = "doc_id", textCol: String = "text",
+      stats: Option[Bm25Stats] = None): DataFrame = {
     require(k > 0)
-    val lens = docs.select(col(idCol).as("doc_id"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-    // N and total length: two driver longs, one aggregate
-    val stats = lens.agg(count(lit(1)), sum(col("dl"))).head()
-    val n = stats.getLong(0)
-    require(n > 0, "empty corpus")
-    val totalLen = stats.getLong(1)
-    val avgdl = totalLen.toDouble / n.toDouble
+    val st = stats.getOrElse(bm25Train(docs, queryTerms, idCol, textCol))
     // tf over query terms only — the filter precedes the shuffle, and
-    // dl rides the same projection (no corpus-wide join back to lens)
+    // dl rides the same projection (no corpus-wide join back)
     val tf = docs.select(col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).cast("double").as("tf"))
-    // df per term: ≤|terms| rows to the driver; idf quantized at 1e-9
-    val dfByTerm = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idfU = queryTerms.map { t =>
-      val df = dfByTerm.getOrElse(t, 0L).toDouble
-      t -> math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e9)
-    }.toMap
-    val idf = idfU.foldLeft(lit(null).cast("double")) { case (acc, (t, u)) =>
+    val idf = st.idfU.foldLeft(lit(null).cast("double")) { case (acc, (t, u)) =>
       when(col("tok") === t, lit(u.toDouble / 1e9)).otherwise(acc)
     }
     // per-(doc, term) partial score → integer micro-units → one
     // order-free BIGINT sum per doc
     val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) +
-        lit(b) * (col("dl").cast("double") / lit(avgdl))))
+        lit(b) * (col("dl").cast("double") / lit(st.avgdl))))
     val scored = tf
       .withColumn("su", floor(termScore * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy("doc_id").agg(sum(col("su")).as("score_u"))

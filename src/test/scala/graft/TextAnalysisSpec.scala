@@ -257,6 +257,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(0L))
   }
 
+  test("bigramLogProbWith(trained model) equals the inline bigramLogProb") {
+    val df = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "solo"),
+      (3L, "c c c b a"))
+      .toDF("doc_id", "text")
+    val inline = df.transform(graft.llm.LanguageModel.bigramLogProb(_))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val model = graft.llm.LanguageModel.bigramModel(df)
+    val scored = graft.llm.LanguageModel.bigramLogProbWith(df, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored == inline,
+      "scoring against the persisted model must equal inline training")
+  }
+
   test("dupNgramCharFrac measures repeated-trigram char coverage, capped at 1") {
     val df = Seq(
       (0L, "spam ham jam spam ham jam spam"), // heavy repeat → capped 1.0
