@@ -775,11 +775,8 @@ object Dedup {
       .join(c, docs(idCol) === col("__cr_id"), "left")
       .withColumn("cluster_id", coalesce(col("__cr_cluster"), col(idCol)))
       .drop("__cr_id", "__cr_cluster")
-    import org.apache.spark.sql.types._
-    val integralId = docs.schema(idCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
+    val integralId =
+      graft.operators.TopK.integralIdType(docs.schema(idCol).dataType)
     if (integralId)
       withCluster.groupBy("cluster_id")
         .agg(max(struct(col(scoreCol), bitwise_not(col(idCol)).as("__nid")))

@@ -67,27 +67,13 @@ object LanguageModel {
     * context-count join is a broadcast (the w1 table is model-sized).
     */
   def bigramLogProb(df: DataFrame, k: Double = 1.0,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val bigrams = occurrenceBigrams(df, textCol, idCol)
-    // corpus model: c(w1 w2) per bigram, c(w1 ·) per context word
-    val bgCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
-    val ctxCounts = bgCounts
-      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("c2"))
-      .groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val vocab = df
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .agg(countDistinct(col("word")).as("v"))
-    bigrams
-      .join(bgCounts, Seq("bigram"))
-      .join(ctxCounts.withColumnRenamed("w1", "_w1"),
-        substring_index(col("bigram"), " ", 1) === col("_w1"))
-      .crossJoin(broadcast(vocab))
-      .groupBy(col(idCol))
-      .agg(roundDet(avg(log(
-        (col("c2").cast("double") + lit(k)) /
-          (col("c1").cast("double") + lit(k) * col("v").cast("double")))), 4)
-        .as("avg_bigram_logp"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // one construction of the add-k model exists ([[bigramModel]]) —
+    // training inline is scoring against the just-trained table; the
+    // count aggregation and the score join still hash the same stream
+    // by the same `bigram` key, so ReuseExchange shares the shuffle
+    bigramLogProbWith(df, bigramModel(df, k, textCol, idCol),
+      textCol, idCol)
 
   /** Occurrence bigrams (NOT Dedup.shingles, which is a distinct SET —
     * an LM needs every repeat to count). */

@@ -74,6 +74,12 @@ object Ranking {
       stats: Option[Bm25Stats] = None): DataFrame = {
     require(k > 0)
     val st = stats.getOrElse(bm25Train(docs, queryTerms, idCol, textCol))
+    // mismatched pretrained stats would leave uncovered terms with a
+    // NULL idf (the fold's seed) and surface NULL-scored rows — fail
+    // fast instead
+    val uncovered = queryTerms.filterNot(st.idfU.contains)
+    require(uncovered.isEmpty,
+      s"stats were not trained for terms: ${uncovered.mkString(", ")}")
     // tf over query terms only — the filter precedes the shuffle, and
     // dl rides the same projection (no corpus-wide join back)
     val tf = docs.select(col(idCol).as("doc_id"),

@@ -62,14 +62,23 @@ object TopK {
     * decimal, timestamp) routes to the public window path, which orders
     * natively: correct for every type, minus the bounded-buffer bound.
     */
-  def grouped(df: DataFrame, keyCol: String, orderCol: String,
-      idCol: String, k: Int, idAscending: Boolean = false): DataFrame = {
-    require(k > 0)
+  /** Id types eligible for the bitwise-NOT ascending-tie-break flip —
+    * shared by every argmax/top-k site that plays the ~id trick
+    * ([[grouped]], `Dedup.clusterRepresentatives`), so the whitelist
+    * can never diverge between them. */
+  private[graft] def integralIdType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    val integralId = df.schema(idCol).dataType match {
+    dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+  }
+
+  def grouped(df: DataFrame, keyCol: String, orderCol: String,
+      idCol: String, k: Int, idAscending: Boolean = false): DataFrame = {
+    require(k > 0)
+    val integralId = integralIdType(df.schema(idCol).dataType)
     if (!bridgeUsable) { warnOnce; groupedViaWindow(df, keyCol, orderCol, idCol, k, idAscending) }
     else if (!idAscending) groupedViaBoundedAgg(df, keyCol, orderCol, idCol, k)
     else if (integralId)

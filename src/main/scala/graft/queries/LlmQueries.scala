@@ -221,17 +221,20 @@ object LlmQueries {
     * the resident signature index predates a delivery. The pipeline
     * that builds them is itself measured (x_neardup_survivors,
     * x_normalize_dedup); consumers stage the table once per (corpus,
-    * recipe) and the timed region is the consuming pass. Bounded: ∝ the
-    * corpus's duplication, collected as local rows like the DSIR
-    * table. */
+    * recipe) and the timed region is the consuming pass. Staged as
+    * PARQUET (the [[ivfIndexOnce]] lifecycle), never collected: in
+    * these gates the table is ∝ the working corpus, so a driver
+    * round-trip would not survive a scale-up. */
   private val clusterTableBuilt = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Long, Long)]]()
+    String, String]()
   private def clusterTableOnce(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    val rows = clusterTableBuilt.computeIfAbsent(s"$dir#$key", _ =>
-      build.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    import s.implicits._
-    rows.toDF("id", "cluster_id")
+    val path = clusterTableBuilt.computeIfAbsent(s"$dir#$key", _ => {
+      val p = s"/tmp/graft-clusters-$key-${math.abs(dir.hashCode)}"
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
   }
 
   /** The trained add-k bigram LM table is a persisted model artifact

@@ -303,8 +303,10 @@ object Warehouse {
     */
   def orphanGenerations(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty // table not created yet
     val known = resolveLedger(spark, root).history.toSet
-    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+    fs.listStatus(rootPath)
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(n => n.startsWith("gen-") && !known.contains(n)).toSeq
   }
@@ -381,19 +383,36 @@ object Warehouse {
     */
   def compactDeltaLog(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Nil): String = {
-    val ledger = resolveLedger(spark, root)
-    require(ledger.live.nonEmpty, s"nothing to compact under $root")
-    val v = deltaVersions(spark, root).last + 1
-    val gen = f"gen-compact-$v%09d"
-    val df = ledger.live.map(g => spark.read.parquet(s"$root/$g"))
-      .reduce(_.unionByName(_))
-    val w = df.write.mode("errorifexists")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$root/$gen")
-    val content = ("#snapshot" +: Seq(gen)) ++
-      ("#history" +: (ledger.history :+ gen))
-    manifestCommit(spark, root, v, content.mkString("\n"))
-    s"$root/$gen"
+    var attempt = 0
+    while (attempt < 5) {
+      val ledger = resolveLedger(spark, root)
+      require(ledger.live.nonEmpty, s"nothing to compact under $root")
+      val v = deltaVersions(spark, root).last + 1
+      val gen = f"gen-compact-$v%09d"
+      val df = ledger.live.map(g => spark.read.parquet(s"$root/$g"))
+        .reduce(_.unionByName(_))
+      val w = df.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$root/$gen")
+      val content = ("#snapshot" +: Seq(gen)) ++
+        ("#history" +: (ledger.history :+ gen))
+      try {
+        manifestCommit(spark, root, v, content.mkString("\n"))
+        return s"$root/$gen"
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // a concurrent append committed between our ledger resolve
+          // and our commit. A blind retry at v+1 (the deltaAppend CAS)
+          // would publish a snapshot whose live list MISSES that
+          // append's generation — silent data loss. REFOLD from the
+          // fresh ledger instead; the just-written directory becomes a
+          // uniquely-named orphan ([[orphanGenerations]] surfaces it).
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"compaction of $root lost the commit race $attempt times — " +
+        "quiesce appenders or retry later")
   }
 
   /** Delete folded (non-live) generation directories. Run only after
@@ -448,8 +467,10 @@ object Warehouse {
       val w = df.write.mode("errorifexists")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(s"$root/$gen")
-      val v = deltaVersions(spark, root).lastOption.getOrElse(0L) + 1
-      manifestCommit(spark, root, v, gen)
+      // same CAS loop as deltaAppend: a concurrent untagged appender
+      // taking the version key must not fail this batch (the
+      // generation's content does not depend on its version)
+      commitNextVersion(spark, root, gen)
       Some(s"$root/$gen")
     }
   }
