@@ -753,7 +753,10 @@ object Dedup {
     * `clusters` is [[duplicateClusters]] output (id, cluster_id); docs
     * absent from it are their own singleton cluster — same contract as
     * [[Sampling.clusterSafeSplit]]. The cluster table is ∝ actual
-    * duplication, so its join broadcasts; selection and the member
+    * duplication — 30–80% of the corpus on real web crawls — so the
+    * join strategy is left to the planner (auto-broadcast when under
+    * `autoBroadcastJoinThreshold`, shuffle join when corpus-sized; a
+    * forced hint would OOM at crawl scale). Selection and the member
     * count ride ONE aggregation: `max(struct(score, ~id))` is a plain
     * O(1)-state declarative argmax (bitwise NOT turns the struct's
     * lexicographic descending id order into the ascending tie-break,
@@ -769,8 +772,8 @@ object Dedup {
     */
   def clusterRepresentatives(docs: DataFrame, clusters: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
-    val c = broadcast(clusters.select(col("id").as("__cr_id"),
-      col("cluster_id").as("__cr_cluster")))
+    val c = clusters.select(col("id").as("__cr_id"),
+      col("cluster_id").as("__cr_cluster"))
     val withCluster = docs
       .join(c, docs(idCol) === col("__cr_id"), "left")
       .withColumn("cluster_id", coalesce(col("__cr_cluster"), col(idCol)))

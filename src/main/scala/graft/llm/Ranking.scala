@@ -57,7 +57,21 @@ object Ranking {
     val dfByTerm = dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val idfU = queryTerms.distinct.map { t =>
       val df = dfByTerm.getOrElse(t, 0L).toDouble
-      t -> math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e9)
+      val raw = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e9
+      // Cross-engine safety for the one transcendental: JVM Math.log is
+      // not correctly rounded and neither is every libm the oracle
+      // engine links, so two lns can disagree by ~1 ulp (≲ 2e-6 units
+      // at this scale). Quantizing is only engine-identical when the
+      // value is not sitting ON a .5 rounding boundary — assert a
+      // ≥ 1e-3-unit distance (500× the worst disagreement) at train
+      // time so a pathological (n, df) pair fails loudly here instead
+      // of flaking a downstream hash comparison.
+      val frac = math.abs(raw - math.floor(raw) - 0.5)
+      require(frac > 1e-3,
+        s"idf(${t}) = $raw e-9 units lands within 1e-3 of a rounding " +
+          "boundary; ln implementations may disagree across engines — " +
+          "pick a different term set or widen the quantum")
+      t -> math.round(raw)
     }.toMap
     Bm25Stats(n, totalLen.toDouble / n.toDouble, idfU)
   }

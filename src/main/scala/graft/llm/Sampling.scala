@@ -56,10 +56,16 @@ object Sampling {
     * (Lee et al. 2022 §6: duplicated text across splits inflates eval).
     * `clusters` is [[Dedup.duplicateClusters]] output (id, cluster_id);
     * documents absent from it are their own singleton cluster. The
-    * cluster table is ∝ the corpus's actual duplication (≪ corpus on
-    * real crawls), so the join is broadcast-hinted; assignment itself
-    * is the same portable md5-bucket rule as [[hashSplit]] — no extra
-    * shuffle beyond the one join. Output carries the effective split
+    * cluster table is ∝ the corpus's actual duplication — which on
+    * real web crawls can be 30–80% of the corpus, far too big to force
+    * into a broadcast — so the join strategy is LEFT TO THE PLANNER:
+    * a small persisted cluster table auto-broadcasts under
+    * `autoBroadcastJoinThreshold` (and AQE re-plans at runtime), while
+    * a corpus-sized one degrades to a shuffle join instead of OOMing
+    * the driver (a forced hint would bypass the threshold entirely).
+    * Assignment itself is the same portable md5-bucket rule as
+    * [[hashSplit]] — no extra shuffle beyond the one join. Output
+    * carries the effective split
     * key as `cluster_id` — REPLACING any incoming column of that name
     * (the join itself works through namespaced internal columns, so an
     * input that already has `cluster_id` never hits an
@@ -67,8 +73,8 @@ object Sampling {
   def clusterSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
-    val c = broadcast(clusters.select(col("id").as("__cs_id"),
-      col("cluster_id").as("__cs_cluster")))
+    val c = clusters.select(col("id").as("__cs_id"),
+      col("cluster_id").as("__cs_cluster"))
     val withCluster = df
       .join(c, df(idCol) === col("__cs_id"), "left")
       .drop("__cs_id")

@@ -55,13 +55,36 @@ object LlmQueries {
     * engine and oracle sides. assert_true returns NULL on success, so the
     * coalesce keeps the arithmetic a single projection (no extra action).
     */
+  /** Per-JVM private root for every staged artifact and scratch index.
+    * `createTempDirectory` gives a fresh, owner-only (0700) directory
+    * per process — no other local user can pre-create or squat a
+    * predictable world-writable /tmp path, and two corpora can never
+    * collide: [[stagePath]] keys the subdirectory on the FULL md5 hex
+    * of the corpus dir (not a 32-bit hashCode, whose collisions — and
+    * `math.abs(Int.MinValue)` staying negative — could silently
+    * cross-wire two corpora's staged state). The path is a pure
+    * function of (key, dir), derived inside the same expression the
+    * memo maps store, so map key and path can never disagree. Staging
+    * memos are JVM-local anyway (ConcurrentHashMap), so a per-JVM root
+    * loses no cross-process reuse.
+    */
+  private lazy val stageRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-stage-").toString
+  private def stagePath(key: String, dir: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"$stageRoot/$key-$hex"
+  }
+
   /** Fresh on-disk root for gates exercising PERSISTED index state
-    * ([[IncrementalDedup]]): a fixed per-gate path wiped at gate entry,
-    * so repeated Verify/Bench invocations stay reproducible and nothing
-    * accumulates across passes.
+    * ([[IncrementalDedup]]): a fixed per-gate path (under the per-JVM
+    * [[stageRoot]]) wiped at gate entry, so repeated Verify/Bench
+    * invocations stay reproducible and nothing accumulates across
+    * passes.
     */
   private def freshIndexRoot(s: SparkSession, name: String): String = {
-    val root = s"/tmp/graft_gate_$name"
+    val root = s"$stageRoot/gate_$name"
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     root
@@ -175,7 +198,7 @@ object LlmQueries {
   private def ivfIndexOnce(s: SparkSession, dir: String, corpus: DataFrame,
       cents: Seq[Seq[Double]]): String =
     ivfIndexBuilt.computeIfAbsent(dir, _ => {
-      val idx = s"/tmp/graft-ivf-index-${math.abs(dir.hashCode)}"
+      val idx = stagePath("ivf-index", dir)
       Similarity.ivfWriteIndex(corpus, cents, idx)
       idx
     })
@@ -227,11 +250,17 @@ object LlmQueries {
     * round-trip would not survive a scale-up. */
   private val clusterTableBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
+  /** `build` returns the table plus a cleanup thunk (unpersist of any
+    * intermediate cache) that runs AFTER the staging write's action —
+    * a `try/finally` inside the block would fire at expression
+    * evaluation, before the write job, leaving the cache dead for the
+    * one job that needs it. */
   private def clusterTableOnce(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
+      build: => (DataFrame, () => Unit)): DataFrame = {
     val path = clusterTableBuilt.computeIfAbsent(s"$dir#$key", _ => {
-      val p = s"/tmp/graft-clusters-$key-${math.abs(dir.hashCode)}"
-      build.write.mode("overwrite").parquet(p)
+      val p = stagePath(s"clusters-$key", dir)
+      val (df, cleanup) = build
+      try df.write.mode("overwrite").parquet(p) finally cleanup()
       p
     })
     s.read.parquet(path)
@@ -245,7 +274,7 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bigramModelOnce(s: SparkSession, dir: String): String =
     bigramModelBuilt.computeIfAbsent(dir, _ => {
-      val path = s"/tmp/graft-bigram-lm-${math.abs(dir.hashCode)}"
+      val path = stagePath("bigram-lm", dir)
       graft.llm.LanguageModel.bigramModel(
           docs(s, dir).select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(path)
@@ -270,7 +299,7 @@ object LlmQueries {
   private def ivfPqIndexOnce(s: SparkSession, dir: String, corpus: DataFrame,
       cents: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Double]]]): String =
     ivfPqIndexBuilt.computeIfAbsent(dir, _ => {
-      val idx = s"/tmp/graft-ivfpq-index-${math.abs(dir.hashCode)}"
+      val idx = stagePath("ivfpq-index", dir)
       Similarity.ivfPqWriteIndex(corpus, graft.llm.IvfQuantizer(cents),
         cbs, idx)
       idx
@@ -284,7 +313,7 @@ object LlmQueries {
   private def stStageOnce(s: SparkSession, dir: String,
       low: DataFrame, delivery2: DataFrame, key: String = "st"): String =
     stStageBuilt.computeIfAbsent(s"$dir#$key", _ => {
-      val base = s"/tmp/graft-$key-stage-${math.abs(dir.hashCode)}"
+      val base = stagePath(s"$key-stage", dir)
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       def dropFile(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -311,7 +340,7 @@ object LlmQueries {
   private def ivfAppendBaseOnce(s: SparkSession, dir: String,
       corpus: DataFrame, cents: Seq[Seq[Double]]): String =
     ivfAppendBaseBuilt.computeIfAbsent(dir, _ => {
-      val idx = s"/tmp/graft-ivf-append-base-${math.abs(dir.hashCode)}"
+      val idx = stagePath("ivf-append-base", dir)
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       Similarity.ivfWriteIndex(corpus, cents, idx)
@@ -334,7 +363,7 @@ object LlmQueries {
   private def incDedupBaseOnce(s: SparkSession, dir: String, key: String)(
       build: String => Unit): String =
     incDedupBaseBuilt.computeIfAbsent(s"$dir#$key", _ => {
-      val idx = s"/tmp/graft-$key-base-${math.abs(dir.hashCode)}"
+      val idx = stagePath(s"$key-base", dir)
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       build(idx)
@@ -1822,8 +1851,7 @@ object LlmQueries {
         val cands = Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
         val pairs = Dedup.verifyJaccardFromShingles(cands, state)
           .filter(col("jaccard") >= 1.0).select("id_a", "id_b")
-        val c = Dedup.duplicateClusters(pairs)
-        try c finally state.unpersist()
+        (Dedup.duplicateClusters(pairs), () => { state.unpersist(); () })
       }
       Sampling.clusterSafeSplit(
           corpus.select("doc_id"), clusters, "doc_id",
@@ -1859,8 +1887,8 @@ object LlmQueries {
       val clusters = clusterTableOnce(s, dir, "normEq") {
         val mins = withNorm.groupBy("nh")
           .agg(min(col("doc_id")).as("cluster_id"))
-        withNorm.join(mins, Seq("nh"))
-          .select(col("doc_id").as("id"), col("cluster_id"))
+        (withNorm.join(mins, Seq("nh"))
+          .select(col("doc_id").as("id"), col("cluster_id")), () => ())
       }
       Dedup.clusterRepresentatives(
         withNorm.select("doc_id", "len"), clusters, "doc_id", "len")

@@ -388,7 +388,17 @@ object Warehouse {
       val ledger = resolveLedger(spark, root)
       require(ledger.live.nonEmpty, s"nothing to compact under $root")
       val v = deltaVersions(spark, root).last + 1
-      val gen = f"gen-compact-$v%09d"
+      // Writer-UNIQUE directory (the deltaAppend rule): a version-
+      // derived name is NOT unique — a compactor that crashed between
+      // write and commit would leave the name squatted, and every later
+      // compaction at the same tip would recompute the same version and
+      // die on errorifexists (permanently wedging compaction, since
+      // vacuumDeltaLog rightly refuses to delete unknown directories);
+      // two concurrent compactors would likewise collide at the write
+      // instead of racing cleanly at the commit CAS. The version lives
+      // in the manifest content only.
+      val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val gen = s"gen-compact-a$token"
       val df = ledger.live.map(g => spark.read.parquet(s"$root/$g"))
         .reduce(_.unionByName(_))
       val w = df.write.mode("errorifexists")

@@ -43,6 +43,30 @@ class CompactionSpec extends SparkSpec {
     assert(Warehouse.deltaRead(spark, root).count() == 5)
   }
 
+  test("a crashed compaction attempt never wedges later compactions") {
+    val root = tmpDir("graft-compact-crash") + "/log"
+    Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)
+    Warehouse.deltaAppend(Seq((2L, "b")).toDF("id", "v"), root)
+    // simulate a compactor that crashed between its parquet write and
+    // its manifest commit: an orphan compacted directory is on disk.
+    // With version-derived names every retry at the same tip would
+    // recompute the same name and die on errorifexists; writer-unique
+    // names make the orphan inert.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$root/gen-compact-adeadbeef0000")
+    val compacted = Warehouse.compactDeltaLog(spark, root)
+    assert(!compacted.endsWith("gen-compact-adeadbeef0000"))
+    assert(Warehouse.committedGenerations(spark, root).size == 1)
+    assert(Warehouse.deltaRead(spark, root).count() == 2)
+    // the crashed attempt surfaces as an orphan, not a live generation
+    assert(Warehouse.orphanGenerations(spark, root)
+      .contains("gen-compact-adeadbeef0000"))
+    // and compaction keeps working after (a second fold at the new tip)
+    Warehouse.deltaAppend(Seq((3L, "c")).toDF("id", "v"), root)
+    Warehouse.compactDeltaLog(spark, root)
+    assert(Warehouse.deltaRead(spark, root).count() == 3)
+  }
+
   test("a crashed append attempt is invisible and surfaced as an orphan") {
     val root = tmpDir("graft-orphan") + "/log"
     Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)

@@ -51,6 +51,29 @@ class RankingSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 30L, 3L), (10L, 11L, 99L, 2L), (20L, 20L, 7L, 1L)))
   }
 
+  test("clusterRepresentatives: corpus-sized clusters plan a shuffle join") {
+    // no forced broadcast hint: with the threshold at -1 (simulating a
+    // cluster table too big to broadcast — the real-crawl case) the
+    // planner must pick a shuffle join instead of OOMing on a hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = (1L to 50L).map(i => (i, i * 2L)).toDF("doc_id", "score")
+      val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+      val out = Dedup.clusterRepresentatives(docs, clusters, "doc_id", "score")
+      val plan = out.queryExecution.sparkPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+      }
+      assert(bcasts.isEmpty,
+        s"clusters join must degrade to a shuffle join, got:\n${plan.treeString}")
+      val rep = out.filter(col("cluster_id") === 1L)
+        .select("rep_id").head().getLong(0)
+      assert(rep == 2L) // semantics unchanged by the join strategy
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("clusterRepresentatives: no window node (bounded top-1 aggregate)") {
     val docs = Seq((1L, 10L), (2L, 30L)).toDF("doc_id", "score")
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")

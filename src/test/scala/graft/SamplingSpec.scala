@@ -52,7 +52,35 @@ class SamplingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 901L, 3L, 4L).exists(i => out(i) != own(i)))
   }
 
-  test("clusterSafeSplit replaces a pre-existing cluster_id and broadcasts") {
+  test("clusterSafeSplit: corpus-sized clusters plan a shuffle join, not a broadcast") {
+    // a forced broadcast() hint would bypass autoBroadcastJoinThreshold
+    // and OOM at crawl scale (30-80% of real-crawl docs are in some
+    // near-dup cluster, so the cluster table is corpus-sized); setting
+    // the threshold to -1 simulates "too big to broadcast" and proves
+    // the strategy choice is the PLANNER's, not a hint's
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = (1L to 100L).toDF("doc_id")
+      val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+      val out = Sampling.clusterSafeSplit(docs, clusters, "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      val plan = out.queryExecution.sparkPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+      }
+      assert(bcasts.isEmpty,
+        s"clusters join must degrade to a shuffle join when over the " +
+          s"broadcast threshold, got:\n${plan.treeString}")
+      // and the semantics are unchanged by the strategy
+      val keys = out.select("doc_id", "cluster_id")
+        .as[(Long, Long)].collect().toMap
+      assert(keys(2L) == 1L && keys(5L) == 5L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("clusterSafeSplit replaces a pre-existing cluster_id; small clusters auto-broadcast") {
     val docs = (1L to 10L).toDF("doc_id")
       .withColumn("cluster_id", org.apache.spark.sql.functions.lit(-99L))
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
