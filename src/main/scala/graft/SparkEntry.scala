@@ -30,4 +30,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles
+
+  /** Bench-time oracle splits for staged-state gates (see
+    * [[graft.queries.BenchOracles]]): setup trains the state into temp
+    * tables (untimed, mirrors the Spark side's *Once staging), query is
+    * the timed scoring pass. tools/duckdb_baseline.py verifies each
+    * split reproduces the full correctness oracle before using it.
+    */
+  def oracleBenchSql: Map[String, graft.queries.BenchOracle] =
+    graft.queries.BenchOracles.all
 }

@@ -59,6 +59,16 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // bench-time oracle splits for staged-state gates (setup = untimed
+    // training into temp tables, query = the timed scoring pass);
+    // consumed by tools/duckdb_baseline.py, which self-checks each
+    // split against the full oracle before timing with it
+    val benchJson = SparkEntry.oracleBenchSql
+      .map { case (k, bo) =>
+        val setup = bo.setup.map(q).mkString("[", ",", "]")
+        s"${q(k)}: {${q("setup")}: $setup, ${q("query")}: ${q(bo.query)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_bench.json"), benchJson)
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(

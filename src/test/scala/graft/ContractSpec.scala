@@ -14,6 +14,26 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  // Staged-state bench splits (BenchOracles): each must target an
+  // existing oracle-paired gate, stage only into bench_-prefixed temp
+  // tables, and actually score against the staged state. Semantic
+  // equivalence with the full oracle is enforced at run time by
+  // tools/duckdb_baseline.py (it refuses to time a split whose result
+  // differs from the full oracle's).
+  test("bench oracle splits are well-formed") {
+    val splits = SparkEntry.oracleBenchSql
+    val orphan = splits.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(orphan.isEmpty, s"bench split without a full oracle: $orphan")
+    splits.foreach { case (name, bo) =>
+      assert(bo.setup.nonEmpty && bo.query.trim.nonEmpty, name)
+      bo.setup.foreach(stmt => assert(
+        stmt.trim.toUpperCase.startsWith("CREATE OR REPLACE TEMP TABLE BENCH_"),
+        s"$name: setup must only create bench_* temp tables"))
+      assert(bo.query.contains("bench_"),
+        s"$name: timed query must reference the staged bench_* state")
+    }
+  }
+
   // The gate set is append-only: a refactor that silently DROPS a query
   // makes the round's correctness artifact pass vacuously by omission
   // (round-9 advisory — 16 crashed queries simply vanished from the
