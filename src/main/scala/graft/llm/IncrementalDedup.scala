@@ -245,6 +245,15 @@ object IncrementalDedup {
     val (minNew, maxNew) =
       if (emptyDelivery) (Long.MinValue, Long.MinValue)
       else (idRow.getLong(0), idRow.getLong(1))
+    if (emptyDelivery) {
+      // nothing to admit and nothing to guard: skip the candidate/
+      // verify/append machinery entirely. Deliberately NO generation or
+      // tag commit — re-running an empty delivery is a no-op either
+      // way, so exactly-once needs no marker (and streaming callers
+      // save the per-trigger isEmpty probe job by just calling in).
+      batch.unpersist()
+      return delivery.limit(0)
+    }
     if (!emptyDelivery && hasIndex && requireMonotoneIds) {
       val maxIdx = readIdBound(spark, indexRoot).getOrElse(
         idx.agg(max(col("id"))).head().getLong(0))
@@ -286,7 +295,14 @@ object IncrementalDedup {
       .select("id_a", "id_b")
 
     // admitted = delivery docs whose cluster holds no index survivor and
-    // whose id is the cluster minimum among delivery members
+    // whose id is the cluster minimum among delivery members.
+    // duplicateClusters labels every member with the component MINIMUM
+    // id, so "minimum among delivery members of a non-rejected cluster"
+    // is just `id == cluster_id`: a non-rejected cluster has no index
+    // member at all (any index member rejects the whole cluster,
+    // whatever its id), hence its overall minimum IS a delivery id.
+    // That turns the per-cluster min aggregation — one exchange per
+    // delivery — into a shuffle-free filter.
     val labels = Dedup.duplicateClusters(verified)
     val batchLabels = batch.select("id").join(labels, Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
@@ -295,8 +311,8 @@ object IncrementalDedup {
       else labels.join(idx.select("id"), Seq("id"), "left_semi")
         .select("cluster_id").distinct()
     val admitted = batchLabels
+      .filter(col("id") === col("cluster_id"))
       .join(rejectedClusters, Seq("cluster_id"), "left_anti")
-      .groupBy("cluster_id").agg(min(col("id")).as("id"))
       .select("id")
 
     // one delta generation per delivery: append cost ∝ delivery

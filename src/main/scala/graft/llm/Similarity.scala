@@ -287,10 +287,21 @@ object Similarity {
     ()
   }
 
+  /** Cells physically present in the index layout, from the hive
+    * partition directory names — one filesystem listing, no Spark job
+    * (the layout IS the `cid=<v>` directory set, so reading parquet
+    * footers to rediscover it was a whole scan job per maintenance
+    * call). A crashed write's empty directory is harmlessly counted
+    * live: a pruned search over it returns zero rows.
+    */
   private def presentCells(spark: org.apache.spark.sql.SparkSession,
-      path: String): Set[Int] =
-    spark.read.parquet(path).select("cid").distinct()
-      .collect().map(_.getInt(0)).toSet
+      path: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid="))
+      .map(_.stripPrefix("cid=").toInt).toSet
+  }
 
   /** Per-cell row counts — the audit that decides when a drifting
     * append stream has bloated hot cells past the recluster threshold.
@@ -357,13 +368,22 @@ object Similarity {
         col(vecCol).cast("array<double>"),
         col(vecCol).cast("array<double>")) > 0)
       .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
-    val newCells = assigned.select("cid").distinct()
-      .collect().map(_.getInt(0)).toSet
-    assigned.write.mode("append").partitionBy("cid").parquet(path)
-    // a delivery can populate a previously-empty cell: make it live
+    // repartition on the partition column before the partitioned write:
+    // without it every input task opens a writer per cell it touches —
+    // up to tasks×cells small files per delivery, the classic
+    // dynamic-partition small-files failure at crawl scale. One
+    // delta-sized exchange (AQE coalesces it for a small delivery)
+    // makes each cell's delta contiguous.
+    assigned.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+    // a delivery can populate a previously-empty cell: make it live.
+    // The new cell set comes from the directory layout the write just
+    // produced (one fs listing) — not from a second scan job over the
+    // delta.
     ivfLiveCells(spark, path).foreach { live =>
-      if (!newCells.subsetOf(live))
-        writeLiveCells(spark, path, live ++ newCells)
+      val present = presentCells(spark, path)
+      if (!present.subsetOf(live))
+        writeLiveCells(spark, path, live ++ present)
     }
   }
 

@@ -82,11 +82,12 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.llm.IncrementalDedup.addDelivery(batch, indexRoot,
-            minJaccard, textCol, idCol, shingleN, bands, rowsPerBand,
-            requireMonotoneIds, deliveryTag = Some(f"batch-$batchId%09d"),
-            layout = layout)
+        // no isEmpty pre-probe: addDelivery detects emptiness on the
+        // one aggregate it runs anyway and returns without committing
+        graft.llm.IncrementalDedup.addDelivery(batch, indexRoot,
+          minJaccard, textCol, idCol, shingleN, bands, rowsPerBand,
+          requireMonotoneIds, deliveryTag = Some(f"batch-$batchId%09d"),
+          layout = layout)
         ()
       }
       .start()
