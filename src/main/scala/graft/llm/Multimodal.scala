@@ -208,4 +208,118 @@ object Multimodal {
   def metaOnly(df: DataFrame, idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), col("media_meta"),
       octet_length(col("payload")).cast("long").as("n_bytes"))
+
+  // -------------------------------------------------- perceptual hashing
+
+  /** 64-bit difference hash (dHash) of a decoded RGB image: integer
+    * grayscale (r+g+b)/3, nearest-neighbour downsample to a 9×8 grid,
+    * bit (gy·8+gx) set iff gray(gx+1, gy) > gray(gx, gy). Invariant to
+    * any uniform brightness shift that doesn't clip (adding c to every
+    * channel adds exactly c to every gray value, preserving every
+    * strict comparison) and to the container (it sees decoded pixels) —
+    * the two near-dup classes exact pixel hashing misses. All-integer
+    * arithmetic: engine/platform deterministic.
+    */
+  def dHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    def gray(gx: Int, gy: Int): Int = {
+      val px = gx * w / 9
+      val py = gy * h / 8
+      val i = (py * w + px) * 3
+      ((rgb(i) & 0xFF) + (rgb(i + 1) & 0xFF) + (rgb(i + 2) & 0xFF)) / 3
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gx + 1, gy) > gray(gx, gy))
+          bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Schema of [[imagePHash]] output rows. */
+  def imagePHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("valid", BooleanType),
+    StructField("dhash", LongType),
+    StructField("grad_md5", StringType)))
+
+  /** Partition-local perceptual-hash pass (the near-dup sibling of
+    * [[decodeImage]]): decode (PPM or BMP), emit the 64-bit [[dHash64]]
+    * — the Hamming-banded BLOCKING key — plus `grad_md5`, the md5 of
+    * the brightness-normalized byte gradient ((b_i − b_0) mod 256,
+    * comma-joined decimals): the exact VERIFY fingerprint. Two images
+    * share `grad_md5` iff their pixel bytes differ by one per-image
+    * constant — which also forces equal gray grids up to a constant and
+    * hence equal dHash, so a banded candidate join over dhash surfaces
+    * every grad-equal pair (the recall argument the oracle checks).
+    * Engine-portable: the oracle replays the gradient algebra over the
+    * payload construction with no knowledge of the hash grid. Corrupt
+    * payloads quarantine as valid = false, like every decoder here.
+    */
+  def imagePHash(df: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imagePHashSchema)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          PpmCodec.decode(payload).orElse(BmpCodec.decode(payload)) match {
+            case Some((w, h, rgb)) if rgb.nonEmpty =>
+              md.reset()
+              val b0 = rgb(0) & 0xFF
+              val grad = rgb.iterator
+                .map(b => (((b & 0xFF) - b0 + 256) % 256).toString)
+                .mkString(",")
+              val hex = md.digest(grad.getBytes("US-ASCII"))
+                .map("%02x".format(_)).mkString
+              Row(id, true, dHash64(w, h, rgb), hex)
+            case _ => Row(id, false, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Map a payload column through a partition-local codec transform
+    * (None → quarantined as a null payload): the twin-construction and
+    * re-encode hook for the perceptual-dedup gates. Runs executor-side,
+    * no shuffle — the [[decodeImage]] plumbing contract.
+    */
+  def mapPayload(df: DataFrame, f: Array[Byte] => Option[Array[Byte]])
+      (implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions(_.map { r =>
+        val p = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        Row(r.getLong(0), f(p).orNull)
+      })(enc)
+  }
+
+  /** Uniform brightness shift of a PPM payload: +delta on every pixel
+    * byte. Refuses (None) when any byte would clip — a clipped shift is
+    * NOT dHash-invariant, and the planted-twin construction depends on
+    * exact invariance.
+    */
+  def brightnessShiftPpm(delta: Int)(payload: Array[Byte]): Option[Array[Byte]] =
+    PpmCodec.decode(payload).flatMap { case (w, h, rgb) =>
+      if (rgb.exists(b => (b & 0xFF) + delta > 255 || (b & 0xFF) + delta < 0))
+        None
+      else
+        Some(PpmCodec.encode(w, h, rgb.map(b => ((b & 0xFF) + delta).toByte)))
+    }
+
+  /** Re-encode any decodable payload as BMP — same pixels, different
+    * container (the re-crawl-through-a-different-pipeline twin). */
+  def reencodeBmp(payload: Array[Byte]): Option[Array[Byte]] =
+    PpmCodec.decode(payload).orElse(BmpCodec.decode(payload)).map {
+      case (w, h, rgb) => BmpCodec.encode(w, h, rgb)
+    }
 }

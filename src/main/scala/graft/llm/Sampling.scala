@@ -182,13 +182,29 @@ object Sampling {
     */
   def mixToTokenBudget(df: DataFrame, budgetTokens: Long,
       weights: Map[String, Double], srcCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    mixToTokenBudgetByCount(
+      df.withColumn("__graft_nt",
+        size(TextAnalysis.tokens(col(textCol))).cast("long")),
+      budgetTokens, weights, "__graft_nt", srcCol, idCol)
+      .drop("__graft_nt")
+
+  /** [[mixToTokenBudget]] over a PRECOMPUTED token-count column — the
+    * mid-pipeline form: a curation pipeline that already tokenized
+    * upstream carries `n_tokens` forward instead of re-reading every
+    * document's text to count it again (at 100 TB the text column is
+    * ~1000× the count column). Admission rule and hash salt are
+    * identical, so the two forms admit the same documents.
+    */
+  def mixToTokenBudgetByCount(df: DataFrame, budgetTokens: Long,
+      weights: Map[String, Double], nTokensCol: String,
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     val d = df.filter(col(srcCol).isNotNull)
     val toks = d.groupBy(srcCol)
-      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("t"))
+      .agg(sum(col(nTokensCol).cast("long")).as("t"))
       .filter(col(srcCol).isin(weights.keys.toSeq: _*))
       .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     if (toks.isEmpty) return df.filter(lit(false))

@@ -1921,6 +1921,143 @@ object LlmQueries {
         stats = Some(bm25StatsOnce(s, dir, terms)))
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    // every document against the persisted bigram LM (the
+    // x_bigram_logprob artifact — bigramModelOnce, the KenLM
+    // lifecycle), then cut the corpus into head/middle/tail buckets by
+    // the score's corpus quartiles. Thresholds are the one corpus-level
+    // aggregate (2 values); bucketing itself is a broadcast-literal
+    // CASE — a pure map over the scan. Exact percentile here for
+    // quantile_cont oracle parity; the 100 TB path swaps in
+    // approx_percentile exactly like x_token_percentiles.
+    // Cross-engine determinism: scores go through the percentile as
+    // 1e-4 INTEGER units and the fractions are exact dyadic doubles
+    // (0.25 / 0.75), so every interpolation intermediate — (n−1)·p, the
+    // rank fraction, gap·frac, the threshold itself — is EXACTLY
+    // representable: no rounding happens, so any algebraically
+    // equivalent interpolation formula in any engine yields the
+    // bit-identical threshold and the >= cuts cannot flake.
+    "x_ppl_buckets" -> ((s, dir) => {
+      val model = s.read.parquet(bigramModelOnce(s, dir))
+      val scored = graft.llm.LanguageModel.bigramLogProbWith(
+          docs(s, dir).select(col("doc_id"), col("text")), model)
+        .select(col("doc_id"),
+          floor(col("avg_bigram_logp") * 10000 + lit(0.5)).cast("long")
+            .as("logp_u"))
+        // the threshold aggregate and the bucket projection both read
+        // the scored table — one cached computation, not two
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t = scored.agg(
+        expr("percentile(logp_u, 0.25d)").as("t_lo"),
+        expr("percentile(logp_u, 0.75d)").as("t_hi"))
+      scored.crossJoin(broadcast(t))
+        .select(col("doc_id"), col("logp_u"),
+          when(col("logp_u") >= col("t_hi"), lit("head"))
+            .when(col("logp_u") >= col("t_lo"), lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+    }),
+
+    // Perceptual image near-dup: every PPM payload gets a
+    // brightness-shifted twin (+16 on every pixel byte — REAL bytes
+    // through the REAL decoder; no clipping by construction, since the
+    // ASCII-folded text bytes top out at 127) and a BMP re-encode twin
+    // (same pixels, different container). dHash is invariant to both,
+    // so Hamming-banded blocking over the 64-bit dHash
+    // (Dedup.simhashCandidatesFromSigs — the SimHash machinery reused
+    // verbatim) must surface every planted pair; the exact verify keys
+    // on grad_md5, the brightness-normalized byte gradient, which the
+    // oracle replays from the payload construction with no knowledge
+    // of the hash grid. grad-equal ⇒ gray grids differ by a constant ⇒
+    // dHash-equal, so Spark's banded candidates + gradient verify is
+    // EXACTLY the oracle's gradient-equality pair set.
+    "x_image_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 1)
+      val media = graft.llm.Multimodal.withPpmPayload(d)
+        .select(col("doc_id"), col("payload"))
+      val bright = graft.llm.Multimodal
+        .mapPayload(media, graft.llm.Multimodal.brightnessShiftPpm(16))
+        .select(twinId(col("doc_id"), 1000000000L).as("doc_id"),
+          col("payload"))
+      val bmp = graft.llm.Multimodal
+        .mapPayload(media, graft.llm.Multimodal.reencodeBmp)
+        .select(twinId(col("doc_id"), 2000000000L).as("doc_id"),
+          col("payload"))
+      val sigs = graft.llm.Multimodal
+        .imagePHash(media.union(bright).union(bmp))
+        .filter(col("valid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = Dedup.simhashCandidatesFromSigs(
+        sigs.select(col("doc_id").as("id"), col("dhash").as("sim")),
+        maxHamming = 3)
+      val fps = sigs.select(col("doc_id"), col("grad_md5"))
+      cands
+        .join(fps.select(col("doc_id").as("id_a"), col("grad_md5").as("_fa")),
+          Seq("id_a"))
+        .join(fps.select(col("doc_id").as("id_b"), col("grad_md5").as("_fb")),
+          Seq("id_b"))
+        .filter(col("_fa") === col("_fb"))
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // End-to-end training-shard export — the capstone composition of
+    // the pipeline's already-gated stages: best-copy dedup
+    // (clusterRepresentatives over normalized-equality clusters, the
+    // x_cluster_rep operator), a token-count quality floor, token-budget
+    // mixing over four sources (mixToTokenBudget), packing into
+    // 2048-token training sequences (packSequences), and deterministic
+    // SEQUENCE-level sharding (Sharding.shardOf over the (source, seq)
+    // key — whole sequences land in one shard, the artifact a training
+    // loader consumes). Output: the per-shard audit — doc/sequence
+    // counts, token mass (conservation is spec-asserted), and exact
+    // integer order-checksums. Every stage is engine-portable algebra,
+    // so the oracle replays the WHOLE composition; the gate pins the
+    // glue between stages, which no per-stage gate sees.
+    "x_training_shards" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val withNorm = d.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("nh"))
+      val ctab = withNorm
+        .join(withNorm.groupBy("nh").agg(min(col("doc_id")).as("cluster_id")),
+          Seq("nh"))
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      val reps = Dedup.clusterRepresentatives(
+          withNorm.select("doc_id", "len"), ctab, "doc_id", "len")
+        .select(col("rep_id").as("doc_id"))
+      // text ends at curation: everything downstream (mixing, packing,
+      // sharding) needs only (doc_id, source, n_tokens) — carry the
+      // slim projection and persist it so the mix's source-budget
+      // aggregate, the packing windows, and the final audit share ONE
+      // computation of the dedup subtree instead of re-deriving it per
+      // consumer (at 100 TB this is the materialization boundary a
+      // real pipeline writes between stages)
+      val curated = d.join(reps, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") >= 10)
+        .select("doc_id", "source", "n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mixed = Sampling.mixToTokenBudgetByCount(curated,
+        budgetTokens = 20000L,
+        Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.2),
+        nTokensCol = "n_tokens")
+      val packed = graft.llm.Packing.packSequences(
+        mixed, budgetTokens = 2048L)
+      val seqKey = concat_ws("#", col("source"), col("seq_id").cast("string"))
+      packed
+        .withColumn("shard", graft.llm.Sharding.shardOf(seqKey, nShards = 16))
+        .withColumn("_ok", graft.llm.Sharding.orderKey(col("doc_id")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(seqKey).as("n_seqs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("_ok")).as("order_sum"),
+          min(col("_ok")).as("order_min"),
+          max(col("_ok")).as("order_max"))
+    }),
+
     // URL canonicalization + canonical-URL dedup: three planted
     // spellings per document — an uppercase-host/default-port/
     // tracking-tagged/fragmented variant, its clean twin (same
@@ -3599,6 +3736,127 @@ object LlmQueries {
                  FROM sc GROUP BY 1)
          SELECT doc_id, score_u FROM agg
          ORDER BY score_u DESC, doc_id LIMIT 20""",
+
+    // CCNet perplexity buckets: the x_bigram_logprob scoring replayed
+    // into 1e-4 integer units, quartile thresholds via quantile_cont at
+    // exact dyadic fractions (every interpolation intermediate exactly
+    // representable — see the gate comment), head/middle/tail by >= cuts
+    "x_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, unnest(list_transform(
+                  range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                  AS bigram
+                FROM w),
+         c2 AS (SELECT bigram, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1),
+         c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1
+                FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT word)::DOUBLE AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)),
+         sc AS (SELECT bg.doc_id,
+                  floor(floor(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                        * 10000 + 0.5) / 10000 * 10000 + 0.5)::BIGINT
+                    AS logp_u
+                FROM bg
+                JOIN c2 USING (bigram)
+                JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+                CROSS JOIN v
+                GROUP BY bg.doc_id),
+         t AS (SELECT quantile_cont(logp_u, 0.25) AS t_lo,
+                      quantile_cont(logp_u, 0.75) AS t_hi FROM sc)
+         SELECT doc_id, logp_u,
+           CASE WHEN logp_u >= t_hi THEN 'head'
+                WHEN logp_u >= t_lo THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+         FROM sc, t""",
+
+    // gradient-equality reduction of the perceptual near-dup: two
+    // images pair iff their pixel bytes differ by one per-image
+    // constant — md5 over (b_i − b_0) mod 256. The brightness twin's
+    // pixels are the base codes + 16 (no clipping: ASCII-folded bytes
+    // top out at 127), the BMP twin's pixels are the base codes
+    // unchanged (re-encode preserves pixels); the oracle computes each
+    // wave's gradient from its OWN pixel codes — no knowledge of the
+    // hash grid or the banding enters
+    "x_image_phash" ->
+      """WITH p AS (
+           SELECT doc_id,
+             list_transform(str_split(
+               rpad(substr(text, 1, w*h*3), (w*h*3)::INT, ' '), ''),
+               c -> unicode(c)) AS codes
+           FROM (SELECT doc_id,
+                   regexp_replace(text, '[^\x01-\x7F]', '?', 'g') AS text,
+                   8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id % 2 = 1)),
+         waves AS (
+           SELECT doc_id, codes FROM p
+           UNION ALL
+           SELECT doc_id + 1000000000,
+             list_transform(codes, c -> c + 16) FROM p
+           UNION ALL
+           SELECT doc_id + 2000000000, codes FROM p),
+         fp AS (
+           SELECT doc_id, md5(array_to_string(
+             list_transform(codes, c -> (c - codes[1] + 256) % 256), ','))
+             AS f
+           FROM waves)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id""",
+
+    // the full export composition replayed: best-copy rep per
+    // normalized-equality cluster (len DESC, id ASC), token floor,
+    // token-budget admission (the x_token_budget_mix CTE shape),
+    // per-source exclusive-cumsum packing (the x_pack_sequences shape),
+    // md5 sharding of the (source, seq) key, exact integer checksums
+    "x_training_shards" ->
+      """WITH d AS (
+           SELECT doc_id, source, text, length(text)::BIGINT AS len,
+             len(string_split(text, ' '))::BIGINT AS ntok,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+           FROM documents),
+         r AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY nh
+                   ORDER BY len DESC, doc_id ASC) AS rk
+               FROM d),
+         curated AS (
+           SELECT d.* FROM d JOIN r USING (doc_id)
+           WHERE r.rk = 1 AND d.ntok >= 10),
+         w(source, wt) AS (VALUES ('src0', 0.3::DOUBLE), ('src1', 0.3::DOUBLE),
+               ('src2', 0.2::DOUBLE), ('src3', 0.2::DOUBLE)),
+         tok AS (SELECT source, sum(ntok)::DOUBLE AS t
+                 FROM curated WHERE source IS NOT NULL GROUP BY 1),
+         f AS (SELECT w.source, least(1.0::DOUBLE, 20000 * w.wt / tok.t)
+                 AS frac
+               FROM w JOIN tok USING (source)),
+         mixed AS (
+           SELECT c.doc_id, c.source, c.ntok FROM curated c JOIN f USING (source)
+           WHERE ('0x' || substr(md5('tokbudget:' || c.doc_id::VARCHAR),
+                   25, 8))::BIGINT % 1000000 < f.frac * 1000000),
+         packed AS (
+           SELECT doc_id, source, ntok,
+             ((sum(ntok) OVER (PARTITION BY source ORDER BY doc_id)
+               - ntok) // 2048)::BIGINT AS seq_id
+           FROM mixed),
+         sh AS (
+           SELECT doc_id, source, ntok,
+             source || '#' || seq_id::VARCHAR AS sk
+           FROM packed),
+         keyed AS (
+           SELECT doc_id, ntok, sk,
+             ('0x' || substr(md5('shard:' || sk), 25, 8))::BIGINT % 16
+               AS shard,
+             ('0x' || substr(md5('order:' || doc_id::VARCHAR), 25, 8))::BIGINT
+               AS ok
+           FROM sh)
+         SELECT shard, count(*)::BIGINT AS n_docs,
+           count(DISTINCT sk)::BIGINT AS n_seqs,
+           sum(ntok)::BIGINT AS total_tokens,
+           sum(ok)::BIGINT AS order_sum,
+           min(ok)::BIGINT AS order_min,
+           max(ok)::BIGINT AS order_max
+         FROM keyed GROUP BY 1""",
 
     // clusters = min id per identical-distinct-shingle class (the
     // x_neardup_survivors reduction, exact at jaccard 1.0); split =

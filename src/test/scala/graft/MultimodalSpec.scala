@@ -118,6 +118,64 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(new String(_)) == Seq("01", "45", "89"))
   }
 
+  test("dHash64: brightness-shift and container invariant, gradient sensitive") {
+    val w = 12; val h = 10
+    val px = testPixels(w, h)
+    val base = PpmCodec.encode(w, h, px)
+    val hBase = Multimodal.dHash64(w, h, px)
+    // +16 on every byte (testPixels spans 0..255, so shift with clamp
+    // awareness: build a non-clipping variant first)
+    val dim = px.map(b => ((b & 0xFF) / 2).toByte) // 0..127: shift-safe
+    val hDim = Multimodal.dHash64(w, h, dim)
+    val shifted = Multimodal.brightnessShiftPpm(16)(PpmCodec.encode(w, h, dim))
+    assert(shifted.isDefined)
+    val Some((sw, sh, srgb)) = PpmCodec.decode(shifted.get)
+    assert((sw, sh) == (w, h))
+    assert(Multimodal.dHash64(w, h, srgb) == hDim,
+      "uniform non-clipping brightness shift must not move the dHash")
+    // clipping shift refuses instead of silently breaking invariance
+    assert(Multimodal.brightnessShiftPpm(200)(base).isEmpty)
+    // BMP re-encode: same pixels, same hash through the other decoder
+    val bmp = Multimodal.reencodeBmp(base).get
+    val Some((bw, bh, brgb)) = BmpCodec.decode(bmp)
+    assert((bw, bh) == (w, h) && Multimodal.dHash64(bw, bh, brgb) == hBase)
+    // a reversed gradient is a different image: the hash must move
+    assert(Multimodal.dHash64(w, h, px.reverse) != hBase)
+  }
+
+  test("imagePHash: planted twin triple pairs via banding + gradient verify") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog " * 20),
+      (2L, "entirely different text payload with other bytes " * 20))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withPpmPayload(d).select("doc_id", "payload")
+    val bright = Multimodal
+      .mapPayload(media, Multimodal.brightnessShiftPpm(16))
+      .select((col("doc_id") + 100L).as("doc_id"), col("payload"))
+    val bmp = Multimodal.mapPayload(media, Multimodal.reencodeBmp)
+      .select((col("doc_id") + 200L).as("doc_id"), col("payload"))
+    val sigs = Multimodal.imagePHash(media.union(bright).union(bmp))
+    assert(sigs.filter(!col("valid")).count() == 0)
+    val fps = sigs.select("doc_id", "grad_md5").as[(Long, String)]
+      .collect().toMap
+    // each doc's three waves share the gradient fingerprint...
+    assert(fps(1L) == fps(101L) && fps(1L) == fps(201L))
+    assert(fps(2L) == fps(102L) && fps(2L) == fps(202L))
+    // ...and the two docs don't
+    assert(fps(1L) != fps(2L))
+    // the banded candidates surface every within-triple pair
+    val cands = graft.llm.Dedup.simhashCandidatesFromSigs(
+      sigs.select(col("doc_id").as("id"), col("dhash").as("sim")),
+      maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    Seq((1L, 101L), (1L, 201L), (101L, 201L),
+      (2L, 102L), (2L, 202L), (102L, 202L))
+      .foreach(p => assert(cands.contains(p), s"missing planted pair $p"))
+    // corrupt payloads quarantine
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.imagePHash(junk).filter(col("valid")).count() == 0)
+  }
+
   test("decode → feature-dedup finds identical images via exact pixel histograms") {
     implicit val s = spark
     val d = Seq((0L, "tiger tiger burning"), (1L, "tiger tiger burning"),

@@ -185,6 +185,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixToTokenBudget(df, 20000L, Map("zz" -> 1.0)).isEmpty)
   }
 
+  test("mixToTokenBudgetByCount admits exactly mixToTokenBudget's documents") {
+    // the mid-pipeline form (precomputed n_tokens) must be admission-
+    // identical to the text form: same budget shares, same hash salt
+    val df = spark.range(500).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("source"),
+      when(col("id") % 3 === 0, "one two three four five")
+        .otherwise("one two").as("text"))
+    val w = Map("a" -> 0.5, "b" -> 0.5)
+    val byText = Sampling.mixToTokenBudget(df, 300L, w)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val byCount = Sampling.mixToTokenBudgetByCount(
+      df.withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("long")),
+      300L, w, "n_tokens")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byText == byCount && byText.nonEmpty)
+  }
+
   test("weightedSample: deterministic A-ES, weight-proportional, without replacement") {
     import org.apache.spark.sql.functions._
     // 100 heavy docs (w=1000) among 900 light (w=1): a k=100 A-ES draw

@@ -106,6 +106,31 @@ class ShardingSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort crept in:\n$plan")
   }
 
+  test("sequence-level sharding keeps whole sequences and conserves tokens") {
+    // the x_training_shards glue: pack → shard on the (source, seq) key
+    // must land every sequence in exactly one shard and lose no tokens
+    val df = spark.range(400).select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+      (col("id") % 7 + 1).cast("long").as("n_tokens"))
+    val inTokens = df.agg(sum("n_tokens")).head().getLong(0)
+    val packed = graft.llm.Packing.packSequences(df, budgetTokens = 16L)
+    val seqKey = concat_ws("#", col("source"), col("seq_id").cast("string"))
+    val audit = packed
+      .withColumn("shard", Sharding.shardOf(seqKey, nShards = 8))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(seqKey).as("n_seqs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .collect()
+    assert(audit.map(_.getAs[Long]("total_tokens")).sum == inTokens,
+      "token mass must be conserved through pack + shard")
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == 400L)
+    // per-shard distinct sums to the GLOBAL distinct ⇔ no sequence
+    // straddles two shards (the key is the sequence, not the doc)
+    val globalSeqs = packed.select(seqKey.as("sk")).distinct().count()
+    assert(audit.map(_.getAs[Long]("n_seqs")).sum == globalSeqs)
+  }
+
   test("shardStats checksums match a direct aggregation") {
     val stats = Sharding.shardStats(docs, "doc_id", N, "n_chars")
       .collect().map(r => r.getLong(0) ->
