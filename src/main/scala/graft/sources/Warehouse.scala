@@ -382,7 +382,33 @@ object Warehouse {
     * directories remain on disk until [[vacuumDeltaLog]].
     */
   def compactDeltaLog(spark: SparkSession, root: String,
-      partitionCols: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil): String =
+    compactDeltaLogWith(spark, root, partitionCols, identity)
+
+  /** [[compactDeltaLog]] that additionally REWRITES the folded table
+    * Z-ORDERED on `zorderCols` — compaction is exactly where a table's
+    * physical layout gets fixed, so the multi-column-locality rewrite
+    * rides the fold instead of being a separate full-table pass
+    * (Delta/Iceberg `OPTIMIZE ... ZORDER BY` semantics). Each output
+    * file covers one contiguous z-range = a hypercube in the original
+    * dimensions, so per-file min/max stats prune scans filtering on ANY
+    * of the z-ordered columns — append-ordered generations can't give
+    * that to more than one column. Costs the fold two extra passes
+    * (bounds aggregate + range-exchange sampling), both ∝ the folded
+    * data, amortized over every read until the next compaction.
+    * The z-key is layout-only: it is dropped before the write, so the
+    * compacted generation's schema matches later appends and
+    * [[deltaRead]]'s union is unaffected.
+    */
+  def compactDeltaLogZOrdered(spark: SparkSession, root: String,
+      zorderCols: Seq[String], bits: Int = 8,
+      numFiles: Int = 64): String =
+    compactDeltaLogWith(spark, root, Nil,
+      df => graft.operators.ZOrder
+        .clusterByZOrder(df, zorderCols, bits, numFiles).drop("zkey"))
+
+  private def compactDeltaLogWith(spark: SparkSession, root: String,
+      partitionCols: Seq[String], shape: DataFrame => DataFrame): String = {
     var attempt = 0
     while (attempt < 5) {
       val ledger = resolveLedger(spark, root)
@@ -399,8 +425,8 @@ object Warehouse {
       // in the manifest content only.
       val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val gen = s"gen-compact-a$token"
-      val df = ledger.live.map(g => spark.read.parquet(s"$root/$g"))
-        .reduce(_.unionByName(_))
+      val df = shape(ledger.live.map(g => spark.read.parquet(s"$root/$g"))
+        .reduce(_.unionByName(_)))
       val w = df.write.mode("errorifexists")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(s"$root/$gen")

@@ -113,6 +113,55 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned == 1, s"expected 1 partition read, got $pruned of $total")
   }
 
+  test("z-ordered compaction: measured file skipping on a two-predicate scan") {
+    // a 64x64 (user, time) grid appended in id order (the natural
+    // ingest layout: user cycles every row, so every file spans ALL
+    // users and a user predicate can skip nothing)
+    val root = tmpDir("zorder-compact") + "/log"
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("user_id"),
+      (col("id") / 64).cast("long").as("ts_us"),
+      col("id").as("v"))
+    Warehouse.deltaAppend(grid.filter(col("id") < 2048), root)
+    Warehouse.deltaAppend(grid.filter(col("id") >= 2048), root)
+    val gen = Warehouse.compactDeltaLogZOrdered(
+      spark, root, Seq("user_id", "ts_us"), bits = 6, numFiles = 16)
+    // read equivalence first: the fold must not change the table
+    assert(Warehouse.deltaRead(spark, root).count() == 4096)
+    assert(Warehouse.deltaRead(spark, root).agg(sum("v")).head().getLong(0)
+      == grid.agg(sum("v")).head().getLong(0))
+    assert(!Warehouse.deltaRead(spark, root).columns.contains("zkey"))
+    // MEASURED skipping: count the files whose min/max stats box
+    // intersects a two-predicate box (user 8..23 x ts 8..23 — 1/16 of
+    // the grid). These are exactly the files a stats-pruning reader
+    // (parquet row-group filter, Delta/Iceberg file skipping) must
+    // read; everything else is skipped on footer stats alone.
+    def touching(dir: String, files: Seq[java.io.File]): Int = files.count { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us"))
+        .head()
+      !(r.getLong(1) < 8 || r.getLong(0) > 23 ||
+        r.getLong(3) < 8 || r.getLong(2) > 23)
+    }
+    val zFiles = new java.io.File(gen).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    assert(zFiles.size >= 8, s"expected a spread layout, got ${zFiles.size}")
+    val zTouch = touching(gen, zFiles)
+    assert(zTouch <= zFiles.size / 2,
+      s"z-ordered layout: $zTouch of ${zFiles.size} files intersect the box")
+    // contrast: the same fold WITHOUT z-order keeps the id-ordered
+    // layout, where every multi-row file spans all 64 users — the box
+    // prunes (nearly) nothing
+    val root2 = tmpDir("zorder-naive") + "/log"
+    Warehouse.deltaAppend(grid.repartitionByRange(16, col("v")), root2)
+    val gen2 = Warehouse.compactDeltaLog(spark, root2)
+    val nFiles = new java.io.File(gen2).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    if (nFiles.size >= 4)
+      assert(touching(gen2, nFiles) >= nFiles.size / 2,
+        "id-ordered contrast layout unexpectedly skippable")
+  }
+
   test("ORC round-trip preserves a mart byte-for-byte; filters push down") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "source", "n_chars")
