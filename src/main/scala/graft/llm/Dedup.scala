@@ -557,10 +557,19 @@ object Dedup {
     val integralIds = slim.schema.fields.forall(_.dataType == LongType)
     val cap = math.min(driverMaxPairs, (Int.MaxValue - 2).toLong).toInt
     if (integralIds) {
+      // persist across the probe: CollectLimit executes incrementally
+      // (1 partition, then 4, 16, … until the limit fills), and each
+      // escalation job would RE-RUN the candidate/verify pipeline
+      // behind `pairs` on a growing partition subset — with the (small,
+      // ∝-duplication) pair rows cached, every upstream partition is
+      // computed exactly once no matter how the probe escalates
+      slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sample = slim.limit(cap + 1).collect()
-      if (sample.isEmpty) // clean corpus: skip the propagation entirely
+      if (sample.isEmpty) { // clean corpus: skip the propagation entirely
+        slim.unpersist()
         return slim.limit(0)
           .select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+      }
       if (sample.length <= cap) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
@@ -582,13 +591,16 @@ object Dedup {
         import sp.implicits._
         val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
           .map(id => (id.longValue, find(id.longValue))).toSeq
+        slim.unpersist()
         return labels.toDF("id", "cluster_id")
       }
     }
     // materialize the pair set once: the loop issues several actions and
     // would otherwise re-run the candidate/verify pipeline behind `pairs`
-    // on every one of them
+    // on every one of them (an over-cap integral probe feeds the
+    // checkpoint straight from its still-warm cache, then releases it)
     val p = slim.localCheckpoint(true)
+    slim.unpersist()
     // Edges are shuffled into the join layout ONCE and pinned: every
     // round's neighbor join keys on `dst`, so a persisted
     // HashPartitioning(dst) lets each round exchange only the (smaller,

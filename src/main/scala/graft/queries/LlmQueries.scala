@@ -1972,8 +1972,12 @@ object LlmQueries {
     // EXACTLY the oracle's gradient-equality pair set.
     "x_image_phash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      // quarter corpus: the property under test (dHash invariance +
+      // banding recall + gradient verify) is volume-independent — the
+      // x_cluster_safe_split slicing precedent; each base image still
+      // rides THREE decoder passes (base, shifted PPM, BMP)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 2 === 1)
+        .filter(col("doc_id") % 4 === 1)
       val media = graft.llm.Multimodal.withPpmPayload(d)
         .select(col("doc_id"), col("payload"))
       val bright = graft.llm.Multimodal
@@ -2015,7 +2019,11 @@ object LlmQueries {
     // so the oracle replays the WHOLE composition; the gate pins the
     // glue between stages, which no per-stage gate sees.
     "x_training_shards" -> ((s, dir) => {
+      // half corpus: the property is the five-stage GLUE (dedup winners
+      // -> floor -> mix -> pack -> shard audit), volume-independent —
+      // the full-corpus cost of each stage is its own gate's job
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+        .filter(col("doc_id") % 2 === 0)
       val withNorm = d.select(col("doc_id"),
         length(col("text")).cast("long").as("len"),
         md5(TextAnalysis.normalizeText(col("text"))).as("nh"))
@@ -3788,7 +3796,7 @@ object LlmQueries {
            FROM (SELECT doc_id,
                    regexp_replace(text, '[^\x01-\x7F]', '?', 'g') AS text,
                    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
-                 FROM documents WHERE doc_id % 2 = 1)),
+                 FROM documents WHERE doc_id % 4 = 1)),
          waves AS (
            SELECT doc_id, codes FROM p
            UNION ALL
@@ -3815,7 +3823,7 @@ object LlmQueries {
              len(string_split(text, ' '))::BIGINT AS ntok,
              md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
-           FROM documents),
+           FROM documents WHERE doc_id % 2 = 0),
          r AS (SELECT doc_id,
                  row_number() OVER (PARTITION BY nh
                    ORDER BY len DESC, doc_id ASC) AS rk
