@@ -90,9 +90,14 @@ class ContractSpec extends SparkSpec {
     // reasons real — every entry spends headline margin):
     val justified = Map(
       "x_cosine_ann_ivf_append" ->
-        ("index clone + O(delta) append + partition-pruned search; the " +
-          "twin is the planted-twin equality oracle (ANN answers have " +
-          "no cheap exact SQL twin)"),
+        ("O(delta) append + partition-pruned search vs a planted-twin " +
+          "equality oracle (ANN answers have no cheap exact SQL twin). " +
+          "r14 JobProbe breakdown: the clone is a millisecond file " +
+          "copy; the cost is the partitioned append write (~0.25 s " +
+          "incl. commit protocol; the cell-repartition + fs-listing " +
+          "live-cell refresh removed the former delta-scan job) plus " +
+          "the pruned search and twin-verify joins (~12 AQE stage " +
+          "rounds) — admission machinery with no SQL analogue"),
       "x_pq_ivf_topk" ->
         ("IVF-PQ index search lifecycle vs the same equality oracle; " +
           "includes the rerank candidate-id pushdown's extra driver " +
