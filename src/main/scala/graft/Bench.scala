@@ -7,12 +7,18 @@ import org.apache.spark.sql.SparkSession
   * times + spread) to well-known files so the driver can parse it even
   * if its stdout tail buffer truncates the line:
   *   /tmp/bench.json, bench_latest.json (CWD, volatile/gitignored),
-  *   and bench_{sfTag}.json (CWD, the COMMITTABLE artifact).
+  *   and bench_trial_{sfTag}.json (CWD, gitignored) — or, ONLY when
+  *   `--publish` (or SPARK_GRAFT_BENCH_PUBLISH=1) is given,
+  *   bench_{sfTag}.json, the COMMITTABLE artifact.
   *
   * The scale factor is stamped into the committable artifact's NAME
   * (bench_sf0.1.json vs bench_sf0.001.json), so a smoke-scale run can
   * never overwrite the sf0.1 headline artifact — the failure mode that
-  * un-backed BASELINE.md's published numbers in rounds 6 AND 7.
+  * un-backed BASELINE.md's published numbers in rounds 6 AND 7 — and
+  * publishing is opt-in, so the driver's own per-round run (or any
+  * trial) can never clobber the committed headline either (round 14's
+  * tree drift: a publishable:false hot-window run landed over the
+  * published pair via the driver's round-close `git add -A`).
   * BASELINE.md's headline table is GENERATED from the committed
   * artifact pair by `tools/gen_baseline.py`, which refuses mismatched
   * or missing artifacts; hand-edited headline numbers are gone.
@@ -56,6 +62,17 @@ object Bench {
     * artifact instead of discovered later.
     */
   def publishable(spread: Double): Boolean = spread <= SpreadPublishBar
+
+  /** Committable artifact name iff the run EXPLICITLY asked to publish;
+    * trial name (gitignored) otherwise. Pure so ContractSpec can pin
+    * that no default invocation can reach the committable name.
+    */
+  def artifactFileName(sfTag: String, args: Array[String],
+      env: Map[String, String]): String =
+    if (args.contains("--publish") ||
+        env.get("SPARK_GRAFT_BENCH_PUBLISH").contains("1"))
+      s"bench_$sfTag.json"
+    else s"bench_trial_$sfTag.json"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -193,6 +210,14 @@ object Bench {
     // SF-stamped committable artifact name: sf0.001 smoke runs write
     // bench_sf0.001.json and can never clobber the sf0.1 headline
     val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    // TRIAL-by-default (round-14/15 lesson): the driver's post-round
+    // re-run and any smoke invocation used to overwrite the committed
+    // bench_sf0.1.json in the working tree, and a later `git add -A`
+    // silently committed a hot-window (publishable:false) run as the
+    // headline artifact. Only an EXPLICIT publish request may touch the
+    // committable name; every other run writes bench_trial_<sf>.json
+    // (gitignored) plus the volatile targets.
+    val artifactName = artifactFileName(sfTag, args, sys.env)
     // spread + publishable travel IN the artifact (and the driver's
     // stdout-tail capture): a noisy window is marked non-publishable at
     // measurement time instead of re-ranking queries in a later report
@@ -202,7 +227,7 @@ object Bench {
     def summaryLine(entries: Seq[(String, Double)], elided: Int): String = {
       val qs = entries.map { case (n, m) => "\"" + n + "\":" + r3(m) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"bench_$sfTag.json","sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"$artifactName","sf":"$sfDir","runs":$Runs}"""
     }
     val bySlowest = rows.sortBy { case (_, m, _) => -math.abs(m) }
       .map { case (n, m, _) => (n, m) }
@@ -221,7 +246,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"noisy_pass_reruns":$reruns,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
-    Seq("/tmp/bench.json", "bench_latest.json", s"bench_$sfTag.json").foreach { p =>
+    Seq("/tmp/bench.json", "bench_latest.json", artifactName).foreach { p =>
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
         try w.println(full) finally w.close()

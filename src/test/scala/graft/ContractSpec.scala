@@ -57,6 +57,27 @@ class ContractSpec extends SparkSpec {
       s"new queries not yet in gates_manifest.txt (append them): $unlisted")
   }
 
+  // Round-14 tree drift: the driver's own post-round Bench run (a
+  // hot-window, publishable:false measurement) overwrote the committed
+  // bench_sf0.1.json in the working tree and the round-close `git add
+  // -A` committed it as the headline artifact. Publishing is now opt-in.
+  test("bench runs are trial-by-default; only --publish reaches the committable name") {
+    assert(Bench.artifactFileName("sf0.1", Array.empty, Map.empty) ==
+      "bench_trial_sf0.1.json")
+    assert(Bench.artifactFileName("sf0.1", Array("--foo"),
+      Map("SPARK_GRAFT_BENCH_PUBLISH" -> "0")) == "bench_trial_sf0.1.json")
+    assert(Bench.artifactFileName("sf0.1", Array("--publish"), Map.empty) ==
+      "bench_sf0.1.json")
+    assert(Bench.artifactFileName("sf0.1", Array.empty,
+      Map("SPARK_GRAFT_BENCH_PUBLISH" -> "1")) == "bench_sf0.1.json")
+    // and the trial name is gitignored, so a stray `git add -A` after a
+    // smoke run cannot stage it
+    val ignore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(".gitignore")), "UTF-8")
+    assert(ignore.contains("bench_trial_"),
+      ".gitignore lost the bench_trial_*.json entry")
+  }
+
   // A 1.17x-spread driver window re-ranked queries in round 10; the
   // verdict now travels in the artifact. The refusal boundary must stay
   // glued to tools/gen_baseline.py's.
