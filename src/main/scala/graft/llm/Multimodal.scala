@@ -251,12 +251,17 @@ object Multimodal {
   /** Partition-local perceptual-hash pass (the near-dup sibling of
     * [[decodeImage]]): decode (PPM or BMP), emit the 64-bit [[dHash64]]
     * — the Hamming-banded BLOCKING key — plus `grad_md5`, the md5 of
-    * the brightness-normalized byte gradient ((b_i − b_0) mod 256,
-    * comma-joined decimals): the exact VERIFY fingerprint. Two images
-    * share `grad_md5` iff their pixel bytes differ by one per-image
-    * constant — which also forces equal gray grids up to a constant and
-    * hence equal dHash, so a banded candidate join over dhash surfaces
-    * every grad-equal pair (the recall argument the oracle checks).
+    * `w,h,` followed by the brightness-normalized byte gradient
+    * ((b_i − b_0) mod 256, comma-joined decimals): the exact VERIFY
+    * fingerprint. Two images share `grad_md5` iff they have the SAME
+    * DIMENSIONS and their pixel bytes differ by one per-image constant
+    * — which forces equal gray GRIDS up to a constant and hence equal
+    * dHash, so a banded candidate join over dhash surfaces every
+    * grad-equal pair (the recall argument the oracle checks). The w,h
+    * prefix is load-bearing for that argument: gradient-equal payloads
+    * with TRANSPOSED dims (w1·h1 == w2·h2) sample different grids, so
+    * without it the oracle would pair two images the Hamming banding
+    * can legitimately miss.
     * Engine-portable: the oracle replays the gradient algebra over the
     * payload construction with no knowledge of the hash grid. Corrupt
     * payloads quarantine as valid = false, like every decoder here.
@@ -274,7 +279,7 @@ object Multimodal {
             case Some((w, h, rgb)) if rgb.nonEmpty =>
               md.reset()
               val b0 = rgb(0) & 0xFF
-              val grad = rgb.iterator
+              val grad = s"$w,$h," + rgb.iterator
                 .map(b => (((b & 0xFF) - b0 + 256) % 256).toString)
                 .mkString(",")
               val hex = md.digest(grad.getBytes("US-ASCII"))

@@ -298,9 +298,15 @@ object Similarity {
       path: String): Set[Int] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tolerate non-numeric cid dirs (a stray cid=__HIVE_DEFAULT_PARTITION__
+    // from a null key, or any squatter matching the prefix): a blind
+    // toInt here threw NumberFormatException and killed the whole
+    // maintenance/append call, which the old parquet-footer read (typed
+    // values) could never hit
     fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("cid="))
-      .map(_.stripPrefix("cid=").toInt).toSet
+      .collect { case n if n.startsWith("cid=") =>
+        scala.util.Try(n.stripPrefix("cid=").toInt).toOption }
+      .flatten.toSet
   }
 
   /** Per-cell row counts — the audit that decides when a drifting

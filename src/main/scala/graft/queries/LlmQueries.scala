@@ -244,6 +244,9 @@ object LlmQueries {
     * delivery" is part of the experiment's DEFINITION, fixed once per
     * corpus, not work the per-delivery pass performs. Staged once per
     * (corpus, slice); the timed region starts at the delivery itself.
+    * DuckDB symmetry: BenchOracles stages the same bound into
+    * bench_incsplit_* temp tables, so neither engine times the
+    * aggregate.
     */
   private val splitBoundBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
@@ -3780,16 +3783,19 @@ object LlmQueries {
          FROM sc, t""",
 
     // gradient-equality reduction of the perceptual near-dup: two
-    // images pair iff their pixel bytes differ by one per-image
-    // constant — md5 over (b_i − b_0) mod 256. The brightness twin's
-    // pixels are the base codes + 16 (no clipping: ASCII-folded bytes
-    // top out at 127), the BMP twin's pixels are the base codes
-    // unchanged (re-encode preserves pixels); the oracle computes each
-    // wave's gradient from its OWN pixel codes — no knowledge of the
-    // hash grid or the banding enters
+    // images pair iff they have the SAME DIMENSIONS and their pixel
+    // bytes differ by one per-image constant — md5 over "w,h," then
+    // (b_i − b_0) mod 256. The dims prefix keeps the recall argument
+    // airtight: gradient-equal payloads with transposed dims sample
+    // DIFFERENT dHash grids, which the Hamming banding may miss. The
+    // brightness twin's pixels are the base codes + 16 (no clipping:
+    // ASCII-folded bytes top out at 127), the BMP twin's pixels are the
+    // base codes unchanged (re-encode preserves pixels); the oracle
+    // computes each wave's gradient from its OWN pixel codes — no
+    // knowledge of the hash grid or the banding enters
     "x_image_phash" ->
       """WITH p AS (
-           SELECT doc_id,
+           SELECT doc_id, w, h,
              list_transform(str_split(
                rpad(substr(text, 1, w*h*3), (w*h*3)::INT, ' '), ''),
                c -> unicode(c)) AS codes
@@ -3798,15 +3804,16 @@ object LlmQueries {
                    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
                  FROM documents WHERE doc_id % 4 = 1)),
          waves AS (
-           SELECT doc_id, codes FROM p
+           SELECT doc_id, w, h, codes FROM p
            UNION ALL
-           SELECT doc_id + 1000000000,
+           SELECT doc_id + 1000000000, w, h,
              list_transform(codes, c -> c + 16) FROM p
            UNION ALL
-           SELECT doc_id + 2000000000, codes FROM p),
+           SELECT doc_id + 2000000000, w, h, codes FROM p),
          fp AS (
-           SELECT doc_id, md5(array_to_string(
-             list_transform(codes, c -> (c - codes[1] + 256) % 256), ','))
+           SELECT doc_id, md5(w::VARCHAR || ',' || h::VARCHAR || ',' ||
+             array_to_string(
+               list_transform(codes, c -> (c - codes[1] + 256) % 256), ','))
              AS f
            FROM waves)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b

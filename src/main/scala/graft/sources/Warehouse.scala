@@ -343,11 +343,20 @@ object Warehouse {
     finally in.close()
   }
 
-  private def resolveLedger(spark: SparkSession, root: String): Ledger = {
+  private def resolveLedger(spark: SparkSession, root: String): Ledger =
+    resolveLedgerFrom(spark, root, deltaVersions(spark, root))
+
+  /** Fold an EXPLICIT versions listing into a ledger — so a caller that
+    * also needs the next commit version can derive both from ONE
+    * listing (see [[compactDeltaLogWith]]: deriving them from two
+    * separate listings opened a lost-append window).
+    */
+  private def resolveLedgerFrom(spark: SparkSession, root: String,
+      versions: Seq[Long]): Ledger = {
     val fs = fsOf(spark, root)
     var live = Vector.empty[String]
     var history = Vector.empty[String]
-    deltaVersions(spark, root).foreach { v =>
+    versions.foreach { v =>
       readVersionFile(fs, root, v) match {
         case "#snapshot" +: rest =>
           val (l, h) = rest.span(_ != "#history")
@@ -385,6 +394,15 @@ object Warehouse {
       partitionCols: Seq[String] = Nil): String =
     compactDeltaLogWith(spark, root, partitionCols, identity)
 
+  /** Test seam: [[compactDeltaLog]] with a hook fired between the
+    * manifest-listing snapshot and the snapshot commit — where a
+    * concurrent append is hardest to survive (CompactionSpec injects
+    * one and asserts its rows make the fold).
+    */
+  private[graft] def compactDeltaLogSeamed(spark: SparkSession,
+      root: String, raceSeam: () => Unit): String =
+    compactDeltaLogWith(spark, root, Nil, identity, raceSeam)
+
   /** [[compactDeltaLog]] that additionally REWRITES the folded table
     * Z-ORDERED on `zorderCols` — compaction is exactly where a table's
     * physical layout gets fixed, so the multi-column-locality rewrite
@@ -408,12 +426,25 @@ object Warehouse {
         .clusterByZOrder(df, zorderCols, bits, numFiles).drop("zkey"))
 
   private def compactDeltaLogWith(spark: SparkSession, root: String,
-      partitionCols: Seq[String], shape: DataFrame => DataFrame): String = {
+      partitionCols: Seq[String], shape: DataFrame => DataFrame,
+      raceSeam: () => Unit = () => ()): String = {
     var attempt = 0
     while (attempt < 5) {
-      val ledger = resolveLedger(spark, root)
+      // ONE manifest listing per attempt: the ledger fold AND the commit
+      // version derive from the same snapshot. Deriving them from two
+      // separate listings (as an earlier revision did) opened a TOCTOU
+      // window — an append committing between the two landed at a
+      // version BELOW our v, so our snapshot commit at v succeeded
+      // without a CAS collision while its live and history lists omitted
+      // that generation: the append's rows vanished from reads and its
+      // tag replay guard was lost. With a single listing, any append
+      // that commits after it necessarily takes a version >= v, so our
+      // commit at v collides and the refold path picks the append up.
+      val versions = deltaVersions(spark, root)
+      val ledger = resolveLedgerFrom(spark, root, versions)
       require(ledger.live.nonEmpty, s"nothing to compact under $root")
-      val v = deltaVersions(spark, root).last + 1
+      val v = versions.last + 1
+      raceSeam() // test seam: a concurrent append lands right here
       // Writer-UNIQUE directory (the deltaAppend rule): a version-
       // derived name is NOT unique — a compactor that crashed between
       // write and commit would leave the name squatted, and every later

@@ -43,6 +43,38 @@ class CompactionSpec extends SparkSpec {
     assert(Warehouse.deltaRead(spark, root).count() == 5)
   }
 
+  test("an append racing the compactor's snapshot commit is never lost") {
+    val root = tmpDir("graft-compact-toctou") + "/log"
+    Warehouse.deltaAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    Warehouse.deltaAppend(Seq((3L, "c")).toDF("id", "v"), root)
+    // inject a concurrent TAGGED append between the compactor's
+    // manifest-listing snapshot and its snapshot commit — the worst
+    // possible interleave: if the compactor derived its commit version
+    // from a LATER listing than the one its ledger folded (the r14
+    // TOCTOU), this append's version would sit below the snapshot's, the
+    // commit would succeed without a CAS collision, and the rows (and
+    // the tag's replay guard) would silently vanish from reads.
+    var fired = false
+    Warehouse.compactDeltaLogSeamed(spark, root, () => {
+      if (!fired) { // fire once: the REFOLD attempt must run unraced
+        fired = true
+        Warehouse.deltaAppendTagged(
+          Seq((4L, "raced")).toDF("id", "v"), root, "race-tag")
+      }
+    })
+    // the raced rows survived the fold…
+    val rows = Warehouse.deltaRead(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "raced")))
+    // …its replay guard survived too (even if the refold folded it) …
+    assert(Warehouse.generationLedger(spark, root).contains("gen-race-tag"))
+    assert(Warehouse.deltaAppendTagged(
+      Seq((99L, "dup")).toDF("id", "v"), root, "race-tag").isEmpty)
+    assert(Warehouse.deltaRead(spark, root).count() == 4)
+    // …and the seam actually exercised the race
+    assert(fired)
+  }
+
   test("a crashed compaction attempt never wedges later compactions") {
     val root = tmpDir("graft-compact-crash") + "/log"
     Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)

@@ -358,6 +358,27 @@ class ScaleOpsSpec extends SparkSpec {
       viaRebuild.exceptAll(viaAppend).isEmpty)
   }
 
+  test("index maintenance tolerates non-numeric cid= directories") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val idx = tmpDir("wh-ivf-straydir") + "/index"
+    graft.llm.Similarity.ivfWriteIndex(
+      e.filter(col("vec_id") % 2 === 0), cents, idx)
+    // a stray prefix-matching directory (the shape a null key would
+    // leave as cid=__HIVE_DEFAULT_PARTITION__, or any squatter): the
+    // directory-listing cell resolver must skip it, not throw
+    // NumberFormatException and kill the append
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "cid=__HIVE_DEFAULT_PARTITION__"))
+    graft.llm.Similarity.ivfAppendIndex(
+      e.filter(col("vec_id") % 2 =!= 0), cents, idx) // must not throw
+    val queries = e.filter(col("vec_id") < 4)
+    assert(graft.llm.Similarity.ivfSearchIndex(spark, idx, queries, k = 5,
+      cents, nProbe = 2).count() > 0)
+  }
+
   test("ivfReclusterIndex preserves PQ codes: IVF-PQ search equals rebuild after a split") {
     import graft.llm.{IvfQuantizer, Similarity}
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
