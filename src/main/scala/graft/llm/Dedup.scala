@@ -547,30 +547,30 @@ object Dedup {
     // Small-pair fast path: the VERIFIED near-dup pair set is proportional
     // to the corpus's actual duplication, not its size — on most corpora
     // it is thousands of rows while the distributed loop still pays
-    // O(log diameter) full job rounds. Probe with ONE job — a
-    // limit(cap + 1) collect, so nothing larger than the cap (≤ ~16 MB
-    // of ids, bounded driver state like the IVF centroids) ever reaches
-    // the driver — and run union-find with path compression on the
-    // result. Only a genuinely-massive pair set (> cap) pays the
-    // checkpoint + distributed loop, which then recomputes the pair
-    // pipeline once more.
+    // O(log diameter) full job rounds. Probe with a count over the
+    // CACHED pair set, then collect only when it fits (≤ ~16 MB of ids,
+    // bounded driver state like the IVF centroids) and run union-find
+    // with path compression on the result. Exactly TWO jobs — the r14
+    // limit(cap+1) probe's incremental CollectLimit (1, 4, 16, …
+    // partitions until the limit fills) paid 5-7 scheduler rounds to
+    // read the same cached rows whenever the set was under-cap, which
+    // is the common case. Counting computes every partition, but so
+    // does the checkpoint the over-cap path takes next, so nothing is
+    // computed that wasn't already — at any scale. Only a
+    // genuinely-massive pair set (> cap) pays the checkpoint + the
+    // distributed loop, fed straight from the probe's still-warm cache.
     val integralIds = slim.schema.fields.forall(_.dataType == LongType)
     val cap = math.min(driverMaxPairs, (Int.MaxValue - 2).toLong).toInt
     if (integralIds) {
-      // persist across the probe: CollectLimit executes incrementally
-      // (1 partition, then 4, 16, … until the limit fills), and each
-      // escalation job would RE-RUN the candidate/verify pipeline
-      // behind `pairs` on a growing partition subset — with the (small,
-      // ∝-duplication) pair rows cached, every upstream partition is
-      // computed exactly once no matter how the probe escalates
       slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sample = slim.limit(cap + 1).collect()
-      if (sample.isEmpty) { // clean corpus: skip the propagation entirely
+      val nPairs = slim.count()
+      if (nPairs == 0) { // clean corpus: skip the propagation entirely
         slim.unpersist()
         return slim.limit(0)
           .select(col("id_a").as("id"), col("id_a").as("cluster_id"))
       }
-      if (sample.length <= cap) {
+      if (nPairs <= cap) {
+        val sample = slim.collect() // cache read: the count materialized it
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x

@@ -124,7 +124,7 @@ class ContractSpec extends SparkSpec {
           "includes the rerank candidate-id pushdown's extra driver " +
           "round (one collect of the bounded candidate pairs)"),
       "x_bpe_train_scaled" ->
-        ("1024-merge iterative trainer vs the oracle's static ranking " +
+        ("512-merge iterative trainer vs the oracle's static ranking " +
           "(the equivalence IS the property under test)"),
       "x_ann_recall" ->
         ("recall-CONTRACT gate: exact baseline + two approximate " +
