@@ -139,4 +139,46 @@ object Selection {
     * sampled quantile of `log_weight`). */
   def dsirSelectByThreshold(weighted: DataFrame, minLogWeight: Double): DataFrame =
     weighted.filter(col("log_weight") >= minLogWeight)
+
+  /** Corpus-quantile bucketing of a scored table — the CCNet
+    * head/middle/tail cut (Wenzek et al. 2020 §4.3): thresholds at the
+    * `loP` / `hiP` quantiles of `scoreCol`, then a broadcast-literal
+    * CASE labels each row `head` (≥ hi), `middle` (≥ lo) or `tail`.
+    * Output: the input plus `<scoreCol>_bucket`.
+    *
+    * Two threshold modes, one operator:
+    *
+    *   - `approx = false` (default): exact `percentile`. With scores as
+    *     INTEGER units and exact DYADIC fractions (0.25/0.75), every
+    *     interpolation intermediate is exactly representable, so the
+    *     thresholds are bit-identical across engines (the oracle
+    *     contract). Aggregation state is the distinct-score set —
+    *     bounded here by the integer quantization, but ∝ score
+    *     cardinality in general.
+    *   - `approx = true`: `approx_percentile` with `accuracy` — the
+    *     Greenwald-Khanna sketch whose state is O(accuracy) regardless
+    *     of corpus size and whose partials merge associatively: the
+    *     100 TB path. Rank error ≤ n/accuracy per threshold, so at the
+    *     default 1e4 at most 0.01 % of rows per threshold can land in
+    *     the adjacent bucket vs the exact cut (the tolerance contract
+    *     `x_ppl_buckets_approx` pins).
+    */
+  def quantileBuckets(scored: DataFrame, scoreCol: String,
+      loP: Double = 0.25, hiP: Double = 0.75, approx: Boolean = false,
+      accuracy: Int = 10000, bucketCol: String = "ppl_bucket"): DataFrame = {
+    val sc = col(scoreCol)
+    val t =
+      if (approx) scored.agg(
+        approx_percentile(sc, lit(loP), lit(accuracy)).as("t_lo"),
+        approx_percentile(sc, lit(hiP), lit(accuracy)).as("t_hi"))
+      else scored.agg(
+        expr(s"percentile($scoreCol, ${loP}d)").as("t_lo"),
+        expr(s"percentile($scoreCol, ${hiP}d)").as("t_hi"))
+    scored.crossJoin(broadcast(t))
+      .withColumn(bucketCol,
+        when(sc >= col("t_hi"), lit("head"))
+          .when(sc >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("t_lo", "t_hi")
+  }
 }

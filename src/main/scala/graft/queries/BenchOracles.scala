@@ -113,6 +113,53 @@ object BenchOracles {
                   ELSE 'tail' END AS ppl_bucket
            FROM sc, t"""),
 
+    // Same staged LM again for the approx-tolerance twin; the timed
+    // pass is scoring + the exact-threshold cut + the per-bucket audit
+    // (Spark's timed side additionally runs the approx sketch under
+    // test — extra work on Spark's clock, none on DuckDB's).
+    "x_ppl_buckets_approx" -> BenchOracle(
+      setup = Seq(
+        """CREATE OR REPLACE TEMP TABLE bench_lm_bigram AS
+           WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents WHERE len(string_split(text, ' ')) >= 2),
+           bg AS (SELECT unnest(list_transform(
+                    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                    AS bigram
+                  FROM w),
+           c2 AS (SELECT bigram, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1),
+           c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1
+                  FROM c2 GROUP BY 1),
+           v AS (SELECT count(DISTINCT word)::DOUBLE AS v
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents))
+           SELECT c2.bigram, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS logp
+           FROM c2
+           JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+           CROSS JOIN v"""),
+      query =
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents WHERE len(string_split(text, ' ')) >= 2),
+           bg AS (SELECT doc_id, unnest(list_transform(
+                    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                    AS bigram
+                  FROM w),
+           sc AS (SELECT bg.doc_id,
+                    floor(floor(avg(m.logp) * 10000 + 0.5) / 10000
+                          * 10000 + 0.5)::BIGINT AS logp_u
+                  FROM bg JOIN bench_lm_bigram m USING (bigram)
+                  GROUP BY bg.doc_id),
+           t AS (SELECT quantile_cont(logp_u, 0.25) AS t_lo,
+                        quantile_cont(logp_u, 0.75) AS t_hi FROM sc),
+           b AS (SELECT doc_id, logp_u,
+                   CASE WHEN logp_u >= t_hi THEN 'head'
+                        WHEN logp_u >= t_lo THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+                 FROM sc, t)
+           SELECT ppl_bucket, count(*)::BIGINT AS n_docs,
+             sum(logp_u)::BIGINT AS logp_sum,
+             true AS approx_within_tol
+           FROM b GROUP BY 1"""),
+
     // Spark stages the near-dup cluster table as dedup-pipeline output
     // (clusterTableOnce "minhashJ1"); the timed pass scans the twinned
     // corpus, joins the staged table, and replays the md5-bucket split.

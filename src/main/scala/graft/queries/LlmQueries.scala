@@ -1926,11 +1926,13 @@ object LlmQueries {
     // every document against the persisted bigram LM (the
     // x_bigram_logprob artifact — bigramModelOnce, the KenLM
     // lifecycle), then cut the corpus into head/middle/tail buckets by
-    // the score's corpus quartiles. Thresholds are the one corpus-level
-    // aggregate (2 values); bucketing itself is a broadcast-literal
-    // CASE — a pure map over the scan. Exact percentile here for
-    // quantile_cont oracle parity; the 100 TB path swaps in
-    // approx_percentile exactly like x_token_percentiles.
+    // the score's corpus quartiles (Selection.quantileBuckets, exact
+    // mode). Thresholds are the one corpus-level aggregate (2 values);
+    // bucketing itself is a broadcast-literal CASE — a pure map over
+    // the scan. Exact percentile here for quantile_cont oracle parity;
+    // the 100 TB path is the SAME operator with approx = true
+    // (approx_percentile, O(accuracy) sketch state), whose tolerance
+    // contract x_ppl_buckets_approx pins.
     // Cross-engine determinism: scores go through the percentile as
     // 1e-4 INTEGER units and the fractions are exact dyadic doubles
     // (0.25 / 0.75), so every interpolation intermediate — (n−1)·p, the
@@ -1948,14 +1950,46 @@ object LlmQueries {
         // the threshold aggregate and the bucket projection both read
         // the scored table — one cached computation, not two
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val t = scored.agg(
-        expr("percentile(logp_u, 0.25d)").as("t_lo"),
-        expr("percentile(logp_u, 0.75d)").as("t_hi"))
-      scored.crossJoin(broadcast(t))
-        .select(col("doc_id"), col("logp_u"),
-          when(col("logp_u") >= col("t_hi"), lit("head"))
-            .when(col("logp_u") >= col("t_lo"), lit("middle"))
-            .otherwise(lit("tail")).as("ppl_bucket"))
+      graft.llm.Selection.quantileBuckets(scored, "logp_u")
+        .select("doc_id", "logp_u", "ppl_bucket")
+    }),
+
+    // The 100 TB percentile path AS CODE, tolerance-contract-gated (the
+    // x_approx_vocab idiom): bucket the same scored corpus with BOTH
+    // quantileBuckets modes — exact (quantile_cont-parity thresholds)
+    // and approx (approx_percentile's Greenwald-Khanna sketch,
+    // O(accuracy) state, associative partial merges — what survives
+    // when the exact aggregate's distinct-score state doesn't). The
+    // sketch's thresholds are engine-specific, so the gate exports the
+    // exact per-bucket stats plus the CONTRACT bit: the fraction of
+    // docs whose approx bucket agrees with the exact one must be
+    // ≥ 99 % per bucket. Disagreement is bounded by rank error
+    // (≤ n/accuracy = 0.01 % per threshold) PLUS the tie mass of the
+    // one boundary value the sketch snaps to (it returns an actual
+    // corpus value where the exact cut interpolates between two) — at
+    // small corpora a single tied boundary doc in a quarter-sized
+    // bucket is ~1 %, and the tie-mass share only shrinks as the corpus
+    // grows, so 99 % is the scale-monotone bound. The oracle recomputes
+    // the exact side and pins the bit true, so sketch drift out of
+    // tolerance is a RED row.
+    "x_ppl_buckets_approx" -> ((s, dir) => {
+      val model = s.read.parquet(bigramModelOnce(s, dir))
+      val scored = graft.llm.LanguageModel.bigramLogProbWith(
+          docs(s, dir).select(col("doc_id"), col("text")), model)
+        .select(col("doc_id"),
+          floor(col("avg_bigram_logp") * 10000 + lit(0.5)).cast("long")
+            .as("logp_u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = graft.llm.Selection.quantileBuckets(scored, "logp_u")
+      val approx = graft.llm.Selection.quantileBuckets(scored, "logp_u",
+          approx = true, bucketCol = "approx_bucket")
+        .select("doc_id", "approx_bucket")
+      exact.join(approx, Seq("doc_id"))
+        .groupBy(col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("logp_u")).as("logp_sum"),
+          (avg(when(col("ppl_bucket") === col("approx_bucket"), 1.0d)
+            .otherwise(0.0d)) >= 0.99d).as("approx_within_tol"))
     }),
 
     // Perceptual image near-dup: every PPM payload gets a
@@ -3774,6 +3808,43 @@ object LlmQueries {
                 WHEN logp_u >= t_lo THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
          FROM sc, t""",
+
+    // the sketch estimate itself is engine-specific, so the oracle pins
+    // the exact per-bucket stats and the tolerance bit (the
+    // x_approx_vocab contract shape — see the gate comment)
+    "x_ppl_buckets_approx" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, unnest(list_transform(
+                  range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                  AS bigram
+                FROM w),
+         c2 AS (SELECT bigram, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1),
+         c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1
+                FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT word)::DOUBLE AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)),
+         sc AS (SELECT bg.doc_id,
+                  floor(floor(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                        * 10000 + 0.5) / 10000 * 10000 + 0.5)::BIGINT
+                    AS logp_u
+                FROM bg
+                JOIN c2 USING (bigram)
+                JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+                CROSS JOIN v
+                GROUP BY bg.doc_id),
+         t AS (SELECT quantile_cont(logp_u, 0.25) AS t_lo,
+                      quantile_cont(logp_u, 0.75) AS t_hi FROM sc),
+         b AS (SELECT doc_id, logp_u,
+                 CASE WHEN logp_u >= t_hi THEN 'head'
+                      WHEN logp_u >= t_lo THEN 'middle'
+                      ELSE 'tail' END AS ppl_bucket
+               FROM sc, t)
+         SELECT ppl_bucket, count(*)::BIGINT AS n_docs,
+           sum(logp_u)::BIGINT AS logp_sum,
+           true AS approx_within_tol
+         FROM b GROUP BY 1""",
 
     // gradient-equality reduction of the perceptual near-dup: two
     // images pair iff they have the SAME DIMENSIONS and their pixel

@@ -96,4 +96,30 @@ class SelectionSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast scoring join in:\n$plan")
   }
+
+  test("quantileBuckets: exact cut is the dyadic-quartile contract; approx stays in tolerance") {
+    import spark.implicits._
+    val scored = (1L to 1000L).map(i => (i, i)).toDF("doc_id", "score")
+    val exact = Selection.quantileBuckets(scored, "score",
+      bucketCol = "bucket")
+    val byBucket = exact.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quantile_cont semantics on 1..1000: t_lo = 250.75, t_hi = 750.25
+    // → head = 751..1000 (250), middle = 251..750 (500), tail = 1..250
+    assert(byBucket == Map("head" -> 250L, "middle" -> 500L, "tail" -> 250L))
+    // approx mode: GK rank error ≤ n/accuracy — thresholds may sit a
+    // few ranks off the interpolated cut, but assignment disagreement
+    // is bounded by the rank error per threshold
+    val approx = Selection.quantileBuckets(scored, "score", approx = true,
+      bucketCol = "approx_bucket").select("doc_id", "approx_bucket")
+    val joined = exact.join(approx, Seq("doc_id"))
+    val agree = joined
+      .filter(col("bucket") === col("approx_bucket")).count()
+    assert(agree >= 990, s"approx bucket agreement $agree/1000 below tolerance")
+    // both modes are one aggregate + a broadcast-literal CASE: no
+    // shuffle beyond the threshold aggregate itself
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast thresholds:\n$plan")
+  }
 }
