@@ -291,6 +291,137 @@ object Multimodal {
       }(enc)
   }
 
+  /** Attach a REAL RIFF/WAVE PCM16 payload synthesized from the text
+    * bytes (the audio sibling of [[withPpmPayload]]): sample count
+    * (256 + id%5·64) and sample rate (8000 + id%3·4000) vary per id so
+    * a downstream decode must parse them back out of the chunks, and
+    * sample i is `ascii_code(text_i) · 100` — non-negative, ≤ 12700, so
+    * a ×2 gain twin never clips. The text is ASCII-folded with the SAME
+    * regex as the PPM builder (chars == bytes, and the oracle replays
+    * the identical code algebra); the binary container is produced by
+    * the real [[Codecs.WavCodec]] encoder executor-side.
+    */
+  def withWavPayload(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id")(implicit spark: SparkSession): DataFrame = {
+    val prepared = df
+      .withColumn("_n", (col(idCol) % 5 * 64 + 256).cast("int"))
+      .withColumn("_rate", (col(idCol) % 3 * 4000 + 8000).cast("int"))
+      .withColumn("_ascii", regexp_replace(col(textCol), "[^\\x01-\\x7F]", "?"))
+      .select(col(idCol).cast("long").as("doc_id"), col("_rate"),
+        expr("rpad(substring(_ascii, 1, _n), _n, ' ')").as("_chars"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    prepared.mapPartitions(_.map { r =>
+      val chars = r.getString(2)
+      val samples = new Array[Short](chars.length)
+      var i = 0
+      while (i < chars.length) {
+        samples(i) = (chars.charAt(i).toInt * 100).toShort; i += 1
+      }
+      Row(r.getLong(0), WavCodec.encode(r.getInt(1), samples))
+    })(enc)
+  }
+
+  /** Uniform gain shift of a WAV payload: every sample × `g` through
+    * the real codec round-trip. Refuses (None) when any scaled sample
+    * would clip out of Int16 — a clipped gain is NOT envelope-invariant,
+    * and the planted-twin construction depends on exact invariance
+    * (the [[brightnessShiftPpm]] contract).
+    */
+  def gainShiftWav(g: Int)(payload: Array[Byte]): Option[Array[Byte]] =
+    WavCodec.decode(payload).flatMap { case (rate, samples) =>
+      if (samples.exists(s => s * g > 32767 || s * g < -32768)) None
+      else Some(WavCodec.encode(rate,
+        samples.map(s => (s * g).toShort)))
+    }
+
+  /** Schema of [[audioFingerprint]] output rows. */
+  def audioFingerprintSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("valid", BooleanType),
+    StructField("ahash", LongType),
+    StructField("env_md5", StringType)))
+
+  /** Partition-local perceptual AUDIO fingerprint (the near-dup sibling
+    * of [[imagePHash]]): decode (RIFF/WAVE PCM16), emit
+    *
+    *   - `ahash`, the 64-bit energy-ENVELOPE hash — the Hamming-banded
+    *     BLOCKING key: the samples split into 65 equal frames, frame
+    *     energy e_j = Σ|s_i| (a Long — exact), bit j set iff
+    *     e_(j+1) > e_j. Invariant to any uniform non-clipping gain
+    *     (every energy scales by |g|, preserving every strict
+    *     comparison) and to the container framing — the near-dup
+    *     classes exact byte hashing misses.
+    *   - `env_md5`, the exact VERIFY fingerprint: md5 of
+    *     `rate,` + the gcd-NORMALIZED samples (s_i ÷ gcd of all |s_i|,
+    *     comma-joined — exact integer division by construction). Two
+    *     clips share `env_md5` iff they have the same rate, the same
+    *     length, and sample arrays that are EXACTLY proportional
+    *     (s = g_s·n, t = g_t·n) — which forces proportional frame
+    *     energies and hence equal `ahash`, so a banded candidate join
+    *     over ahash surfaces every env-equal pair (the same airtight
+    *     recall argument as [[imagePHash]]'s w,h-prefixed gradient;
+    *     a floor-based normalization would not give it).
+    *
+    * Engine-portable: the oracle replays the gcd algebra over the
+    * payload construction with no knowledge of the frame grid. Corrupt
+    * payloads quarantine as valid = false.
+    */
+  def audioFingerprint(df: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFingerprintSchema)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          WavCodec.decode(payload) match {
+            case Some((rate, samples)) if samples.length >= 65 =>
+              val n = samples.length
+              var g = 0L
+              var i = 0
+              while (i < n) {
+                g = java.math.BigInteger.valueOf(g)
+                  .gcd(java.math.BigInteger.valueOf(math.abs(samples(i).toLong)))
+                  .longValue()
+                i += 1
+              }
+              val norm = new Array[Long](n)
+              i = 0
+              while (i < n) {
+                norm(i) = if (g == 0L) 0L else samples(i) / g
+                i += 1
+              }
+              var bits = 0L
+              var j = 0
+              var ePrev = frameEnergy(samples, 0, n)
+              while (j < 64) {
+                val eNext = frameEnergy(samples, j + 1, n)
+                if (eNext > ePrev) bits |= 1L << j
+                ePrev = eNext
+                j += 1
+              }
+              md.reset()
+              val hex = md.digest((s"$rate," + norm.mkString(","))
+                .getBytes("US-ASCII")).map("%02x".format(_)).mkString
+              Row(id, true, bits, hex)
+            case _ => Row(id, false, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Σ|s_i| over frame j of 65 equal frames — exact Long arithmetic. */
+  private def frameEnergy(samples: Array[Short], j: Int, n: Int): Long = {
+    var e = 0L
+    var i = j * n / 65
+    val end = (j + 1) * n / 65
+    while (i < end) { e += math.abs(samples(i).toLong); i += 1 }
+    e
+  }
+
   /** Map a payload column through a partition-local codec transform
     * (None → quarantined as a null payload): the twin-construction and
     * re-encode hook for the perceptual-dedup gates. Runs executor-side,

@@ -2040,6 +2040,51 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Perceptual AUDIO near-dup — the last multimodal family member
+    // (text ✓ simhash, image ✓ x_image_phash): every WAV payload gets a
+    // ×2 gain twin (REAL samples through the REAL RIFF/PCM16 codec
+    // round-trip; no clipping by construction, samples top out at
+    // 12700). The 64-bit energy-envelope hash is invariant to uniform
+    // gain, so Hamming-banded blocking over it
+    // (Dedup.simhashCandidatesFromSigs — the x_image_phash idiom
+    // verbatim) must surface every planted pair; the exact verify keys
+    // on env_md5, the gcd-normalized sample fingerprint, which the
+    // oracle replays from the payload construction with no knowledge
+    // of the frame grid. env-equal ⇒ sample arrays EXACTLY
+    // proportional ⇒ proportional frame energies ⇒ ahash-equal, so
+    // Spark's banded candidates + envelope verify is EXACTLY the
+    // oracle's env-equality pair set (see Multimodal.audioFingerprint).
+    "x_audio_fingerprint" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // quarter corpus: the property under test (gain invariance +
+      // banding recall + gcd-normalized verify) is volume-independent —
+      // the x_image_phash slicing precedent; each base clip still rides
+      // TWO codec passes (base, gain-shifted)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 2)
+      val media = graft.llm.Multimodal.withWavPayload(d)
+        .select(col("doc_id"), col("payload"))
+      val gained = graft.llm.Multimodal
+        .mapPayload(media, graft.llm.Multimodal.gainShiftWav(2))
+        .select(twinId(col("doc_id"), 1000000000L).as("doc_id"),
+          col("payload"))
+      val sigs = graft.llm.Multimodal
+        .audioFingerprint(media.union(gained))
+        .filter(col("valid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = Dedup.simhashCandidatesFromSigs(
+        sigs.select(col("doc_id").as("id"), col("ahash").as("sim")),
+        maxHamming = 3)
+      val fps = sigs.select(col("doc_id"), col("env_md5"))
+      cands
+        .join(fps.select(col("doc_id").as("id_a"), col("env_md5").as("_fa")),
+          Seq("id_a"))
+        .join(fps.select(col("doc_id").as("id_b"), col("env_md5").as("_fb")),
+          Seq("id_b"))
+        .filter(col("_fa") === col("_fb"))
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // End-to-end training-shard export — the capstone composition of
     // the pipeline's already-gated stages: best-copy dedup
     // (clusterRepresentatives over normalized-equality clusters, the
@@ -3880,6 +3925,40 @@ object LlmQueries {
                list_transform(codes, c -> (c - codes[1] + 256) % 256), ','))
              AS f
            FROM waves)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id""",
+
+    // gcd-proportionality reduction of the perceptual audio near-dup:
+    // two clips pair iff same rate, same length, and sample arrays that
+    // are exactly proportional — md5 over rate + s_i ÷ gcd(|s_i|). The
+    // gain twin's samples are the base's × 2 (gcd scales by 2, the
+    // normalized array is identical); the oracle computes each wave's
+    // fingerprint from its OWN sample codes — no knowledge of the
+    // frame grid or the banding enters
+    "x_audio_fingerprint" ->
+      """WITH p AS (
+           SELECT doc_id, rate,
+             list_transform(str_split(
+               rpad(substr(text, 1, n), n::INT, ' '), ''),
+               c -> unicode(c) * 100) AS s
+           FROM (SELECT doc_id,
+                   regexp_replace(text, '[^\x01-\x7F]', '?', 'g') AS text,
+                   256 + doc_id % 5 * 64 AS n,
+                   8000 + doc_id % 3 * 4000 AS rate
+                 FROM documents WHERE doc_id % 4 = 2)),
+         waves AS (
+           SELECT doc_id, rate, s FROM p
+           UNION ALL
+           SELECT doc_id + 1000000000, rate,
+             list_transform(s, x -> x * 2) FROM p),
+         fp AS (
+           SELECT doc_id, md5(rate::VARCHAR || ',' || array_to_string(
+             list_transform(s, x -> CASE WHEN g = 0 THEN 0 ELSE x // g END),
+             ',')) AS f
+           FROM (SELECT doc_id, rate, s,
+                   list_reduce(list_transform(s, x -> abs(x)),
+                     (a, b) -> gcd(a, b)) AS g
+                 FROM waves))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id""",
 

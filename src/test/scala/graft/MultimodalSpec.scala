@@ -176,6 +176,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imagePHash(junk).filter(col("valid")).count() == 0)
   }
 
+  test("audioFingerprint: gain invariant, envelope sensitive, clipping refused") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog " * 40),
+      (2L, "entirely different text payload with other bytes " * 40))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withWavPayload(d).select("doc_id", "payload")
+    val gained = Multimodal.mapPayload(media, Multimodal.gainShiftWav(2))
+      .select((col("doc_id") + 100L).as("doc_id"), col("payload"))
+    val sigs = Multimodal.audioFingerprint(media.union(gained))
+    assert(sigs.filter(!col("valid")).count() == 0)
+    val rows = sigs.select("doc_id", "ahash", "env_md5")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // ×2 gain: envelope hash AND the gcd-normalized verify both invariant
+    assert(rows(1L) == rows(101L) && rows(2L) == rows(102L))
+    // different audio: both move
+    assert(rows(1L)._2 != rows(2L)._2)
+    // the banded candidates surface every planted pair
+    val cands = graft.llm.Dedup.simhashCandidatesFromSigs(
+      sigs.select(col("doc_id").as("id"), col("ahash").as("sim")),
+      maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    Seq((1L, 101L), (2L, 102L))
+      .foreach(p => assert(cands.contains(p), s"missing planted pair $p"))
+    // a single perturbed sample is a DIFFERENT clip: the verify must move
+    val Some((rate, samples)) = WavCodec.decode(
+      media.filter(col("doc_id") === 1L).head().getAs[Array[Byte]]("payload"))
+    val perturbed = samples.clone(); perturbed(10) = (perturbed(10) + 1).toShort
+    val pd = Seq((1L, WavCodec.encode(rate, samples)),
+      (3L, WavCodec.encode(rate, perturbed)))
+      .toDF("doc_id", "payload")
+    val pf = Multimodal.audioFingerprint(pd).select("doc_id", "env_md5")
+      .as[(Long, String)].collect().toMap
+    assert(pf(1L) != pf(3L), "perturbed samples must not share the verify fingerprint")
+    // a gain that would clip refuses instead of silently breaking invariance
+    assert(Multimodal.gainShiftWav(10)(
+      WavCodec.encode(8000, Array.fill(100)(5000.toShort))).isEmpty)
+    // corrupt payloads quarantine
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.audioFingerprint(junk).filter(col("valid")).count() == 0)
+  }
+
   test("decode → feature-dedup finds identical images via exact pixel histograms") {
     implicit val s = spark
     val d = Seq((0L, "tiger tiger burning"), (1L, "tiger tiger burning"),
