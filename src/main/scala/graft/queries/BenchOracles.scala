@@ -247,6 +247,79 @@ object BenchOracles {
              n_members::BIGINT AS n_members
            FROM r WHERE rk = 1"""),
 
+    // Spark stages the capstone's verified near-dup cluster table
+    // (clusterTableOnce "minhashHalfJ1" — labels for docs in classes of
+    // size ≥ 2, exactly duplicateClusters' output); the timed pass is
+    // the rest of the export composition: best-copy selection over the
+    // staged labels, token floor, budget mix, packing, shard audit.
+    "x_training_shards" -> BenchOracle(
+      setup = Seq(
+        """CREATE OR REPLACE TEMP TABLE bench_tshard_clusters AS
+           WITH d AS (
+             SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                      ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                        i -> string_split(text,' ')[i] || ' ' ||
+                             string_split(text,' ')[i+1] || ' ' ||
+                             string_split(text,' ')[i+2]) END)), '|')) AS f
+             FROM documents WHERE doc_id % 2 = 0),
+           cl AS (SELECT doc_id AS id,
+                    min(doc_id) OVER (PARTITION BY f) AS cluster_id,
+                    count(*) OVER (PARTITION BY f) AS n
+                  FROM d)
+           SELECT id, cluster_id FROM cl WHERE n > 1"""),
+      query =
+        """WITH d AS (
+             SELECT doc_id, source, text, length(text)::BIGINT AS len,
+               len(string_split(text, ' '))::BIGINT AS ntok
+             FROM documents WHERE doc_id % 2 = 0),
+           j AS (SELECT d.doc_id, d.len,
+                   coalesce(t.cluster_id, d.doc_id) AS cluster_id
+                 FROM d LEFT JOIN bench_tshard_clusters t
+                   ON t.id = d.doc_id),
+           r AS (SELECT doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY len DESC, doc_id ASC) AS rk
+                 FROM j),
+           curated AS (
+             SELECT d.* FROM d JOIN r USING (doc_id)
+             WHERE r.rk = 1 AND d.ntok >= 10),
+           w(source, wt) AS (VALUES ('src0', 0.3::DOUBLE), ('src1', 0.3::DOUBLE),
+                 ('src2', 0.2::DOUBLE), ('src3', 0.2::DOUBLE)),
+           tok AS (SELECT source, sum(ntok)::DOUBLE AS t
+                   FROM curated WHERE source IS NOT NULL GROUP BY 1),
+           f AS (SELECT w.source, least(1.0::DOUBLE, 20000 * w.wt / tok.t)
+                   AS frac
+                 FROM w JOIN tok USING (source)),
+           mixed AS (
+             SELECT c.doc_id, c.source, c.ntok FROM curated c JOIN f USING (source)
+             WHERE ('0x' || substr(md5('tokbudget:' || c.doc_id::VARCHAR),
+                     25, 8))::BIGINT % 1000000 < f.frac * 1000000),
+           packed AS (
+             SELECT doc_id, source, ntok,
+               ((sum(ntok) OVER (PARTITION BY source ORDER BY doc_id)
+                 - ntok) // 2048)::BIGINT AS seq_id
+             FROM mixed),
+           sh AS (
+             SELECT doc_id, source, ntok,
+               source || '#' || seq_id::VARCHAR AS sk
+             FROM packed),
+           keyed AS (
+             SELECT doc_id, ntok, sk,
+               ('0x' || substr(md5('shard:' || sk), 25, 8))::BIGINT % 16
+                 AS shard,
+               ('0x' || substr(md5('order:' || doc_id::VARCHAR), 25, 8))::BIGINT
+                 AS ok
+             FROM sh)
+           SELECT shard, count(*)::BIGINT AS n_docs,
+             count(DISTINCT sk)::BIGINT AS n_seqs,
+             sum(ntok)::BIGINT AS total_tokens,
+             sum(ok)::BIGINT AS order_sum,
+             min(ok)::BIGINT AS order_min,
+             max(ok)::BIGINT AS order_max
+           FROM keyed GROUP BY 1"""),
+
     // Spark stages BM25 corpus stats (bm25StatsOnce: N, avgdl, idf per
     // term); the timed pass is the tf explode + scoring + top-k.
     "x_bm25_search" -> BenchOracle(

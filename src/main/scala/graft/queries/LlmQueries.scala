@@ -2087,32 +2087,44 @@ object LlmQueries {
 
     // End-to-end training-shard export — the capstone composition of
     // the pipeline's already-gated stages: best-copy dedup
-    // (clusterRepresentatives over normalized-equality clusters, the
-    // x_cluster_rep operator), a token-count quality floor, token-budget
-    // mixing over four sources (mixToTokenBudget), packing into
-    // 2048-token training sequences (packSequences), and deterministic
-    // SEQUENCE-level sharding (Sharding.shardOf over the (source, seq)
-    // key — whole sequences land in one shard, the artifact a training
-    // loader consumes). Output: the per-shard audit — doc/sequence
-    // counts, token mass (conservation is spec-asserted), and exact
-    // integer order-checksums. Every stage is engine-portable algebra,
-    // so the oracle replays the WHOLE composition; the gate pins the
-    // glue between stages, which no per-stage gate sees.
+    // (clusterRepresentatives, the x_cluster_rep operator, fed by the
+    // VERIFIED near-dup graph — minhash candidates → exact jaccard
+    // verify → connected components — the same cluster source a
+    // production export consumes), a token-count quality floor,
+    // token-budget mixing over four sources (mixToTokenBudget), packing
+    // into 2048-token training sequences (packSequences), and
+    // deterministic SEQUENCE-level sharding (Sharding.shardOf over the
+    // (source, seq) key — whole sequences land in one shard, the
+    // artifact a training loader consumes). Output: the per-shard audit
+    // — doc/sequence counts, token mass (conservation is
+    // spec-asserted), and exact integer order-checksums. Every stage is
+    // engine-portable algebra — at minJaccard = 1.0 the verified
+    // clusters are exactly the identical-distinct-shingle-set classes
+    // (the x_cluster_safe_split reduction) — so the oracle replays the
+    // WHOLE composition; the gate pins the glue between stages, which
+    // no per-stage gate sees.
     "x_training_shards" -> ((s, dir) => {
       // half corpus: the property is the five-stage GLUE (dedup winners
       // -> floor -> mix -> pack -> shard audit), volume-independent —
       // the full-corpus cost of each stage is its own gate's job
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
         .filter(col("doc_id") % 2 === 0)
-      val withNorm = d.select(col("doc_id"),
-        length(col("text")).cast("long").as("len"),
-        md5(TextAnalysis.normalizeText(col("text"))).as("nh"))
-      val ctab = withNorm
-        .join(withNorm.groupBy("nh").agg(min(col("doc_id")).as("cluster_id")),
-          Seq("nh"))
-        .select(col("doc_id").as("id"), col("cluster_id"))
+      // the near-dup cluster table is staged dedup-pipeline output
+      // (clusterTableOnce — the pipeline itself is measured by
+      // x_neardup_survivors); the timed pass starts at the selection
+      val clusters = clusterTableOnce(s, dir, "minhashHalfJ1") {
+        val state = d.select(col("doc_id").as("id"),
+            Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
+          .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
+        val pairs = Dedup.verifyJaccardFromShingles(cands, state)
+          .filter(col("jaccard") >= 1.0).select("id_a", "id_b")
+        (Dedup.duplicateClusters(pairs), () => { state.unpersist(); () })
+      }
       val reps = Dedup.clusterRepresentatives(
-          withNorm.select("doc_id", "len"), ctab, "doc_id", "len")
+          d.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+          clusters, "doc_id", "len")
         .select(col("rep_id").as("doc_id"))
       // text ends at curation: everything downstream (mixing, packing,
       // sharding) needs only (doc_id, source, n_tokens) — carry the
@@ -3962,17 +3974,23 @@ object LlmQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id""",
 
-    // the full export composition replayed: best-copy rep per
-    // normalized-equality cluster (len DESC, id ASC), token floor,
-    // token-budget admission (the x_token_budget_mix CTE shape),
-    // per-source exclusive-cumsum packing (the x_pack_sequences shape),
-    // md5 sharding of the (source, seq) key, exact integer checksums
+    // the full export composition replayed: best-copy rep per VERIFIED
+    // near-dup cluster — at jaccard 1.0 the identical-distinct-shingle
+    // class (the x_cluster_safe_split reduction), argmax (len DESC,
+    // id ASC) — token floor, token-budget admission (the
+    // x_token_budget_mix CTE shape), per-source exclusive-cumsum
+    // packing (the x_pack_sequences shape), md5 sharding of the
+    // (source, seq) key, exact integer checksums
     "x_training_shards" ->
       """WITH d AS (
            SELECT doc_id, source, text, length(text)::BIGINT AS len,
              len(string_split(text, ' '))::BIGINT AS ntok,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
-               '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+             md5(array_to_string(list_sort(list_distinct(
+               CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                    ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+                      i -> string_split(text,' ')[i] || ' ' ||
+                           string_split(text,' ')[i+1] || ' ' ||
+                           string_split(text,' ')[i+2]) END)), '|')) AS nh
            FROM documents WHERE doc_id % 2 = 0),
          r AS (SELECT doc_id,
                  row_number() OVER (PARTITION BY nh
