@@ -163,6 +163,68 @@ class ContractSpec extends SparkSpec {
     assert(stale.isEmpty, s"justified ratio-outliers no longer exist: $stale")
   }
 
+  // Sliced-gate registry (r14 verdict #4): a gate that runs on a
+  // doc_id-mod slice of the corpus instead of the whole table spends
+  // bench margin invisibly — each slice below is reviewed (the property
+  // under test must be volume-independent, with the full-corpus cost
+  // measured by another gate), and this test FAILS when a
+  // `.filter(col("doc_id") % n === k)` appears in (or leaves) a gate
+  // body without a registry edit in the same commit.
+  test("every corpus-slice filter in a gate is registered and reviewed") {
+    // gate -> (modulus, why the slice is sound). A modulus entry of m
+    // means the gate consumes ~1/m of the corpus (schema-drift rows are
+    // generation SPLITS: both subsets are written and read back, listed
+    // here so the scan stays exhaustive).
+    val registry = Map(
+      "x_incremental_dedup_pruned" -> (4,
+        "banded-layout pruning seam is the property; full-scale admission is x_incremental_dedup's measurement"),
+      "st_incremental_dedup" -> (4,
+        "streaming micro-batch composition is the property; batch-scale admission is x_incremental_dedup's measurement"),
+      "s_schema_drift" -> (3,
+        "NOT a slice: a generation split — both subsets are written and read back through the conformed union"),
+      "s_schema_drift_nested" -> (3,
+        "NOT a slice: same generation split as s_schema_drift"),
+      "x_bpe_train_scaled" -> (2,
+        "batched-trainer selection equivalence at 512 merges is merge-table-bound, not corpus-bound; the corpus-wide frequency pass is x_bpe_pair_counts' measurement"),
+      "x_dsir_select" -> (2,
+        "the selection step (TakeOrdered + tie-break) is the property; full-corpus weight math is x_dsir_weights' measurement"),
+      "x_cluster_safe_split" -> (4,
+        "cluster-keyed assignment is volume-independent; clustering cost is x_neardup_survivors' measurement"),
+      "x_cluster_rep" -> (4,
+        "per-cluster argmax selection is volume-independent; clustering cost is x_neardup_survivors' measurement"),
+      "x_image_phash" -> (4,
+        "dHash invariance + banding recall + gradient verify are volume-independent; each base image still rides three decoder passes"),
+      "x_audio_fingerprint" -> (4,
+        "envelope invariance + banding recall + gcd verify are volume-independent; each base clip still rides two codec passes"),
+      "x_training_shards" -> (2,
+        "the five-stage export GLUE is the property; each stage's full-corpus cost is its own gate's measurement"))
+    val src = Seq("src/main/scala/graft/queries/LlmQueries.scala",
+      "src/main/scala/graft/queries/RelationalQueries.scala")
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")).mkString("\n")
+    val gateHeader = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+    val slice = """\.filter\(col\("doc_id"\) % (\d+) === \d+\)""".r
+    // attribute each slice filter to the gate whose header precedes it
+    val headers = gateHeader.findAllMatchIn(src)
+      .map(m => (m.start, m.group(1))).toSeq
+    val found = slice.findAllMatchIn(src).map { m =>
+      val gate = headers.takeWhile(_._1 < m.start).lastOption.map(_._2)
+        .getOrElse(sys.error(s"slice filter before any gate header: ${m.matched}"))
+      gate -> m.group(1).toInt
+    }.toSeq.distinct.groupBy(_._1).map { case (g, ms) =>
+      g -> ms.map(_._2).max }
+    assert(found.keySet == registry.keySet,
+      s"slice filters drifted from the reviewed registry — " +
+        s"unregistered: ${found.keySet.diff(registry.keySet)}, " +
+        s"stale entries: ${registry.keySet.diff(found.keySet)}")
+    found.foreach { case (g, m) =>
+      assert(registry(g)._1 == m,
+        s"$g slice modulus changed ($m vs registered ${registry(g)._1}) — re-review")
+    }
+    // registered gates must still exist
+    assert(registry.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("representative queries run non-empty at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     Seq("p1_project_rename", "j2_join_agg_mart", "w1_latest_per_key",
