@@ -65,10 +65,9 @@ object CurationPipeline {
         .filter(col("est_jaccard") >= cfg.nearDupJaccard / 2),
       state)
       .filter(col("jaccard") >= cfg.nearDupJaccard)
-    val losers = Dedup.duplicateClusters(pairs)
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+    // survivors via the bounded loser pushdown (one filter when the
+    // verified pair set fit the driver cap; lazy anti-join above it)
+    val deduped = Dedup.dropClusterLosers(exact, pairs, idCol)
 
     // 5. deterministic split assignment
     Sampling.hashSplit(deduped, idCol, cfg.splits)

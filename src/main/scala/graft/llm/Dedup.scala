@@ -540,9 +540,28 @@ object Dedup {
   @volatile var lastCcRounds: Int = 0
 
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
-      driverMaxPairs: Long = 1000000L): DataFrame = {
+      driverMaxPairs: Long = 1000000L): DataFrame =
+    duplicateClustersLocal(pairs, maxIterations, driverMaxPairs) match {
+      case Left(labels) =>
+        val sp = pairs.sparkSession
+        import sp.implicits._
+        labels.toSeq.toDF("id", "cluster_id")
+      case Right(df) => df
+    }
+
+  /** [[duplicateClusters]] that SURFACES the under-cap driver fast path
+    * instead of folding it back into a local-relation DataFrame:
+    * `Left(labels)` when the verified pair set fit the driver bound
+    * (the id→cluster_id array is already driver-resident — the collect
+    * happened either way), `Right(distributed labels)` otherwise.
+    * Callers whose next step is per-pair driver logic (admission
+    * filters, bounded probes) use the `Left` to skip a whole round of
+    * small-table joins; everything else goes through
+    * [[duplicateClusters]] and never sees the split.
+    */
+  def duplicateClustersLocal(pairs: DataFrame, maxIterations: Int = 20,
+      driverMaxPairs: Long = 1000000L): Either[Array[(Long, Long)], DataFrame] = {
     lastCcRounds = 0
-    val sp = pairs.sparkSession
     val slim = pairs.select("id_a", "id_b")
     // Small-pair fast path: the VERIFIED near-dup pair set is proportional
     // to the corpus's actual duplication, not its size — on most corpora
@@ -566,8 +585,7 @@ object Dedup {
       val nPairs = slim.count()
       if (nPairs == 0) { // clean corpus: skip the propagation entirely
         slim.unpersist()
-        return slim.limit(0)
-          .select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+        return Left(Array.empty)
       }
       if (nPairs <= cap) {
         val sample = slim.collect() // cache read: the count materialized it
@@ -588,11 +606,10 @@ object Dedup {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-        import sp.implicits._
         val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
-          .map(id => (id.longValue, find(id.longValue))).toSeq
+          .map(id => (id.longValue, find(id.longValue)))
         slim.unpersist()
-        return labels.toDF("id", "cluster_id")
+        return Left(labels)
       }
     }
     // materialize the pair set once: the loop issues several actions and
@@ -669,20 +686,46 @@ object Dedup {
           "components of diameter ~2^20): a component split across " +
           "labels would make dropNearDuplicates over-keep. Raise " +
           "maxIterations.")
-    labels
+    Right(labels)
   }
+
+  /** Drop every NON-MINIMAL cluster member of `df` given a verified
+    * near-dup pair set — the survivors-only consumer of
+    * [[duplicateClusters]]. When the pair set took the under-cap driver
+    * fast path the loser ids are already driver-resident, so the drop
+    * is ONE pushed IN filter (the bounded-probe-pushdown rule) instead
+    * of a cluster-label join plus anti-join and their adaptive planning
+    * rounds; over the bound the plan falls back to the fully-lazy
+    * anti-join. The loser set scales with the corpus's DUPLICATION, not
+    * its size, so real corpora sit under the bound while the fallback
+    * keeps the worst case distributed.
+    */
+  def dropClusterLosers(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", pushdownBound: Int = 65536): DataFrame =
+    duplicateClustersLocal(pairs) match {
+      case Left(local) if local.length <= pushdownBound =>
+        val losers = local.collect { case (id, c) if id != c => id }
+        if (losers.isEmpty) df
+        else df.filter(!col(idCol).isin(losers: _*))
+      case other =>
+        val labels = other match {
+          case Left(local) =>
+            val sp = df.sparkSession
+            import sp.implicits._
+            local.toSeq.toDF("id", "cluster_id")
+          case Right(d) => d
+        }
+        df.join(labels.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    }
 
   /** One survivor per near-duplicate cluster: candidates → exact verify →
     * connected components → keep each cluster's minimum id. The complete,
     * transitive-safe dedup (contrast with naive per-pair id_b dropping).
     */
   def dropNearDuplicates(df: DataFrame, minJaccard: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val clusters = duplicateClusters(nearDupPairs(df, minJaccard, textCol, idCol))
-    val losers = clusters.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dropClusterLosers(df, nearDupPairs(df, minJaccard, textCol, idCol), idCol)
 
   // ------------------------------------------------------- n-gram Jaccard
 

@@ -58,6 +58,16 @@ import graft.sources.Warehouse
   */
 object IncrementalDedup {
 
+  /** Largest driver-resident label set the admission filter pushes down
+    * as IN-literal predicates (the bounded-probe-pushdown rule: beyond
+    * this the plan-side join path keeps everything lazy — an InSet of
+    * ~64k longs is a cheap hash probe per row, a million-literal one is
+    * a plan-size liability). The verified pair set scales with the
+    * DELIVERY's duplication, not the corpus, so typical deliveries sit
+    * far under this at any corpus size.
+    */
+  private val DriverAdmissionBound = 65536
+
   /** Physical layout of the persisted signature index — the pluggable
     * seam between "how the index is stored" and the delivery-dedup
     * semantics (which are layout-invariant and tested so). Two
@@ -303,20 +313,56 @@ object IncrementalDedup {
     // whatever its id), hence its overall minimum IS a delivery id.
     // That turns the per-cluster min aggregation — one exchange per
     // delivery — into a shuffle-free filter.
-    val labels = Dedup.duplicateClusters(verified)
-    val batchLabels = batch.select("id").join(labels, Seq("id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
-    val rejectedClusters =
-      if (!hasIndex) labels.limit(0).select("cluster_id")
-      else labels.join(idx.select("id"), Seq("id"), "left_semi")
-        .select("cluster_id").distinct()
-    val admitted = batchLabels
-      .filter(col("id") === col("cluster_id"))
-      .join(rejectedClusters, Seq("cluster_id"), "left_anti")
-      .select("id")
-
-    // one delta generation per delivery: append cost ∝ delivery
-    val survivors = batch.join(admitted, Seq("id"), "left_semi")
+    //
+    // When the verified pair set took duplicateClusters' under-cap
+    // driver fast path AND is small enough to push down (the bounded-
+    // probe-pushdown idiom: bounded batches → pushed IN filters,
+    // corpus-sized sets → the fully-lazy join plan below), the whole
+    // admission is computed driver-side: the loser set is a pure
+    // function of the driver-resident labels plus one id-IN-pushed
+    // index probe (which clusters hold an index member), replacing the
+    // labels/rejected/anti join round-trip — three joins and their
+    // adaptive-planning rounds per delivery, the dominant cost of a
+    // micro-delivery admission at any corpus size since the pair set
+    // scales with the DELIVERY's duplication, not the corpus.
+    val survivors = Dedup.duplicateClustersLocal(verified) match {
+      case Left(local) if local.length <= DriverAdmissionBound =>
+        val labelOf = new java.util.HashMap[Long, Long](local.length * 2)
+        local.foreach { case (id, c) => labelOf.put(id, c) }
+        val rejected = new java.util.HashSet[Long]()
+        if (hasIndex && local.nonEmpty) {
+          val keys = local.map(_._1)
+          idx.select("id").filter(col("id").isin(keys: _*))
+            .collect().foreach(r => rejected.add(labelOf.get(r.getLong(0))))
+        }
+        // losers: non-minimal cluster members, plus every member of a
+        // cluster holding an index survivor (index-side ids in the map
+        // are harmless — they are never in the batch)
+        val losers = local.collect {
+          case (id, c) if id != c || rejected.contains(c) => id
+        }
+        if (losers.isEmpty) batch
+        else batch.filter(!col("id").isin(losers: _*))
+      case other =>
+        val labels = other match {
+          case Left(local) =>
+            import spark.implicits._
+            local.toSeq.toDF("id", "cluster_id")
+          case Right(df) => df
+        }
+        val batchLabels = batch.select("id").join(labels, Seq("id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        val rejectedClusters =
+          if (!hasIndex) labels.limit(0).select("cluster_id")
+          else labels.join(idx.select("id"), Seq("id"), "left_semi")
+            .select("cluster_id").distinct()
+        val admitted = batchLabels
+          .filter(col("id") === col("cluster_id"))
+          .join(rejectedClusters, Seq("cluster_id"), "left_anti")
+          .select("id")
+        // one delta generation per delivery: append cost ∝ delivery
+        batch.join(admitted, Seq("id"), "left_semi")
+    }
     val ord = committed0.size + 1
     lastStagePlans = lastStagePlans ++ Seq(
       graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch),

@@ -1346,9 +1346,7 @@ object LlmQueries {
       val cands = Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
       val pairs = Dedup.verifyJaccardFromShingles(cands, state)
         .filter(col("jaccard") >= 1.0)
-      val losers = Dedup.duplicateClusters(pairs)
-        .filter(col("id") =!= col("cluster_id")).select("id")
-      state.select("id").join(losers, Seq("id"), "left_anti")
+      Dedup.dropClusterLosers(state.select("id"), pairs, "id")
         .select(col("id").as("doc_id"))
     }),
 
