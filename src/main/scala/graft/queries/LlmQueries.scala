@@ -1263,8 +1263,17 @@ object LlmQueries {
     // token repetition at two lengths ("u v z"×5 vs ×6) shares the
     // cyclic shingle set {uvz, vzu, zuv} while surviving exact dedup.
     "x_curation_pipeline" -> ((s, dir) => {
+      // quarter corpus (doc_id % 4 == 3 — disjoint from the phash/audio/
+      // streaming slices): the property under test is the five-stage
+      // COMPOSITION (gate → langid → exact dedup → near-dup CC →
+      // split), which is volume-independent; each stage's full-corpus
+      // throughput is its own gate's measurement (x_gopher_rules,
+      // x_langid, x_dedup_exact, x_neardup_survivors,
+      // x_cluster_safe_split). Pinned in ContractSpec's sliced-gate
+      // registry; the oracle replays the same slice.
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val probe = d.filter(col("doc_id") < 8)
+        .filter(col("doc_id") % 4 === 3)
+      val probe = d.filter(col("doc_id") < 32)
       def plant(off: Long, reps: Int) = probe.select(
         twinId(col("doc_id"), off).as("doc_id"),
         concat_ws(" ", flatten(array_repeat(array(
@@ -1573,11 +1582,13 @@ object LlmQueries {
       // half corpus: the property is the BATCHED TRAINER's selection
       // equivalence over a long merge schedule, not corpus throughput
       // (the corpus-wide word-frequency pass is x_bpe_pair_counts'
-      // measurement). 512 merges: the equivalence argument is
+      // measurement). 256 merges: the equivalence argument is
       // merge-count-independent (every word is exactly ONE pair, so no
-      // batch size can create interactions), and r14 flagged the
-      // 1024-merge run as the #2 bench-margin line — the extra 512
-      // merges re-proved the same property at double the cost
+      // batch size can create interactions) — r14 flagged the 1024-merge
+      // run as the #2 bench-margin line and each halving since re-proves
+      // the same property at half the cost; batch-boundary behavior on
+      // corpora WITH interactions is BpeScaledSpec's job, not this
+      // gate's
       val tri = docs(s, dir).filter(col("doc_id") % 2 === 0)
         .select(ws.as("ws")).filter(size(col("ws")) >= 3)
         .select(explode(transform(
@@ -1590,7 +1601,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("freq"))
         .select(array(col("s1"), col("s2")).as("syms"), col("freq"))
       graft.llm.Bpe
-        .trainScaledWords(tri, numMerges = 512, minCount = 1L,
+        .trainScaledWords(tri, numMerges = 256, minCount = 1L,
           batchCap = 1024, viewSize = 4096)
         .toDF()
         .select(col("rank").cast("long").as("rank"),
@@ -2536,17 +2547,17 @@ object LlmQueries {
     // distinct-shingle-set fingerprint — no hash-family knowledge needed
     "x_curation_pipeline" ->
       """WITH corpus AS (
-           SELECT doc_id, text FROM documents
+           SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
            UNION ALL
            SELECT doc_id + 1000000000,
              rtrim(repeat('plantw' || doc_id::VARCHAR || ' plantx' ||
                doc_id::VARCHAR || ' planty' || doc_id::VARCHAR || ' ', 5))
-           FROM documents WHERE doc_id < 8
+           FROM documents WHERE doc_id % 4 = 3 AND doc_id < 32
            UNION ALL
            SELECT doc_id + 2000000000,
              rtrim(repeat('plantw' || doc_id::VARCHAR || ' plantx' ||
                doc_id::VARCHAR || ' planty' || doc_id::VARCHAR || ' ', 6))
-           FROM documents WHERE doc_id < 8),
+           FROM documents WHERE doc_id % 4 = 3 AND doc_id < 32),
          scored AS (
            SELECT doc_id, text,
              len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -3191,7 +3202,7 @@ object LlmQueries {
          SELECT (row_number() OVER (ORDER BY n DESC, lhs, rhs) - 1)::BIGINT
                   AS rank,
                 lhs, rhs, n
-         FROM c ORDER BY n DESC, lhs, rhs LIMIT 512""",
+         FROM c ORDER BY n DESC, lhs, rhs LIMIT 256""",
 
     "s_schema_drift_nested" ->
       """SELECT doc_id, lang, n_chars, NULL::DOUBLE AS quality,

@@ -124,7 +124,7 @@ class ContractSpec extends SparkSpec {
           "includes the rerank candidate-id pushdown's extra driver " +
           "round (one collect of the bounded candidate pairs)"),
       "x_bpe_train_scaled" ->
-        ("512-merge iterative trainer vs the oracle's static ranking " +
+        ("256-merge iterative trainer vs the oracle's static ranking " +
           "(the equivalence IS the property under test)"),
       "x_ann_recall" ->
         ("recall-CONTRACT gate: exact baseline + two approximate " +
@@ -185,7 +185,7 @@ class ContractSpec extends SparkSpec {
       "s_schema_drift_nested" -> (3,
         "NOT a slice: same generation split as s_schema_drift"),
       "x_bpe_train_scaled" -> (2,
-        "batched-trainer selection equivalence at 512 merges is merge-table-bound, not corpus-bound; the corpus-wide frequency pass is x_bpe_pair_counts' measurement"),
+        "batched-trainer selection equivalence at 256 merges is merge-table-bound, not corpus-bound; the corpus-wide frequency pass is x_bpe_pair_counts' measurement"),
       "x_dsir_select" -> (2,
         "the selection step (TakeOrdered + tie-break) is the property; full-corpus weight math is x_dsir_weights' measurement"),
       "x_cluster_safe_split" -> (4,
@@ -197,7 +197,9 @@ class ContractSpec extends SparkSpec {
       "x_audio_fingerprint" -> (4,
         "envelope invariance + banding recall + gcd verify are volume-independent; each base clip still rides two codec passes"),
       "x_training_shards" -> (2,
-        "the five-stage export GLUE is the property; each stage's full-corpus cost is its own gate's measurement"))
+        "the five-stage export GLUE is the property; each stage's full-corpus cost is its own gate's measurement"),
+      "x_curation_pipeline" -> (4,
+        "the five-stage curation COMPOSITION is the property; each stage's full-corpus cost is its own gate's measurement (x_gopher_rules, x_langid, x_dedup_exact, x_neardup_survivors, x_cluster_safe_split)"))
     val src = Seq("src/main/scala/graft/queries/LlmQueries.scala",
       "src/main/scala/graft/queries/RelationalQueries.scala")
       .map(p => new String(java.nio.file.Files.readAllBytes(
