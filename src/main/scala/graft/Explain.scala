@@ -11,6 +11,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.core.GraftSession.local("graft-explain", cores = 8)
+    // opt into the imperative-stage capture (addDelivery et al. skip
+    // the per-stage plan rendering unless someone is reading it)
+    graft.core.PlanAudit.enabled = true
     names.foreach { name =>
       graft.llm.IncrementalDedup.lastStagePlans = Nil
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -34,6 +34,15 @@ object GraftSession {
       // shingle-join queries at sf0.1 when only 3-4 of 32 cores stayed
       // busy.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Bounded-probe collects (limit(cap+1) on pruned scans — the
+      // incremental-dedup candidate probe, the duplicate-pair cap
+      // probe) should cost ONE scheduler round: the default
+      // initialNumPartitions=1 escalates 1→4→16… jobs to fill a limit,
+      // which at probe scale is pure round-trip latency. 64 covers the
+      // session's 32-partition shuffles in one pass; per-partition
+      // early termination still applies, so a selective LIMIT over a
+      // huge scan does no extra WORK, it just schedules wider.
+      .config("spark.sql.limit.initialNumPartitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -83,6 +92,7 @@ object GraftSession {
       "true")
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "64")
     spark
   }
 }

@@ -13,6 +13,15 @@ import org.apache.spark.sql.DataFrame
   */
 object PlanAudit {
 
+  /** Stage-capture toggle. [[counts]] renders the FULL formatted
+    * physical plan — analysis + optimization + physical planning for
+    * every audited stage, tens of milliseconds per multi-join tree —
+    * so imperative pipelines must only pay it when someone is actually
+    * reading the audit (`graft.Explain` → PLANS.md). Default off:
+    * Bench/Verify measure the engine, not the audit.
+    */
+  @volatile var enabled: Boolean = false
+
   /** (shuffles, broadcasts, parquet scans) of `df`'s physical plan. */
   def counts(df: DataFrame): (Int, Int, Int) = {
     val plan = df.queryExecution.explainString(

@@ -80,17 +80,26 @@ final case class BandedIndex(numBuckets: Int = 256,
   private def twinOf(stateGen: String, have: Seq[String]): Option[String] =
     have.find(g => g == stateGen || g.startsWith(stateGen + ".b"))
 
-  /** Exploded, bucketed band rows of a (id, sig) state generation. */
+  /** Exploded, bucketed band rows of a (id, sig) state generation.
+    * `singleTask` (micro generations, B = 1): the whole generation fits
+    * one task, so ONE sorted task writes every partition dir directly —
+    * the repartition exchange (plus its adaptive stage round) is pure
+    * overhead at per-trigger row counts, measured ~0.1 s per delivery.
+    * Either shape preserves the invariant the pruned lookup relies on:
+    * one file per (band, bkt) dir, bh-ascending within each dir.
+    */
   private def bandedRows(st: DataFrame, bands: Int, rowsPerBand: Int,
-      buckets: Int): DataFrame = st
-    .select(col("id"),
-      explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    .withColumn("bkt", pmod(col("bh"), lit(buckets.toLong)).cast("int"))
+      buckets: Int, singleTask: Boolean = false): DataFrame = {
+    val rows = st
+      .select(col("id"),
+        explode(Dedup.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .withColumn("bkt", pmod(col("bh"), lit(buckets.toLong)).cast("int"))
     // one task — and so one file — per (band, bkt) partition dir, with
     // bh-sorted rows for row-group min/max skipping on the IN pushdown
-    .repartition(col("band"), col("bkt"))
-    .sortWithinPartitions("bh")
+    if (singleTask) rows.coalesce(1).sortWithinPartitions("band", "bkt", "bh")
+    else rows.repartition(col("band"), col("bkt")).sortWithinPartitions("bh")
+  }
 
   /** Rebuild any `bands/` generation missing its committed `state/`
     * twin (deterministic projection — see crash-consistency note).
@@ -116,7 +125,8 @@ final case class BandedIndex(numBuckets: Int = 256,
             bandedRows(st, bands, rowsPerBand, b), bandsRoot(root), tag)
         else
           Warehouse.deltaAppendTagged(
-            bandedRows(st, bands, rowsPerBand, b), bandsRoot(root), tag,
+            bandedRows(st, bands, rowsPerBand, b,
+              singleTask = n <= minBucketRows), bandsRoot(root), tag,
             Seq("band", "bkt"))
       }
   }

@@ -68,6 +68,19 @@ object IncrementalDedup {
     */
   private val DriverAdmissionBound = 65536
 
+  /** Default ceiling (bytes, estimated) on the delivery STATE a single
+    * admission may collect to the driver for the fully-local candidate/
+    * verify/cluster pass — sized to the session's broadcast threshold
+    * (64 MB): the distributed plan already ships the same state to the
+    * driver as the build side of its broadcast joins, so admitting a
+    * bounded delivery locally holds the memory line while removing the
+    * ~15 adaptive stage rounds the join pipeline pays per trigger. A
+    * delivery over the ceiling (a bulk backfill) takes the distributed
+    * path unchanged — the 100 TB worst case never depends on the
+    * driver. Byte- and row-bounded (see `driverAdmissionMaxBytes`).
+    */
+  val DriverAdmissionMaxBytes: Long = 64L << 20
+
   /** Physical layout of the persisted signature index — the pluggable
     * seam between "how the index is stored" and the delivery-dedup
     * semantics (which are layout-invariant and tested so). Two
@@ -133,6 +146,14 @@ object IncrementalDedup {
     * shows the post-admission read of the committed generation.
     */
   @volatile var lastStagePlans: Seq[graft.core.PlanAudit.Stage] = Nil
+
+  /** Whether the last [[addDelivery]] admission ran the driver-local
+    * bounded path (vs the distributed join pipeline) — diagnostic side
+    * channel (the `Dedup.lastCcRounds` pattern) so the equivalence spec
+    * can assert each path actually executed. Nothing in the engine
+    * reads it.
+    */
+  @volatile var lastAdmissionLocal: Boolean = false
 
   // -------------------------------------------------------------------
   // Monotone-id bound: the max id ever admitted, kept as an O(1)
@@ -210,7 +231,8 @@ object IncrementalDedup {
       bands: Int = 8, rowsPerBand: Int = 4,
       requireMonotoneIds: Boolean = true,
       deliveryTag: Option[String] = None,
-      layout: IndexLayout = FlatIndex): DataFrame = {
+      layout: IndexLayout = FlatIndex,
+      driverAdmissionMaxBytes: Long = DriverAdmissionMaxBytes): DataFrame = {
     val spark = delivery.sparkSession
     val k = bands * rowsPerBand
     // manifest read ONCE per admission (replay guard + stage ordinal);
@@ -248,13 +270,19 @@ object IncrementalDedup {
 
     // one batch-only aggregate (also materializes the persisted state);
     // the index side is the O(1) bound file — falling back to an index
-    // aggregation only for pre-bound-file indexes
+    // aggregation only for pre-bound-file indexes. Row count and hashed-
+    // shingle mass ride the same job: they decide (for free) whether the
+    // delivery state is small enough for the driver-local admission.
     val idRow = batch.agg(min(col("id")).as("minNew"),
-      max(col("id")).as("maxNew")).head()
+      max(col("id")).as("maxNew"), count(lit(1)).as("nDocs"),
+      sum(size(col("sharr"))).as("nHashes")).head()
     val emptyDelivery = idRow.isNullAt(0)
     val (minNew, maxNew) =
       if (emptyDelivery) (Long.MinValue, Long.MinValue)
       else (idRow.getLong(0), idRow.getLong(1))
+    val nDocs = if (emptyDelivery) 0L else idRow.getLong(2)
+    val stateBytesEst =
+      if (emptyDelivery) 0L else 8L * (idRow.getLong(3) + (k + 2L) * nDocs)
     if (emptyDelivery) {
       // nothing to admit and nothing to guard: skip the candidate/
       // verify/append machinery entirely. Deliberately NO generation or
@@ -273,13 +301,220 @@ object IncrementalDedup {
           "(pass requireMonotoneIds = false to accept index-wins semantics)")
     }
 
+    val ord = committed0.size + 1
+
+    // Driver-local admission for BOUNDED deliveries — the micro-batch/
+    // streaming operating point. The distributed admission plan below is
+    // correct at any scale but pays ~15 adaptive stage rounds (band
+    // self-join, index candidate join, two verify joins, label/reject/
+    // anti joins) per delivery; at the per-trigger regime those rounds,
+    // not data, dominate. When the delivery state fits the driver
+    // ceiling (the SAME state the distributed plan ships driver-ward as
+    // the build side of its broadcast joins), this path collects it
+    // once and replays candidates → exact Jaccard → union-find →
+    // admission locally, against two pushed-down index probes:
+    //   * candidate probe: [[IndexLayout.candidateSide]] with the
+    //     delivery's band keys — partition-pruned + bh-IN-pushed under
+    //     [[BandedIndex]], one map-side pass under [[FlatIndex]]
+    //     (exactly the distributed plan's scan, minus join machinery);
+    //   * verify fetch: hashed-shingle state for ONLY the colliding
+    //     index ids (footer-pruned id-IN scan), preceded by a byte-mass
+    //     probe so an adversarial collision set can never blow the
+    //     driver.
+    // Band keys and the survivor write stay in Spark (the keys come
+    // from the same [[Dedup.bandKeys]] column expression, so no hash
+    // re-implementation can drift); the agreement estimate and Jaccard
+    // replay the distributed operators' integer arithmetic and
+    // deterministic rounding bit-for-bit. Any cap overflow returns None
+    // and the distributed pipeline runs — the fast path is never a
+    // limit. Cross-path survivor equality is spec-pinned
+    // (IncrementalDedupSpec).
+    def driverAdmit(): Option[DataFrame] = {
+      def rd4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+      val pairCap = 4 * DriverAdmissionBound
+      val candCap = 8 * DriverAdmissionBound
+      // 1 job: delivery state + band keys (cache read of the persisted batch)
+      val rows = batch.select(col("id"), col("sig"), col("sharr"),
+        Dedup.bandKeys(col("sig"), bands, rowsPerBand).as("bks")).collect()
+      final case class Doc(sig: Array[Long], len: Int,
+        set: java.util.HashSet[Long])
+      val docOf = new java.util.HashMap[Long, Doc](rows.length * 2)
+      // (band, bh) -> delivery ids sharing that band key
+      val groups = new java.util.HashMap[(Int, Long),
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val sharr = r.getSeq[Long](2)
+        val set = new java.util.HashSet[Long](sharr.length * 2)
+        sharr.foreach(set.add)
+        docOf.put(id, Doc(r.getSeq[Long](1).toArray, sharr.length, set))
+        r.getSeq[org.apache.spark.sql.Row](3).foreach { bk =>
+          groups.computeIfAbsent((bk.getInt(0), bk.getLong(1)),
+            _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+        }
+      }
+      // within-delivery candidates: same grouping as the band self-join
+      var withinBudget = 0L
+      groups.forEach((_, g) =>
+        withinBudget += g.length.toLong * (g.length - 1) / 2)
+      if (withinBudget > pairCap) return None
+      val seen = new java.util.HashSet[(Long, Long)]()
+      val verifyQueue = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val groupIt = groups.values().iterator()
+      while (groupIt.hasNext) {
+        val g = groupIt.next().sorted
+        var i = 0
+        while (i < g.length - 1) {
+          var j = i + 1
+          while (j < g.length) {
+            val p = (g(i), g(j))
+            if (seen.add(p)) {
+              // agreement-rate prefilter, identical arithmetic to the
+              // distributed est_jaccard (roundDet(eq/k, 4) >= minJ/2)
+              val sa = docOf.get(p._1).sig; val sb = docOf.get(p._2).sig
+              var eq = 0; var h = 0
+              while (h < k) { if (sa(h) == sb(h)) eq += 1; h += 1 }
+              if (rd4(eq.toDouble / k) >= minJaccard / 2) verifyQueue += p
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      // delivery ↔ index candidates via the layout's pruned probe
+      val idxDoc = new java.util.HashMap[Long, Doc]()
+      val crossQueue = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var candProbe: DataFrame = null
+      var verifyFetch: DataFrame = null
+      if (hasIndex) {
+        import spark.implicits._
+        val keys = new Array[(Int, Long)](groups.size)
+        var ki = 0
+        groups.forEach((bk, _) => { keys(ki) = bk; ki += 1 })
+        val keysDf = keys.toSeq.toDF("band", "bh")
+        val bhSet = keys.map(_._2).distinct.toSeq
+        // candidateSide may over-return (superset contract): the bh IN
+        // bounds the collect, the exact (band, bh) match happens here
+        candProbe = layout
+          .candidateSide(spark, indexRoot, keysDf, bands, rowsPerBand)
+          .filter(col("bh").isInCollection(bhSet))
+        // limit(cap+1) keeps the collect BOUNDED even against an
+        // adversarial collision set; the session's
+        // spark.sql.limit.initialNumPartitions (GraftSession) makes
+        // CollectLimit cover the pruned scan in ONE scheduler round
+        // instead of the default 1→4→16 partition escalation
+        val idxRows = candProbe.limit(candCap + 1).collect() // 1 job
+        if (idxRows.length > candCap) return None
+        val crossSeen = new java.util.HashSet[(Long, Long)]()
+        var overflow = false
+        idxRows.foreach { r =>
+          val ia = r.getLong(0)
+          val g = groups.get((r.getInt(1), r.getLong(2)))
+          if (g != null) g.foreach { db =>
+            if (crossSeen.add((ia, db))) {
+              if (crossSeen.size > pairCap) overflow = true
+              else crossQueue += ((ia, db))
+            }
+          }
+        }
+        if (overflow) return None
+        val aIds = crossQueue.iterator.map(_._1).toSet
+        if (aIds.size > DriverAdmissionBound) return None
+        if (aIds.nonEmpty) {
+          val aSeq = aIds.toSeq
+          val fetchSrc = idx.filter(col("id").isInCollection(aSeq))
+          // byte-mass probe before the fetch: collision-set state must
+          // obey the same driver ceiling as the delivery's own
+          val mass = fetchSrc.agg(sum(size(col("sharr")))).head() // 1 job
+          if (!mass.isNullAt(0) &&
+              8L * mass.getLong(0) > driverAdmissionMaxBytes) return None
+          verifyFetch = fetchSrc.select("id", "sharr")
+          verifyFetch.collect().foreach { r => // 1 job, footer-pruned
+            val sharr = r.getSeq[Long](1)
+            val set = new java.util.HashSet[Long](sharr.length * 2)
+            sharr.foreach(set.add)
+            idxDoc.put(r.getLong(0), Doc(Array.empty, sharr.length, set))
+          }
+        }
+      }
+      // exact verification — array_intersect is distinct-set semantics,
+      // denominators are RAW array lengths, rounding is roundDet
+      def jaccardOk(a: Doc, b: Doc): Boolean = {
+        val (small, big) = if (a.set.size <= b.set.size) (a.set, b.set)
+          else (b.set, a.set)
+        var shared = 0L
+        val it = small.iterator()
+        while (it.hasNext) { if (big.contains(it.next())) shared += 1 }
+        rd4(shared.toDouble / (a.len + b.len - shared)) >= minJaccard
+      }
+      // union-find with path halving, union-to-min (the
+      // duplicateClustersLocal labeling, so cluster ids agree)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r)))
+          r = parent.get(r)
+        }
+        r
+      }
+      def union(a: Long, b: Long): Unit = {
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      verifyQueue.foreach { case (a, b) =>
+        if (jaccardOk(docOf.get(a), docOf.get(b))) union(a, b) }
+      crossQueue.foreach { case (ia, db) =>
+        val a = idxDoc.get(ia)
+        if (a != null && jaccardOk(a, docOf.get(db))) union(ia, db)
+      }
+      // a cluster holding ANY index survivor rejects all its delivery
+      // members; otherwise the cluster-minimum delivery doc survives
+      val rejected = new java.util.HashSet[Long]()
+      val idxIt = idxDoc.keySet().iterator()
+      while (idxIt.hasNext) {
+        val ia = idxIt.next()
+        if (parent.containsKey(ia)) rejected.add(find(ia))
+      }
+      val losers = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val pIt = parent.keySet().iterator()
+      while (pIt.hasNext) {
+        val id = pIt.next()
+        if (docOf.containsKey(id)) {
+          val c = find(id)
+          if (id != c || rejected.contains(c)) losers += id
+        }
+      }
+      val surv =
+        if (losers.isEmpty) batch
+        else batch.filter(!col("id").isInCollection(losers.toSeq))
+      if (graft.core.PlanAudit.enabled) {
+        val probes = Seq(Option(candProbe).map(df =>
+            graft.core.PlanAudit.stage(s"d$ord:candidates", df)),
+          Option(verifyFetch).map(df =>
+            graft.core.PlanAudit.stage(s"d$ord:verify", df))).flatten
+        lastStagePlans = lastStagePlans ++
+          (graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch) +:
+            probes) :+ graft.core.PlanAudit.stage(s"d$ord:admission", surv)
+      }
+      Some(surv)
+    }
+
+    val driverSurvivors: Option[DataFrame] =
+      if (nDocs <= DriverAdmissionBound &&
+          stateBytesEst <= driverAdmissionMaxBytes) driverAdmit()
+      else None
+    lastAdmissionLocal = driverSurvivors.isDefined
+
     // within-delivery candidates: banded LSH over the (small) delivery
-    val batchPairs = Dedup.minhashCandidatesFromSigs(sigView, bands, rowsPerBand)
+    lazy val batchPairs = Dedup.minhashCandidatesFromSigs(sigView, bands, rowsPerBand)
       .filter(col("est_jaccard") >= minJaccard / 2)
       .select("id_a", "id_b")
     // delivery↔index candidates: band-key equi-join; the index side is a
     // map-side scan (delivery bands broadcast by AQE at the n ≪ N regime)
-    val pairs =
+    lazy val pairs =
       if (!hasIndex) batchPairs
       else {
         val deliveryBanded = sigView
@@ -296,11 +531,11 @@ object IncrementalDedup {
         batchPairs.union(cross)
       }
     // exact verification on the stored hashed-shingle sets — no text read
-    val stateAll =
+    lazy val stateAll =
       (if (hasIndex) idx.select("id", "sharr").union(batch.select("id", "sharr"))
        else batch.select("id", "sharr"))
         .select(col("id"), col("sharr").as("arr"))
-    val verified = Dedup.verifyJaccardFromHashedShingles(pairs, stateAll)
+    lazy val verified = Dedup.verifyJaccardFromHashedShingles(pairs, stateAll)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
 
@@ -325,7 +560,7 @@ object IncrementalDedup {
     // adaptive-planning rounds per delivery, the dominant cost of a
     // micro-delivery admission at any corpus size since the pair set
     // scales with the DELIVERY's duplication, not the corpus.
-    val survivors = Dedup.duplicateClustersLocal(verified) match {
+    val survivors = driverSurvivors.getOrElse(Dedup.duplicateClustersLocal(verified) match {
       case Left(local) if local.length <= DriverAdmissionBound =>
         val labelOf = new java.util.HashMap[Long, Long](local.length * 2)
         local.foreach { case (id, c) => labelOf.put(id, c) }
@@ -362,13 +597,17 @@ object IncrementalDedup {
           .select("id")
         // one delta generation per delivery: append cost ∝ delivery
         batch.join(admitted, Seq("id"), "left_semi")
-    }
-    val ord = committed0.size + 1
-    lastStagePlans = lastStagePlans ++ Seq(
-      graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch),
-      graft.core.PlanAudit.stage(s"d$ord:candidates", pairs),
-      graft.core.PlanAudit.stage(s"d$ord:verify", verified),
-      graft.core.PlanAudit.stage(s"d$ord:admission", survivors))
+    })
+    // stage capture only when someone is reading the audit (Explain →
+    // PLANS.md): each row renders a full physical plan. The driver-local
+    // path records its own rows (its distributed fragments are the two
+    // index probes, not these join pipelines).
+    if (graft.core.PlanAudit.enabled && driverSurvivors.isEmpty)
+      lastStagePlans = lastStagePlans ++ Seq(
+        graft.core.PlanAudit.stage(s"d$ord:delivery_state", batch),
+        graft.core.PlanAudit.stage(s"d$ord:candidates", pairs),
+        graft.core.PlanAudit.stage(s"d$ord:verify", verified),
+        graft.core.PlanAudit.stage(s"d$ord:admission", survivors))
     // replay-guarded when tagged: the committed-tag check at the top
     // already returned, so a tag commits exactly once
     val genPath = layout.append(survivors, indexRoot, bands, rowsPerBand,

@@ -133,4 +133,54 @@ class IncrementalDedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceed index max id 15"))
   }
+
+  test("driver-local admission ≡ distributed admission (both layouts, " +
+      "fractional thresholds)") {
+    // a corpus whose sliding token windows produce near-dup pairs across
+    // the whole Jaccard spectrum — including values AT the est/jaccard
+    // rounding boundaries — plus exact twins and fresh docs, delivered
+    // in two monotone waves. The driver-local path must admit exactly
+    // the same ids as the distributed join pipeline, per delivery and
+    // accumulated, for both index layouts at every threshold.
+    val vocab = ('a' to 'z').map(c => s"tok$c")
+    def window(i: Int, n: Int): String =
+      (0 until n).map(j => vocab((i + j) % vocab.length)).mkString(" ")
+    val wave1 = docsDf((1L to 30L).map(i =>
+      i -> window(i.toInt, 6 + (i % 5).toInt)): _*)
+    val wave2 = docsDf((101L to 140L).map { i =>
+      val base = (i - 100).toInt
+      val text =
+        if (i % 4 == 0) window(base, 6 + (base % 5)) // exact twin of wave1
+        else if (i % 4 == 1) window(base + 1, 6 + (base % 5)) // shifted near-dup
+        else if (i % 4 == 2) window(base, 7 + (base % 5)) // extended near-dup
+        else s"fresh ${i} entirely new content piece" // fresh
+      i -> text
+    }: _*)
+    for (minJ <- Seq(0.5, 0.8, 1.0); banded <- Seq(false, true)) {
+      def layout(): IncrementalDedup.IndexLayout =
+        if (banded) graft.llm.BandedIndex() else IncrementalDedup.FlatIndex
+      val rootL = tmpDir(s"adm-local-$minJ-$banded")
+      val rootD = tmpDir(s"adm-dist-$minJ-$banded")
+      val l1 = ids(IncrementalDedup.addDelivery(wave1, rootL,
+        minJaccard = minJ, layout = layout()))
+      assert(IncrementalDedup.lastAdmissionLocal,
+        "bounded wave must take the driver-local path")
+      val d1 = ids(IncrementalDedup.addDelivery(wave1, rootD,
+        minJaccard = minJ, layout = layout(),
+        driverAdmissionMaxBytes = 0L))
+      assert(!IncrementalDedup.lastAdmissionLocal,
+        "zero ceiling must force the distributed path")
+      assert(l1 == d1, s"wave-1 admission diverged (minJ=$minJ banded=$banded)")
+      val l2 = ids(IncrementalDedup.addDelivery(wave2, rootL,
+        minJaccard = minJ, layout = layout()))
+      val d2x = ids(IncrementalDedup.addDelivery(wave2, rootD,
+        minJaccard = minJ, layout = layout(),
+        driverAdmissionMaxBytes = 0L))
+      assert(l2 == d2x, s"wave-2 admission diverged (minJ=$minJ banded=$banded)")
+      val accL = ids(layout().readState(spark, rootL).select("id"), "id")
+      val accD = ids(layout().readState(spark, rootD).select("id"), "id")
+      assert(accL == accD && accL.nonEmpty,
+        s"accumulated index diverged (minJ=$minJ banded=$banded)")
+    }
+  }
 }
