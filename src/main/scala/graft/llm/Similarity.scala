@@ -379,9 +379,14 @@ object Similarity {
     // up to tasks×cells small files per delivery, the classic
     // dynamic-partition small-files failure at crawl scale. One
     // delta-sized exchange (AQE coalesces it for a small delivery)
-    // makes each cell's delta contiguous.
-    assigned.repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(path)
+    // makes each cell's delta contiguous. A single-partition delta (the
+    // micro-delivery trigger) skips the exchange outright: one sorted
+    // task already writes exactly one file per touched cell.
+    val placed =
+      if (assigned.rdd.getNumPartitions <= 1)
+        assigned.sortWithinPartitions("cid")
+      else assigned.repartition(col("cid"))
+    placed.write.mode("append").partitionBy("cid").parquet(path)
     // a delivery can populate a previously-empty cell: make it live.
     // The new cell set comes from the directory layout the write just
     // produced (one fs listing) — not from a second scan job over the
@@ -552,9 +557,15 @@ object Similarity {
       .sorted
     val scan = spark.read.parquet(indexPath)
       .filter(col("cid").isin(cells.map(Int.box).toIndexedSeq: _*))
-    require(graft.sources.Warehouse.partitionsRead(scan) <= cells.length,
-      s"IVF index scan read more than the ${cells.length} probed cells — " +
-        "is the index hive-partitioned by cid?")
+    // plan self-assert behind the audit toggle (the BandedIndex
+    // auditPartitions rule): partitionsRead forces an extra planning
+    // pass + partition listing per lookup, which a production search
+    // shouldn't pay twice. The pruning contract itself stays pinned
+    // independently by ScaleOpsSpec's partitionsRead assertions.
+    if (graft.core.PlanAudit.enabled)
+      require(graft.sources.Warehouse.partitionsRead(scan) <= cells.length,
+        s"IVF index scan read more than the ${cells.length} probed cells — " +
+          "is the index hive-partitioned by cid?")
     (probes, scan)
   }
 

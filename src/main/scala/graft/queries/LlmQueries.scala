@@ -117,9 +117,20 @@ object LlmQueries {
     * mirroring twinId): the gate fails loudly instead of flaking if the
     * data ever grows such a natural duplicate cluster.
     */
-  private def annTwinGate(e0: DataFrame,
+  /** Max exact-equal corpus rows per probe vector, per corpus dir —
+    * the ANN twin gates' parity precondition, staged once per corpus.
+    * A deterministic property of the INPUT corpus (the stored-fixture
+    * rule: the oracle never mirrors this guard — its twin computes
+    * plain cosine), so it is computed on first touch and thereafter
+    * enforced as a driver `require` per invocation, instead of an
+    * agg + join chain riding every measured search's output plan.
+    */
+  private val annParityMax =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def annTwinGate(s: SparkSession, dir: String,
       ann: (DataFrame, DataFrame) => DataFrame, k: Int): DataFrame = {
-    val e = e0.select(col("vec_id"), col("embedding"))
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val probes = e.filter(col("vec_id") < 8)
     // persisted: the ANN body and both vector-equality verify joins all
     // reference the twinned corpus (cache cleared per query by the
@@ -130,14 +141,20 @@ object LlmQueries {
     val vecs = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     // per-PROBE-vector corpus multiplicity: semi-join the corpus to the
-    // (broadcast, ≤8-row) probe vector set first, so the guard costs a
-    // map-side filter + tiny agg instead of a full corpus groupBy on the
-    // array key. The assertion rides the output projection so Catalyst
-    // cannot prune it.
-    val dupCounts = vecs
-      .join(broadcast(probes.select(col("embedding").cast("array<double>")
-        .as("v")).distinct()), Seq("v"), "left_semi")
-      .groupBy(col("v")).agg(count(lit(1)).as("n_eq"))
+    // (broadcast, ≤8-row) probe vector set, map-side filter + tiny agg.
+    // Evaluated eagerly on first touch per corpus (annParityMax), so the
+    // guard can never be optimized away — and never silently skipped.
+    val maxEq = annParityMax.computeIfAbsent(dir, _ => {
+      val r = vecs
+        .join(broadcast(probes.select(col("embedding").cast("array<double>")
+          .as("v")).distinct()), Seq("v"), "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("n_eq"))
+        .agg(max(col("n_eq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+    require(maxEq <= k,
+      s"annTwinGate parity requires <= $k exact-equal corpus rows per " +
+        s"probe (corpus has $maxEq); raise k or dedup the corpus")
     ann(corpus, probes)
       .filter(col("cos_sim") === 1.0)
       .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
@@ -145,13 +162,7 @@ object LlmQueries {
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
         Seq("neighbor_id"))
       .filter(col("qv") === col("cv"))
-      .join(dupCounts.withColumnRenamed("v", "qv"), Seq("qv"))
-      .select(col("query_id"), col("neighbor_id"),
-        (col("cos_sim") + coalesce(
-          assert_true(col("n_eq") <= lit(k),
-            lit(s"annTwinGate parity requires <= $k exact-equal corpus " +
-              "rows per probe; raise k or dedup the corpus")).cast("double"),
-          lit(0.0))).as("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
   }
 
   /** Deterministic stand-in for an offline-trained IVF coarse quantizer:
@@ -916,7 +927,7 @@ object LlmQueries {
     // (recall vs brute force on natural pairs) stays pinned by
     // SimilaritySpec.
     "x_cosine_ann_lsh" -> ((s, dir) =>
-      annTwinGate(embs(s, dir), (c, q) =>
+      annTwinGate(s, dir, (c, q) =>
         Similarity.lshTopK(c, q, k = 5, nBits = 6, nTables = 8), k = 5)),
 
     // IVF approximate variant, oracle-paired the same way: the nearest-
@@ -928,7 +939,7 @@ object LlmQueries {
     // actions in the query. Lloyd training quality + recall stay pinned
     // by SimilaritySpec.
     "x_cosine_ann_ivf" -> ((s, dir) =>
-      annTwinGate(embs(s, dir), (c, q) =>
+      annTwinGate(s, dir, (c, q) =>
         Similarity.ivfTopK(c, q, k = 5, nCentroids = 16, nProbe = 4,
           pretrained = Some(pseudorandomCentroids(n = 16, dim = 64))),
         k = 5)),
@@ -974,7 +985,7 @@ object LlmQueries {
     // offline step, the gate measures the search path.
     "x_cosine_ann_ivf_pruned" -> ((s, dir) => {
       val cents = pseudorandomCentroids(n = 16, dim = 64)
-      annTwinGate(embs(s, dir), (c, q) => {
+      annTwinGate(s, dir, (c, q) => {
         val idx = ivfIndexOnce(s, dir, c, cents)
         Similarity.ivfSearchIndex(s, idx, q, k = 5, cents, nProbe = 4)
       }, k = 5)
@@ -993,7 +1004,7 @@ object LlmQueries {
     // gate, deliberately unmemoized.
     "x_cosine_ann_ivf_append" -> ((s, dir) => {
       val cents = pseudorandomCentroids(n = 16, dim = 64)
-      annTwinGate(embs(s, dir), (c, q) => {
+      annTwinGate(s, dir, (c, q) => {
         // the RESIDENT index is offline state (built once per corpus,
         // like ivfIndexOnce); what this gate measures is the APPEND +
         // SEARCH path, so each invocation clones the pristine base
@@ -1791,7 +1802,7 @@ object LlmQueries {
     // where the exact scan reads 512. Trained-codebook quality and the
     // PQ recall floor stay pinned by SimilaritySpec.
     "x_pq_adc_topk" -> ((s, dir) =>
-      annTwinGate(embs(s, dir), (c, q) =>
+      annTwinGate(s, dir, (c, q) =>
         Similarity.pqAdcTopK(c, q, k = 5,
           codebooks = Similarity.pseudorandomPqCodebooks(
             numSub = 8, codesPerSub = 16, subDim = 8),
@@ -1813,7 +1824,7 @@ object LlmQueries {
       val cents = pseudorandomCentroids(n = 16, dim = 64)
       val cbs = Similarity.pseudorandomPqCodebooks(
         numSub = 8, codesPerSub = 16, subDim = 8)
-      annTwinGate(embs(s, dir), (c, q) => {
+      annTwinGate(s, dir, (c, q) => {
         val idx = ivfPqIndexOnce(s, dir, c, cents, cbs)
         Similarity.ivfPqSearchIndex(s, idx, q, k = 5,
           graft.llm.IvfQuantizer(cents), cbs, nProbe = 2, rerank = 16)
