@@ -14,14 +14,14 @@ object JobProbe {
     val spark = graft.core.GraftSession.local("graft-job-probe", cores = 32)
     spark.sparkContext.setLogLevel("ERROR")
     val starts = mutable.Map[Int, (Long, String)]()
-    val rows = mutable.ArrayBuffer[(Int, Double, String)]()
+    val rows = mutable.ArrayBuffer[(Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts(j.jobId) = (System.nanoTime(),
           j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?"))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        starts.remove(j.jobId).foreach { case (t0, desc) =>
-          rows += ((j.jobId, (System.nanoTime() - t0) / 1e9, desc)) }
+        starts.remove(j.jobId).foreach { case (s, desc) =>
+          rows += ((j.jobId, s, System.nanoTime(), desc)) }
     })
     val fn = SparkEntry.queries(name)
     // warm pass
@@ -33,10 +33,11 @@ object JobProbe {
     val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(300)
     println(f"JOBPROBE $name total=$total%.3f jobs=${rows.size}")
-    rows.sortBy(_._1).foreach { case (id, dt, desc) =>
-      println(f"  job $id%3d $dt%7.3f  $desc")
+    // start/end offsets from t0 expose DRIVER-SIDE gaps between jobs
+    rows.sortBy(_._1).foreach { case (id, s, e, desc) =>
+      println(f"  job $id%3d [${(s - t0) / 1e9}%7.3f -> ${(e - t0) / 1e9}%7.3f] ${(e - s) / 1e9}%6.3f  $desc")
     }
-    println(f"  sum-of-jobs=${rows.map(_._2).sum}%.3f")
+    println(f"  sum-of-jobs=${rows.map(r => (r._3 - r._2) / 1e9).sum}%.3f")
     spark.stop()
   }
 }

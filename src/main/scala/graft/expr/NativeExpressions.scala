@@ -908,6 +908,33 @@ object native {
     c(LangId(e(tokens), profiles))
   def countInSet(tokens: Column, values: Seq[String]): Column =
     c(CountInSet(e(tokens), values))
+  /** Bounded-set membership as a single [[InSet]] node. `isin`/
+    * `isInCollection` build an `In` with ONE LITERAL CHILD PER VALUE;
+    * at the bounded-probe sizes the driver-local admission paths push
+    * down (10³–10⁵ ids), the analyzer/optimizer walking that tree costs
+    * 0.2–0.7 s of driver time PER QUERY — more than the probe's Spark
+    * job itself. InSet is one node holding a hash set: O(1) analysis,
+    * same null semantics as In (null input → null), and the optimizer
+    * would have rewritten In to InSet past the conversion threshold
+    * anyway. Membership-only — pair with [[inBoundedLongSet]] when the
+    * column is a parquet-sortable id so footers can prune.
+    */
+  def inLongSet(col: Column, values: Iterable[Long]): Column = {
+    val set: Set[Any] = values.iterator.map(v => Long.box(v): Any).toSet
+    c(org.apache.spark.sql.catalyst.expressions.InSet(e(col), set))
+  }
+  /** [[inLongSet]] plus a `min ≤ col ≤ max` range guard: the two range
+    * literals reach the parquet scan (footer min/max pruning — the IN
+    * list itself is past every pushdown threshold at these sizes), the
+    * InSet does the exact membership. For monotone-id probes the range
+    * alone skips every row group outside the delivery's id window.
+    */
+  def inBoundedLongSet(col: Column, values: Iterable[Long]): Column = {
+    val it = values.iterator
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    while (it.hasNext) { val v = it.next(); if (v < mn) mn = v; if (v > mx) mx = v }
+    col.geq(mn) && col.leq(mx) && inLongSet(col, values)
+  }
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     c(NearestCentroids(e(vec), centroids, nProbe))
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =

@@ -176,7 +176,8 @@ final case class BandedIndex(numBuckets: Int = 256,
             .distinct.toSeq)
       }.reduce(_ || _)
     val side = scans.map { case (b, df) =>
-      if (lastPruned) df.filter(partPred(b) && col("bh").isInCollection(bhs))
+      if (lastPruned)
+        df.filter(partPred(b) && graft.expr.native.inLongSet(col("bh"), bhs))
       else df
     }.reduce(_.unionByName(_))
     if (auditPartitions) {

@@ -60,14 +60,12 @@ object CurationPipeline {
         Dedup.shingles(TextAnalysis.tokens(col(textCol)), 3).as("arr"))
       .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.verifyJaccardFromShingles(
-      Dedup.minhashCandidatesFromSigs(state.select("id", "sig"))
-        .filter(col("est_jaccard") >= cfg.nearDupJaccard / 2),
-      state)
-      .filter(col("jaccard") >= cfg.nearDupJaccard)
-    // survivors via the bounded loser pushdown (one filter when the
-    // verified pair set fit the driver cap; lazy anti-join above it)
-    val deduped = Dedup.dropClusterLosers(exact, pairs, idCol)
+    // bounded-state corpora take the driver-local candidates → verify →
+    // cluster → drop pass (one collect of the persisted state); larger
+    // corpora run the unchanged distributed composition inside — see
+    // Dedup.dropNearDupLosersBounded for the equivalence contract
+    val deduped = Dedup.dropNearDupLosersBounded(
+      exact, state, cfg.nearDupJaccard, idCol)
 
     // 5. deterministic split assignment
     Sampling.hashSplit(deduped, idCol, cfg.splits)

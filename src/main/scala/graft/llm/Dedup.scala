@@ -706,7 +706,7 @@ object Dedup {
       case Left(local) if local.length <= pushdownBound =>
         val losers = local.collect { case (id, c) if id != c => id }
         if (losers.isEmpty) df
-        else df.filter(!col(idCol).isin(losers: _*))
+        else df.filter(!graft.expr.native.inLongSet(col(idCol), losers))
       case other =>
         val labels = other match {
           case Left(local) =>
@@ -726,6 +726,125 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     dropClusterLosers(df, nearDupPairs(df, minJaccard, textCol, idCol), idCol)
+
+  /** Whether the last [[dropNearDupLosersBounded]] ran the driver-local
+    * bounded path (diagnostic side channel, the `lastCcRounds` pattern —
+    * the equivalence spec asserts each path actually executed).
+    */
+  @volatile var lastNearDupLocal: Boolean = false
+
+  /** Near-dup survivor filter over a PREPARED signature/shingle state
+    * table (id, sig, arr) — the bounded-probe twin of the distributed
+    * candidates → verify → cluster → drop composition, same rule as
+    * [[IncrementalDedup]]'s driver-local admission: when the state fits
+    * the driver ceiling (the same rows the distributed plan broadcasts
+    * into its verify joins anyway), ONE collect replaces the banded
+    * self-join, two verify re-attach joins, and the cluster/anti-join
+    * machinery — at the bounded operating point those plans' adaptive
+    * stage rounds cost more than the data. Arithmetic replicates the
+    * distributed operators bit-for-bit: shingles are hashed BY SPARK in
+    * the collect projection (the verifyJaccardFromShingles transform,
+    * so no hash re-implementation can drift), band keys come from the
+    * same [[bandKeys]] column expression, the agreement prefilter is
+    * roundDet(eq/k, 4) ≥ minJaccard/2, and exact Jaccard uses distinct
+    * intersections over RAW array-length denominators. Over the ceiling
+    * (the 100 TB case) the unchanged distributed composition runs —
+    * the fast path is never a limit. Cross-path survivor equality is
+    * spec-pinned (DedupSpec).
+    */
+  def dropNearDupLosersBounded(df: DataFrame, state: DataFrame,
+      minJaccard: Double, idCol: String = "doc_id",
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxRows: Long = 65536, maxBytes: Long = 64L << 20): DataFrame = {
+    val k = bands * rowsPerBand
+    // one bounds probe (cache read when the caller persisted state)
+    val m = state.agg(count(lit(1)).as("n"),
+      sum(size(col("arr"))).as("mass")).head()
+    val n = m.getLong(0)
+    val massBytes = if (n == 0L) 0L else 8L * (m.getLong(1) + (k + 2L) * n)
+    lastNearDupLocal = n <= maxRows && massBytes <= maxBytes
+    if (!lastNearDupLocal) {
+      val pairs = verifyJaccardFromShingles(
+        minhashCandidatesFromSigs(state.select("id", "sig"),
+          bands, rowsPerBand)
+          .filter(col("est_jaccard") >= minJaccard / 2),
+        state)
+        .filter(col("jaccard") >= minJaccard)
+      return dropClusterLosers(df, pairs, idCol)
+    }
+    def rd4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = state.select(col("id"), col("sig"),
+      transform(col("arr"), x => xxhash64(x)).as("harr"),
+      bandKeys(col("sig"), bands, rowsPerBand).as("bks")).collect()
+    final case class Doc(sig: Array[Long], len: Int,
+      set: java.util.HashSet[Long])
+    val docOf = new java.util.HashMap[Long, Doc](rows.length * 2)
+    val groups = new java.util.HashMap[(Int, Long),
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val harr = r.getSeq[Long](2)
+      val set = new java.util.HashSet[Long](harr.length * 2)
+      harr.foreach(set.add)
+      docOf.put(id, Doc(r.getSeq[Long](1).toArray, harr.length, set))
+      r.getSeq[org.apache.spark.sql.Row](3).foreach { bk =>
+        groups.computeIfAbsent((bk.getInt(0), bk.getLong(1)),
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val seen = new java.util.HashSet[(Long, Long)]()
+    val groupIt = groups.values().iterator()
+    while (groupIt.hasNext) {
+      val g = groupIt.next().sorted
+      var i = 0
+      while (i < g.length - 1) {
+        var j = i + 1
+        while (j < g.length) {
+          val p = (g(i), g(j))
+          if (seen.add(p)) {
+            val a = docOf.get(p._1); val b = docOf.get(p._2)
+            var eq = 0; var h = 0
+            while (h < k) { if (a.sig(h) == b.sig(h)) eq += 1; h += 1 }
+            if (rd4(eq.toDouble / k) >= minJaccard / 2) {
+              val (small, big) =
+                if (a.set.size <= b.set.size) (a.set, b.set)
+                else (b.set, a.set)
+              var shared = 0L
+              val it = small.iterator()
+              while (it.hasNext) { if (big.contains(it.next())) shared += 1 }
+              if (rd4(shared.toDouble / (a.len + b.len - shared)) >=
+                  minJaccard) union(p._1, p._2)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val losers = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pIt = parent.keySet().iterator()
+    while (pIt.hasNext) {
+      val id = pIt.next()
+      if (find(id) != id) losers += id
+    }
+    if (losers.isEmpty) df
+    else df.filter(!graft.expr.native.inLongSet(col(idCol), losers))
+  }
 
   // ------------------------------------------------------- n-gram Jaccard
 

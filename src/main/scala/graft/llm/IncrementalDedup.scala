@@ -394,10 +394,13 @@ object IncrementalDedup {
         val keysDf = keys.toSeq.toDF("band", "bh")
         val bhSet = keys.map(_._2).distinct.toSeq
         // candidateSide may over-return (superset contract): the bh IN
-        // bounds the collect, the exact (band, bh) match happens here
+        // bounds the collect, the exact (band, bh) match happens here.
+        // InSet, not isInCollection: a corpus-scale delivery carries
+        // ~bands×nDocs distinct band hashes and the per-literal In tree
+        // costs more driver analysis time than the probe job itself
         candProbe = layout
           .candidateSide(spark, indexRoot, keysDf, bands, rowsPerBand)
-          .filter(col("bh").isInCollection(bhSet))
+          .filter(graft.expr.native.inLongSet(col("bh"), bhSet))
         // limit(cap+1) keeps the collect BOUNDED even against an
         // adversarial collision set; the session's
         // spark.sql.limit.initialNumPartitions (GraftSession) makes
@@ -421,8 +424,8 @@ object IncrementalDedup {
         val aIds = crossQueue.iterator.map(_._1).toSet
         if (aIds.size > DriverAdmissionBound) return None
         if (aIds.nonEmpty) {
-          val aSeq = aIds.toSeq
-          val fetchSrc = idx.filter(col("id").isInCollection(aSeq))
+          val fetchSrc =
+            idx.filter(graft.expr.native.inBoundedLongSet(col("id"), aIds))
           // byte-mass probe before the fetch: collision-set state must
           // obey the same driver ceiling as the delivery's own
           val mass = fetchSrc.agg(sum(size(col("sharr")))).head() // 1 job
@@ -489,7 +492,7 @@ object IncrementalDedup {
       }
       val surv =
         if (losers.isEmpty) batch
-        else batch.filter(!col("id").isInCollection(losers.toSeq))
+        else batch.filter(!graft.expr.native.inLongSet(col("id"), losers))
       if (graft.core.PlanAudit.enabled) {
         val probes = Seq(Option(candProbe).map(df =>
             graft.core.PlanAudit.stage(s"d$ord:candidates", df)),
@@ -567,7 +570,8 @@ object IncrementalDedup {
         val rejected = new java.util.HashSet[Long]()
         if (hasIndex && local.nonEmpty) {
           val keys = local.map(_._1)
-          idx.select("id").filter(col("id").isin(keys: _*))
+          idx.select("id")
+            .filter(graft.expr.native.inBoundedLongSet(col("id"), keys))
             .collect().foreach(r => rejected.add(labelOf.get(r.getLong(0))))
         }
         // losers: non-minimal cluster members, plus every member of a
@@ -577,7 +581,7 @@ object IncrementalDedup {
           case (id, c) if id != c || rejected.contains(c) => id
         }
         if (losers.isEmpty) batch
-        else batch.filter(!col("id").isin(losers: _*))
+        else batch.filter(!graft.expr.native.inLongSet(col("id"), losers))
       case other =>
         val labels = other match {
           case Left(local) =>

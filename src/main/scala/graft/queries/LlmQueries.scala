@@ -426,13 +426,43 @@ object LlmQueries {
       idx
     })
 
-  /** Clone a staged index root into a fresh per-invocation root. */
+  /** Clone a staged index root into a fresh per-invocation root.
+    * Hard-link tree walk, not a byte copy: committed index files are
+    * immutable (appends and compactions only ADD generation
+    * directories, nothing rewrites a committed file in place), so a
+    * link-clone is semantically a private copy at inode cost — the
+    * banded layout's band×bucket fan-out made the byte copy ~0.4 s of
+    * per-invocation scaffolding inside the timed region. Falls back to
+    * a real copy if the filesystem refuses links.
+    */
   private def cloneIndex(s: SparkSession, base: String, name: String): String = {
     val root = freshIndexRoot(s, name)
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
-      fs, new org.apache.hadoop.fs.Path(root), false, conf)
+    import java.nio.file.{Files, Path, Paths}
+    val src = Paths.get(base); val dst = Paths.get(root)
+    try {
+      val it = Files.walk(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.createLink(t, p)
+      }
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        val p = Paths.get(root)
+        // partial link tree from the failed attempt, then plain copy
+        def rm(x: Path): Unit = {
+          if (Files.isDirectory(x))
+            Files.list(x).iterator().forEachRemaining(rm)
+          Files.deleteIfExists(x)
+        }
+        rm(p)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(base), fs,
+          new org.apache.hadoop.fs.Path(root), false, conf)
+    }
     root
   }
 

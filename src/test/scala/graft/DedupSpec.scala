@@ -214,4 +214,35 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(2L) == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
     assert(!cleaned.contains(3L) && !cleaned.contains(4L))
   }
+
+  test("dropNearDupLosersBounded: driver-local path equals the " +
+      "distributed composition at a fractional threshold") {
+    // planted structure: exact twins (0,1), a fractional near-dup pair
+    // (0,2) via one-word substitution, a transitive chain through them,
+    // and unrelated content — enough to exercise prefilter, exact
+    // verify, and union-to-min labeling on BOTH paths
+    val variant2 = base.replace("quick", "rapid")
+    val corpus = Seq(
+      (0L, base), (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, variant2),
+      (5L, "another fully unrelated document speaking of parquet " +
+        "footers statistics and row group pruning at petabyte scale"))
+      .toDF("doc_id", "text")
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
+        .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+    for (minJ <- Seq(0.5, 0.8, 1.0)) {
+      val st = stateOf(corpus)
+      val local = Dedup.dropNearDupLosersBounded(corpus, st, minJ)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(Dedup.lastNearDupLocal, s"bounded corpus must take the local path (minJ=$minJ)")
+      val dist = Dedup.dropNearDupLosersBounded(corpus, st, minJ,
+        maxRows = 1) // force the distributed fallback
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!Dedup.lastNearDupLocal, "maxRows=1 must force the distributed path")
+      assert(local == dist, s"survivor sets diverge at minJaccard=$minJ: " +
+        s"local=$local distributed=$dist")
+    }
+  }
 }
