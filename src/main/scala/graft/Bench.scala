@@ -81,6 +81,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf (builder-time only; tune() below can't set it): the
+      // 155-gate loop holds >>100 codegen units — the 100-entry default
+      // recompiles every gate's generated classes on every pass
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

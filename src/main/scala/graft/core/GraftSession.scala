@@ -46,6 +46,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache (STATIC conf, default 100 entries): a
+      // session serving a whole workload (the 155-gate bench loop, or
+      // any long-lived production driver) carries far more than 100
+      // distinct codegen units, so the default thrashes — every query
+      // re-pays janino compilation (~10-50 ms per unit) on every
+      // execution. 4096 keeps each plan's classes resident for the
+      // session's lifetime at negligible heap cost.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // 64 MB broadcast threshold (vs the 10 MB default): any executor
       // profile this engine targets (≥4 GB heap) holds a 64 MB hash
       // relation comfortably, and replacing a shuffle exchange with a
