@@ -29,20 +29,27 @@ import org.apache.spark.sql.SparkSession
   * per query wherever they land; all raw runs reported alongside).
   * Cache cleared after every query so the persist() calls
   * inside dedup/similarity pipelines can't leak storage into the next
-  * measurement. TWO full warm-up passes AT THE BENCH SF remove one-time
-  * JIT/codegen cost (what a long-lived cluster never pays per query)
-  * from the numbers — warming at a smaller SF compiles different plans
-  * (AQE broadcast decisions differ), and one pass proved insufficient:
-  * the round-7 driver run still carried a 1.30× pass-1 spike (51.6 s vs
-  * 39.8 s steady state) because C2 compilation of ~100 generated stages
-  * straddles the first full pass. `tools/duckdb_baseline.py` warms
-  * twice symmetrically.
+  * measurement. THREE full warm-up passes AT THE BENCH SF remove
+  * one-time JIT/codegen cost (what a long-lived cluster never pays per
+  * query) from the numbers — warming at a smaller SF compiles different
+  * plans (AQE broadcast decisions differ), one pass proved insufficient
+  * (the round-7 driver run carried a 1.30× pass-1 spike because C2
+  * compilation of ~100 generated stages straddles the first full pass),
+  * and two proved insufficient once the codegen class cache was sized
+  * to the session (C2 of the now-resident classes straddles pass 3).
+  * `tools/duckdb_baseline.py` warms the same count symmetrically.
   */
 object Bench {
   // 5 passes: the box shows ±10-15% ambient-noise windows lasting
   // minutes; a 5-sample median survives two bad passes where 3 did not
   private val Runs = 5
-  private val WarmupPasses = 2
+  // 3 warm-up passes (was 2 through r14): with the codegen class cache
+  // sized to the session (GraftSession), steady state includes C2
+  // compilation of the CACHED generated classes — measured pass totals
+  // kept falling through pass 3 (44.0 -> 38.8 over five passes) with
+  // only two warm-ups, blowing the spread bar on otherwise-quiet
+  // windows. Symmetric: tools/duckdb_baseline.py warms the same count.
+  private val WarmupPasses = 3
 
   /** Publish bar on pass-total spread — MUST match
     * tools/gen_baseline.py's refusal threshold (ContractSpec pins both):

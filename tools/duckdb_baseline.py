@@ -8,8 +8,8 @@ protocol is fixed here, in-repo, and BASELINE.md cites this script:
 
   * views over the scale-factor parquet (same as tools/compare.py)
   * threads = cpu count (matches Spark's local[32])
-  * TWO full untimed warm-up passes (page cache + catalog warm,
-    matching Bench.scala's two warm-up passes)
+  * THREE full untimed warm-up passes (page cache + catalog + JIT
+    warm, matching Bench.scala's three warm-up passes)
   * 5 timed passes, pass-major order (same as Bench.scala)
   * per-query estimator = 2nd-smallest of 5 (identical to Bench.scala's
     trimmedMedian), plus min; totals for both. NaN runs (query error)
@@ -86,7 +86,8 @@ def main(sf_dir, out_dir, out_path="/tmp/duckdb_baseline.json"):
                     print(f"[ERR] {n}: {e}", file=sys.stderr)
         return times
 
-    run_pass(timed=False)  # warm-up x2, symmetric with Bench.scala
+    run_pass(timed=False)  # warm-up x3, symmetric with Bench.scala
+    run_pass(timed=False)
     run_pass(timed=False)
     passes = [run_pass(timed=True) for _ in range(5)]
     detail = {}
