@@ -34,7 +34,7 @@ object BenchOracles {
     s"(((b0 >> $i) & 1) << ${2 * i}) | (((b1 >> $i) & 1) << ${2 * i + 1})")
     .mkString(" | ")
 
-  val all: Map[String, BenchOracle] = Map(
+  private val all0: Map[String, BenchOracle] = Map(
 
     // Spark stages the trained add-1 bigram LM as a parquet model
     // artifact (bigramModelOnce); the timed pass explodes the docs into
@@ -639,4 +639,12 @@ object BenchOracles {
            QUALIFY row_number() OVER (ORDER BY lw DESC, doc_id ASC) <=
              (SELECT count(*) // 5 FROM half)""")
   )
+
+  /** The distributed-admission twin stages the same delivery-split
+    * boundary and times the same sequential two-delivery plan — the
+    * engines' timed work matches x_incremental_dedup's symmetry
+    * argument unchanged.
+    */
+  val all: Map[String, BenchOracle] =
+    all0 + ("x_incremental_dedup_dist" -> all0("x_incremental_dedup"))
 }

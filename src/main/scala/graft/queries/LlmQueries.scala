@@ -1470,6 +1470,42 @@ object LlmQueries {
       IncrementalDedup.indexIds(s, root).select(col("id").as("doc_id"))
     }),
 
+    // the DISTRIBUTED-admission twin of x_incremental_dedup: identical
+    // deliveries, identical resident index (the same staged base),
+    // identical survivor contract — but the driver-local bounded
+    // admission is disabled (ceiling 0), so what is TIMED is the 100 TB
+    // path itself: the band self-join, index candidate join, two verify
+    // joins, and label/reject/anti admission at gate scale. Keeping
+    // both operating points on the bench means the bounded fast path
+    // can never silently become the only measured number while the
+    // at-scale plan regresses. The require turns a fast-path sneak-in
+    // into a RED row.
+    "x_incremental_dedup_dist" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val split = splitBoundOnce(dir, "full", d)
+      val low = d.filter(col("doc_id") <= split)
+      val high = d.filter(col("doc_id") > split)
+      val delivery2 = high
+        .union(low.select(
+          twinId(col("doc_id"), 1000000000L).as("doc_id"), col("text")))
+        .union(high.select(
+          twinId(col("doc_id"), 2000000000L).as("doc_id"), col("text")))
+      val base = incDedupBaseOnce(s, dir, "x-inc-dedup") { idx =>
+        IncrementalDedup.addDelivery(
+          low.filter(col("doc_id") <= split / 2), idx, minJaccard = 1.0)
+        IncrementalDedup.addDelivery(
+          low.filter(col("doc_id") > split / 2), idx, minJaccard = 1.0)
+        IncrementalDedup.compactIndex(s, idx)
+        ()
+      }
+      val root = cloneIndex(s, base, "x_incremental_dedup_dist")
+      IncrementalDedup.addDelivery(delivery2, root, minJaccard = 1.0,
+        driverAdmissionMaxBytes = 0L)
+      require(!IncrementalDedup.lastAdmissionLocal,
+        "distributed-admission gate must take the distributed path")
+      IncrementalDedup.indexIds(s, root).select(col("id").as("doc_id"))
+    }),
+
     // the BANDED index layout end-to-end — same admission contract as
     // x_incremental_dedup, run on a quarter corpus (the layout seam is
     // the property under test; full scale is the flat gate's job), plus
@@ -2289,7 +2325,7 @@ object LlmQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // Sampling.hashBucket: bucket = parse-int-hex(md5[25..32]) % 1e6,
     // identical byte-for-byte in any engine with md5
     "x_hash_split" ->
@@ -4254,4 +4290,12 @@ object LlmQueries {
              * 1000000 + 0.5) / 1000000 AS psi_contrib
          FROM r JOIN c USING (bin)"""
   )
+
+  /** The distributed-admission twin shares x_incremental_dedup's result
+    * contract verbatim (same deliveries, same resident index, same
+    * survivors) — the gates differ only in which engine PATH computes
+    * the admission, which no oracle can or should see.
+    */
+  val oracles: Map[String, String] =
+    oracles0 + ("x_incremental_dedup_dist" -> oracles0("x_incremental_dedup"))
 }
