@@ -190,4 +190,22 @@ class NativeCodegenSpec extends SparkSpec {
     assert(kg(0L)(0) != kg(2L)(0)) // "a b c" vs "b a c": order-sensitive
     assert(kg(0L).distinct.size == 3) // distinct windows → distinct hashes
   }
+
+  test("inLongSet/inBoundedLongSet match isin semantics, including nulls") {
+    val vals = Seq(2L, 5L, 900L)
+    val df = Seq[java.lang.Long](1L, 2L, 5L, 7L, 900L, 901L, null)
+      .toDF("id")
+    def ids(c: Column): Set[Option[Long]] = df.filter(c).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val viaIsin = ids(col("id").isin(vals.map(Long.box): _*))
+    assert(ids(native.inLongSet(col("id"), vals)) == viaIsin)
+    assert(ids(native.inBoundedLongSet(col("id"), vals)) == viaIsin)
+    // negated (the loser-filter form): null id drops on BOTH paths
+    val viaNotIsin = ids(!col("id").isin(vals.map(Long.box): _*))
+    assert(ids(!native.inLongSet(col("id"), vals)) == viaNotIsin)
+    assert(!viaNotIsin.contains(None))
+    // the range guard is conjunction-only: values outside [min,max]
+    // are excluded by the guard and by the set identically
+    assert(ids(native.inBoundedLongSet(col("id"), Seq(5L))) == Set(Some(5L)))
+  }
 }
