@@ -440,23 +440,28 @@ object LlmQueries {
     import java.nio.file.{Files, Path, Paths}
     val src = Paths.get(base); val dst = Paths.get(root)
     try {
-      val it = Files.walk(src).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val t = dst.resolve(src.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.createLink(t, p)
-      }
+      val walk = Files.walk(src) // close: walk/list streams hold an fd each
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.createLink(t, p)
+        }
+      } finally walk.close()
     } catch {
       case _: UnsupportedOperationException | _: java.io.IOException =>
-        val p = Paths.get(root)
         // partial link tree from the failed attempt, then plain copy
         def rm(x: Path): Unit = {
-          if (Files.isDirectory(x))
-            Files.list(x).iterator().forEachRemaining(rm)
+          if (Files.isDirectory(x)) {
+            val ls = Files.list(x)
+            try ls.iterator().forEachRemaining(rm)
+            finally ls.close()
+          }
           Files.deleteIfExists(x)
         }
-        rm(p)
+        rm(Paths.get(root))
         val conf = s.sparkContext.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
         org.apache.hadoop.fs.FileUtil.copy(fs,
