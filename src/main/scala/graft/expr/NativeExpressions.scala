@@ -921,7 +921,15 @@ object native {
     */
   def inLongSet(col: Column, values: Iterable[Long]): Column = {
     val set: Set[Any] = values.iterator.map(v => Long.box(v): Any).toSet
-    c(org.apache.spark.sql.catalyst.expressions.InSet(e(col), set))
+    // InSet bypasses the analyzer coercion In would have received, and
+    // its membership probe is boxed-equality: a non-Long input column
+    // (Integer ids) would match NOTHING silently — and the negated
+    // loser-filter form would silently keep every loser. The explicit
+    // long cast makes any numeric id column correct; on an already-Long
+    // column Catalyst's SimplifyCasts elides it, so the pushed-probe
+    // plan is unchanged at every current call site.
+    c(org.apache.spark.sql.catalyst.expressions.InSet(
+      e(col.cast(org.apache.spark.sql.types.LongType)), set))
   }
   /** [[inLongSet]] plus a `min ≤ col ≤ max` range guard: the two range
     * literals reach the parquet scan (footer min/max pruning — the IN

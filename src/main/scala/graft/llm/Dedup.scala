@@ -498,9 +498,18 @@ object Dedup {
       .join(hashed.select(col("id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
       .withColumn("n_shared",
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      // Zero-denominator (both shingle sets empty — docs shorter than
+      // the shingle width) is DEFINED as jaccard 0: no shingle evidence
+      // means no near-dup claim. Unguarded, 0/0 is NaN, and Spark's
+      // NaN-greatest double ordering would make every downstream
+      // `jaccard >= t` filter silently KEEP such pairs while the
+      // driver-local replays (Java NaN >= t is false) drop them —
+      // divergent survivor sets across the bounded-path ceiling.
       .select(col("id_a"), col("id_b"),
-        roundDet(col("n_shared").cast("double") /
-          (size(col("arr_a")) + size(col("arr_b")) - col("n_shared")), 4)
+        when(size(col("arr_a")) + size(col("arr_b")) - col("n_shared") === 0,
+          lit(0.0))
+          .otherwise(roundDet(col("n_shared").cast("double") /
+            (size(col("arr_a")) + size(col("arr_b")) - col("n_shared")), 4))
           .as("jaccard"))
 
   /** The scalable exact near-dup pipeline: MinHash-LSH candidate
@@ -827,8 +836,14 @@ object Dedup {
               var shared = 0L
               val it = small.iterator()
               while (it.hasNext) { if (big.contains(it.next())) shared += 1 }
-              if (rd4(shared.toDouble / (a.len + b.len - shared)) >=
-                  minJaccard) union(p._1, p._2)
+              // zero-denominator = jaccard 0, the distributed
+              // verifyJaccardFromHashedShingles definition (two
+              // empty-shingle docs share every band key but carry no
+              // dedup evidence)
+              val denom = a.len + b.len - shared
+              if (denom != 0L &&
+                  rd4(shared.toDouble / denom) >= minJaccard)
+                union(p._1, p._2)
             }
           }
           j += 1

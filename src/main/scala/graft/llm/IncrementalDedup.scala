@@ -185,7 +185,13 @@ object IncrementalDedup {
     val p = boundPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(root, "_maxid.tmp")
-    val out = fs.create(tmp, true)
+    // delete-then-create, never truncate-in-place: a crash can leave
+    // _maxid.tmp behind, and the hard-link index clones (LlmQueries
+    // cloneIndex) assume committed index trees are never rewritten in
+    // place — fs.create(overwrite) on a linked leftover would truncate
+    // the SHARED inode across every clone
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val out = fs.create(tmp, false)
     out.write(v.toString.getBytes("UTF-8")); out.close()
     if (fs.exists(p)) fs.delete(p, false)
     fs.rename(tmp, p)
@@ -448,7 +454,12 @@ object IncrementalDedup {
         var shared = 0L
         val it = small.iterator()
         while (it.hasNext) { if (big.contains(it.next())) shared += 1 }
-        rd4(shared.toDouble / (a.len + b.len - shared)) >= minJaccard
+        // zero-denominator = jaccard 0 — the distributed
+        // verifyJaccardFromHashedShingles definition; unguarded the two
+        // paths diverge on empty-shingle docs (NaN filters keep
+        // distributed, drop locally)
+        val denom = a.len + b.len - shared
+        denom != 0L && rd4(shared.toDouble / denom) >= minJaccard
       }
       // union-find with path halving, union-to-min (the
       // duplicateClustersLocal labeling, so cluster ids agree)

@@ -447,7 +447,12 @@ object LlmQueries {
           val p = it.next()
           val t = dst.resolve(src.relativize(p))
           if (Files.isDirectory(p)) Files.createDirectories(t)
-          else Files.createLink(t, p)
+          // skip *.tmp stragglers: a crashed write can leave one in the
+          // base, and linking it would let the clone's own delete-then-
+          // recreate cycle race the immutability assumption this walk
+          // rests on (committed files only)
+          else if (!p.getFileName.toString.endsWith(".tmp"))
+            Files.createLink(t, p)
         }
       } finally walk.close()
     } catch {

@@ -222,11 +222,18 @@ class DedupSpec extends SparkSpec {
     // and unrelated content — enough to exercise prefilter, exact
     // verify, and union-to-min labeling on BOTH paths
     val variant2 = base.replace("quick", "rapid")
+    // sub-shingleN-token docs (6,7,8): WordShingles backs off to one
+    // whole-text shingle below the shingle width, so three DISTINCT
+    // short texts are three distinct single-shingle sets — jaccard 0
+    // against everything, all three must survive on both paths at
+    // every threshold (the truly-empty-array zero-denominator case is
+    // unit-pinned in the verifyJaccardFromHashedShingles test below)
     val corpus = Seq(
       (0L, base), (1L, base), (2L, nearDup), (3L, unrelated),
       (4L, variant2),
       (5L, "another fully unrelated document speaking of parquet " +
-        "footers statistics and row group pruning at petabyte scale"))
+        "footers statistics and row group pruning at petabyte scale"),
+      (6L, "tiny doc"), (7L, "short text"), (8L, "ok"))
       .toDF("doc_id", "text")
     def stateOf(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id").as("id"),
@@ -243,6 +250,30 @@ class DedupSpec extends SparkSpec {
       assert(!Dedup.lastNearDupLocal, "maxRows=1 must force the distributed path")
       assert(local == dist, s"survivor sets diverge at minJaccard=$minJ: " +
         s"local=$local distributed=$dist")
+      assert(Set(6L, 7L, 8L).subsetOf(local),
+        s"distinct short docs must ALL survive (single-shingle backoff, " +
+          s"jaccard 0 pairwise) at minJaccard=$minJ: $local")
     }
+  }
+
+  test("verifyJaccardFromHashedShingles: empty shingle sets are jaccard 0, " +
+      "never NaN (cross-path divergence guard)") {
+    // CALLER-provided state can carry genuinely empty arrays (the
+    // built-in WordShingles never emits one — it backs off to the
+    // whole text). Unguarded, 0/0 = NaN and Spark's NaN-greatest
+    // ordering makes `jaccard >= t` KEEP the pair while the
+    // driver-local Java replay drops it — survivor sets would then
+    // differ across the bounded-path ceiling (advisor r15, medium).
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val hashed = Seq(
+      (1L, Seq.empty[Long]), (2L, Seq.empty[Long]), (3L, Seq(42L, 43L)))
+      .toDF("id", "arr")
+    val j = Dedup.verifyJaccardFromHashedShingles(pairs, hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 0.0, s"empty∩empty must be 0.0, got ${j((1L, 2L))}")
+    assert(!j.values.exists(_.isNaN), s"NaN leaked from the verify: $j")
+    assert(Dedup.verifyJaccardFromHashedShingles(pairs, hashed)
+      .filter(col("jaccard") >= 0.5).count() == 0,
+      "no empty-set pair may pass a threshold filter")
   }
 }

@@ -145,9 +145,16 @@ class IncrementalDedupSpec extends SparkSpec {
     val vocab = ('a' to 'z').map(c => s"tok$c")
     def window(i: Int, n: Int): String =
       (0 until n).map(j => vocab((i + j) % vocab.length)).mkString(" ")
-    val wave1 = docsDf((1L to 30L).map(i =>
-      i -> window(i.toInt, 6 + (i % 5).toInt)): _*)
-    val wave2 = docsDf((101L to 140L).map { i =>
+    // sub-shingleN-token docs (31/32 and 141/142): WordShingles backs
+    // off to ONE whole-text shingle below the shingle width, so short
+    // docs dedup by exact-text equality — 141 (byte-identical to index
+    // doc 31) must be REJECTED on both paths, while the distinct short
+    // docs 31/32/142 all survive. Pins the backoff semantics across
+    // the delivery/index seam on both admission paths.
+    val wave1 = docsDf(((1L to 30L).map(i =>
+      i -> window(i.toInt, 6 + (i % 5).toInt)) ++
+      Seq(31L -> "tiny one", 32L -> "ok")): _*)
+    val wave2 = docsDf(((101L to 140L).map { i =>
       val base = (i - 100).toInt
       val text =
         if (i % 4 == 0) window(base, 6 + (base % 5)) // exact twin of wave1
@@ -155,7 +162,7 @@ class IncrementalDedupSpec extends SparkSpec {
         else if (i % 4 == 2) window(base, 7 + (base % 5)) // extended near-dup
         else s"fresh ${i} entirely new content piece" // fresh
       i -> text
-    }: _*)
+    } ++ Seq(141L -> "tiny one", 142L -> "wee")): _*)
     for (minJ <- Seq(0.5, 0.8, 1.0); banded <- Seq(false, true)) {
       def layout(): IncrementalDedup.IndexLayout =
         if (banded) graft.llm.BandedIndex() else IncrementalDedup.FlatIndex
@@ -177,10 +184,15 @@ class IncrementalDedupSpec extends SparkSpec {
         minJaccard = minJ, layout = layout(),
         driverAdmissionMaxBytes = 0L))
       assert(l2 == d2x, s"wave-2 admission diverged (minJ=$minJ banded=$banded)")
+      assert(l2.contains(142L) && !l2.contains(141L),
+        s"short-doc backoff: fresh 142 admitted, exact-twin 141 rejected " +
+          s"(minJ=$minJ banded=$banded): $l2")
       val accL = ids(layout().readState(spark, rootL).select("id"), "id")
       val accD = ids(layout().readState(spark, rootD).select("id"), "id")
       assert(accL == accD && accL.nonEmpty,
         s"accumulated index diverged (minJ=$minJ banded=$banded)")
+      assert(Seq(31L, 32L, 142L).forall(accL.contains) && !accL.contains(141L),
+        s"short-doc survivors wrong in the index (minJ=$minJ banded=$banded): $accL")
     }
   }
 }
