@@ -22,6 +22,13 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Register the star-schema tables as temp views for the SQL-surface
+    * gates (the TPC-H subquery shapes are written as Spark SQL so
+    * Catalyst's decorrelation/anti-join rewrites are what's tested). */
+  private def tpchViews(s: SparkSession, dir: String): Unit =
+    Seq("part", "supplier", "lineitem", "orders", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
   /** Z-order grid bounds are persisted layout state (2 longs per dim) —
     * staged once per corpus, like the trained quantizers/idf tables. */
   private val zorderBounds = new java.util.concurrent.ConcurrentHashMap[
@@ -1041,6 +1048,163 @@ object RelationalQueries {
           roundDet(sum(cents) / lit(100.0), 2).as("totacctbal"))
     }),
 
+    // ----- TPC-H Q2/Q9/Q11/Q16/Q20 (r15 verdict task 1) -------------
+    // The synthetic schema has no partsupp, so each query derives the
+    // `ps` relation from lineitem with INTEGRAL measures (min line
+    // price in cents / line count / max line quantity) — exact on any
+    // engine, so the oracle replays the derivation bit-for-bit. All
+    // five run as Spark SQL: the property under test is Catalyst's
+    // subquery handling (decorrelation, null-aware anti joins), which
+    // only the SQL surface exercises; the decorrelated-plan shape for
+    // Q2/Q20 is pinned in PlanAuditSpec.
+
+    // TPC-H Q2 (minimum-cost supplier): correlated scalar MIN subquery
+    // against the same 4-way dim join as the outer query. Catalyst
+    // decorrelates it to one per-part aggregate joined back — the
+    // wrong plan (a re-executed subquery per outer row) would be
+    // O(parts × index scans) and is what the plan audit excludes.
+    // supplycost := min line price in cents per (part, supplier).
+    "tpch_q2_min_cost_supp" -> ((s, dir) => {
+      tpchViews(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS ps_supplycost
+          FROM lineitem GROUP BY 1, 2)
+        SELECT floor(s.s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
+               s.s_name, n.n_name, p.p_partkey, p.p_name, ps.ps_supplycost
+        FROM part p
+        JOIN ps ON ps.ps_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size <= 15 AND r.r_name = 'EUROPE'
+          AND ps.ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY 1 DESC, 3, 2, 4 LIMIT 100
+      """)
+    }),
+
+    // TPC-H Q9 (product-type profit): the multi-fact rollup — lineitem
+    // joined back to its own per-(part,supplier) cost aggregate plus
+    // part/supplier/nation/orders, profit summed per (nation, year).
+    // Profit is quantized to cents PER ROW before the sum, so the
+    // group totals are order-independent integers (doubles summed in
+    // shuffle order would be ulp-sensitive under cancellation — profit
+    // mixes subtraction).
+    "tpch_q9_product_profit" -> ((s, dir) => {
+      tpchViews(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS ps_supplycost
+          FROM lineitem GROUP BY 1, 2)
+        SELECT n.n_name AS nation,
+               CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount) -
+                   (CAST(ps.ps_supplycost AS DOUBLE) / 100) * l.l_quantity)
+                   * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+      """)
+    }),
+
+    // TPC-H Q11 (important stock): HAVING over an uncorrelated scalar
+    // subquery — the group filter compares each part's value against a
+    // fraction of the SAME scoped aggregate, so the scoped relation is
+    // computed once and the threshold broadcasts as a one-row
+    // subquery result. value := supplycost_cents × line count
+    // (integral, exact).
+    "tpch_q11_important_stock" -> ((s, dir) => {
+      tpchViews(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS ps_supplycost,
+                 count(*) AS ps_nlines
+          FROM lineitem GROUP BY 1, 2),
+        scoped AS (
+          SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_nlines AS value
+          FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE')
+        SELECT ps_partkey, CAST(sum(value) AS BIGINT) AS part_value
+        FROM scoped GROUP BY ps_partkey
+        HAVING sum(value) > (SELECT CAST(sum(value) AS DOUBLE) * 0.001
+                             FROM scoped)
+      """)
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship): NOT IN subquery (the
+    // null-aware anti join — here over non-null keys, so it plans as
+    // a plain anti join) + count(DISTINCT) per (brand, type, size)
+    // over the distinct (part, supplier) relationship set.
+    "tpch_q16_supplier_cnt" -> ((s, dir) => {
+      tpchViews(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem)
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#3'
+          AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+      """)
+    }),
+
+    // TPC-H Q20 (excess stock): the nested semi-join chain — supplier
+    // IN (ps pairs whose part IN (red parts) AND whose max line
+    // quantity exceeds 1.5× that pair's 1997 shipped volume). The
+    // correlated SUM decorrelates to a per-pair aggregate left-joined
+    // back; a pair with NO 1997 lines yields NULL and fails the
+    // comparison on both engines (the TPC-H empty-group semantics).
+    // availqty := max line quantity per pair; 1.5× makes the boundary
+    // bite (5 of 15 EUROPE suppliers excluded at sf0.01).
+    "tpch_q20_excess_stock" -> ((s, dir) => {
+      tpchViews(s, dir)
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 CAST(max(l_quantity) AS DOUBLE) AS ps_availqty
+          FROM lineitem GROUP BY 1, 2)
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey FROM ps
+            WHERE ps.ps_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              AND ps.ps_availqty > (
+                SELECT 1.5 * sum(l.l_quantity) FROM lineitem l
+                WHERE l.l_partkey = ps.ps_partkey
+                  AND l.l_suppkey = ps.ps_suppkey
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+      """)
+    }),
+
     // D7 — schema tests compiled to violation counts
     // (reference models/staging/schema.yml, models_demo/schema.yml)
     // A14 — correlated EXISTS / NOT EXISTS subqueries (native Spark SQL;
@@ -1744,6 +1908,106 @@ object RelationalQueries {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1""",
+
+    // Q2/Q9/Q11/Q16/Q20 oracles: byte-identical SQL to the Spark gates
+    // modulo dialect (DuckDB floor returns DOUBLE where Spark's returns
+    // BIGINT — the explicit CASTs make both sides integral at the same
+    // points, so every derived measure is exact integer arithmetic).
+    "tpch_q2_min_cost_supp" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS ps_supplycost
+           FROM lineitem GROUP BY 1, 2)
+         SELECT floor(s.s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
+                s.s_name, n.n_name, p.p_partkey, p.p_name, ps.ps_supplycost
+         FROM part p
+         JOIN ps ON ps.ps_partkey = p.p_partkey
+         JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE p.p_type = 'STANDARD' AND p.p_size <= 15 AND r.r_name = 'EUROPE'
+           AND ps.ps_supplycost = (
+             SELECT min(ps2.ps_supplycost)
+             FROM ps ps2
+             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+             JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+             JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+             WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+         ORDER BY 1 DESC, 3, 2, 4 LIMIT 100""",
+
+    "tpch_q9_product_profit" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS ps_supplycost
+           FROM lineitem GROUP BY 1, 2)
+         SELECT n.n_name AS nation,
+                CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount) -
+                    (CAST(ps.ps_supplycost AS DOUBLE) / 100) * l.l_quantity)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+
+    "tpch_q11_important_stock" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS ps_supplycost,
+                  count(*) AS ps_nlines
+           FROM lineitem GROUP BY 1, 2),
+         scoped AS (
+           SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_nlines AS value
+           FROM ps JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           WHERE r.r_name = 'EUROPE')
+         SELECT ps_partkey, CAST(sum(value) AS BIGINT) AS part_value
+         FROM scoped GROUP BY ps_partkey
+         HAVING sum(value) > (SELECT CAST(sum(value) AS DOUBLE) * 0.001
+                              FROM scoped)""",
+
+    "tpch_q16_supplier_cnt" ->
+      """WITH ps AS (
+           SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+           FROM lineitem)
+         SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+         WHERE p.p_brand <> 'Brand#3'
+           AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+           AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           AND ps.ps_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+
+    "tpch_q20_excess_stock" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  CAST(max(l_quantity) AS DOUBLE) AS ps_availqty
+           FROM lineitem GROUP BY 1, 2)
+         SELECT s.s_name, n.n_name
+         FROM supplier s
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'EUROPE'
+           AND s.s_suppkey IN (
+             SELECT ps.ps_suppkey FROM ps
+             WHERE ps.ps_partkey IN (
+                 SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+               AND ps.ps_availqty > (
+                 SELECT 1.5 * sum(l.l_quantity) FROM lineitem l
+                 WHERE l.l_partkey = ps.ps_partkey
+                   AND l.l_suppkey = ps.ps_suppkey
+                   AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l.l_shipdate < TIMESTAMP '1998-01-01'))""",
 
     "a14_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -84,4 +84,45 @@ class PlanAuditSpec extends SparkSpec {
       es.forall(!_.requiredSchema.fieldNames.contains("label")),
       "x_embed_stats reads the unused label column")
   }
+
+  // The TPC-H subquery gates exist to exercise Catalyst's subquery
+  // rewrites; the wrong-plan failure mode is a correlated subquery that
+  // SURVIVES optimization and re-executes per outer row — O(parts)
+  // separate scans for Q2's min-cost lookup, O(pairs) for Q20's
+  // shipped-volume aggregate. The audit pins the rewrite: after
+  // optimization no correlated scalar / IN / EXISTS subquery
+  // expression may remain (uncorrelated scalars — Q11's one-row
+  // threshold — are fine: they run once and broadcast).
+  test("TPC-H subquery gates decorrelate to joins, not per-row re-execution") {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val dir = "/root/testdata/sf0.001"
+    def optimized(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+    for (name <- Seq("tpch_q2_min_cost_supp", "tpch_q11_important_stock",
+        "tpch_q16_supplier_cnt", "tpch_q20_excess_stock")) {
+      val leftovers = optimized(name).collectWithSubqueries {
+        case p => p.expressions.flatMap(_.collect {
+          case s: ScalarSubquery if s.outerAttrs.nonEmpty =>
+            "correlated-scalar-subquery"
+          case _: InSubquery => "in-subquery"
+          case _: Exists => "exists"
+        })
+      }.flatten
+      assert(leftovers.isEmpty,
+        s"$name: unrewritten subqueries survive optimization: $leftovers")
+    }
+    // Q20's nested IN chain must stack into semi joins (supplier ⋉ ps,
+    // ps ⋉ part) with the correlated SUM decorrelated into a join
+    val q20 = optimized("tpch_q20_excess_stock")
+    val q20Semis = q20.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(q20Semis.size >= 2,
+      s"q20: expected the nested semi-join chain, got ${q20Semis.size} semi joins")
+    // Q2's per-part min must appear as an aggregate on the join side —
+    // the decorrelated form (at least the ps GROUP BY + the min rollup)
+    val q2Aggs = optimized("tpch_q2_min_cost_supp")
+      .collect { case a: Aggregate => a }
+    assert(q2Aggs.size >= 2,
+      s"q2: expected the decorrelated min-cost aggregate, got ${q2Aggs.size}")
+  }
 }
