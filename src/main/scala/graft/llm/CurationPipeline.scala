@@ -21,7 +21,13 @@ object CurationPipeline {
       keepLangs: Set[String] = Set.empty, // empty = keep all
       nearDupJaccard: Double = 0.8,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      // driver-local near-dup admission ceiling (see
+      // Dedup.dropNearDupLosersBounded) — zero forces the distributed
+      // composition, which the x_curation_pipeline_dist gate times so
+      // the at-scale plan stays measured
+      nearDupMaxRows: Long = 65536,
+      nearDupMaxBytes: Long = 64L << 20)
 
   /** Returns the curated corpus with columns: original + n_tokens,
     * quality, predicted_lang, split.
@@ -65,7 +71,8 @@ object CurationPipeline {
     // corpora run the unchanged distributed composition inside — see
     // Dedup.dropNearDupLosersBounded for the equivalence contract
     val deduped = Dedup.dropNearDupLosersBounded(
-      exact, state, cfg.nearDupJaccard, idCol)
+      exact, state, cfg.nearDupJaccard, idCol,
+      maxRows = cfg.nearDupMaxRows, maxBytes = cfg.nearDupMaxBytes)
 
     // 5. deterministic split assignment
     Sampling.hashSplit(deduped, idCol, cfg.splits)

@@ -476,6 +476,29 @@ object LlmQueries {
     root
   }
 
+  /** Shared body of the x_curation_pipeline gate pair (bounded vs
+    * forced-distributed near-dup): plant the twin near-dup pairs onto
+    * the given corpus slice, run the five-stage curation, summarize
+    * per (split, predicted_lang). The two gates differ ONLY in the
+    * Config ceiling, so they share one oracle.
+    */
+  private def curationGate(d: DataFrame,
+      cfg: graft.llm.CurationPipeline.Config): DataFrame = {
+    val probe = d.filter(col("doc_id") < 32)
+    def plant(off: Long, reps: Int) = probe.select(
+      twinId(col("doc_id"), off).as("doc_id"),
+      concat_ws(" ", flatten(array_repeat(array(
+        concat(lit("plantw"), col("doc_id").cast("string")),
+        concat(lit("plantx"), col("doc_id").cast("string")),
+        concat(lit("planty"), col("doc_id").cast("string"))), reps)))
+        .as("text"))
+    graft.llm.CurationPipeline.curate(
+      d.union(plant(1000000000L, 5)).union(plant(2000000000L, 6)), cfg)
+      .groupBy("split", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Quality classifier trained ONCE per corpus and reused — the same
     * offline lifecycle as [[trainedQuantizer]]. Weak labels: natural
     * docs take their Gopher verdict; 40 planted junk + 40 planted clean
@@ -1313,7 +1336,7 @@ object LlmQueries {
     // planted with DIFFERENT text but the SAME shingle set: period-3
     // token repetition at two lengths ("u v z"×5 vs ×6) shares the
     // cyclic shingle set {uvz, vzu, zuv} while surviving exact dedup.
-    "x_curation_pipeline" -> ((s, dir) => {
+    "x_curation_pipeline" -> ((s, dir) =>
       // quarter corpus (doc_id % 4 == 3 — disjoint from the phash/audio/
       // streaming slices): the property under test is the five-stage
       // COMPOSITION (gate → langid → exact dedup → near-dup CC →
@@ -1322,23 +1345,35 @@ object LlmQueries {
       // x_langid, x_dedup_exact, x_neardup_survivors,
       // x_cluster_safe_split). Pinned in ContractSpec's sliced-gate
       // registry; the oracle replays the same slice.
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 4 === 3)
-      val probe = d.filter(col("doc_id") < 32)
-      def plant(off: Long, reps: Int) = probe.select(
-        twinId(col("doc_id"), off).as("doc_id"),
-        concat_ws(" ", flatten(array_repeat(array(
-          concat(lit("plantw"), col("doc_id").cast("string")),
-          concat(lit("plantx"), col("doc_id").cast("string")),
-          concat(lit("planty"), col("doc_id").cast("string"))), reps)))
-          .as("text"))
-      graft.llm.CurationPipeline.curate(
-        d.union(plant(1000000000L, 5)).union(plant(2000000000L, 6)),
-        graft.llm.CurationPipeline.Config(minQuality = 0.1,
-          nearDupJaccard = 1.0))
-        .groupBy("split", "predicted_lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"))
+      curationGate(
+        docs(s, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 4 === 3),
+        graft.llm.CurationPipeline.Config(
+          minQuality = 0.1, nearDupJaccard = 1.0))),
+
+    // the DISTRIBUTED-near-dup twin of x_curation_pipeline (the
+    // x_incremental_dedup_dist idiom): identical corpus + plants (the
+    // same registered quarter slice), identical survivor contract,
+    // SAME oracle — but the near-dup stage's driver-local bounded path
+    // is disabled (ceiling 0), so what is TIMED is the at-scale
+    // composition itself: banded LSH self-join → per-pair exact
+    // Jaccard verify → connected components → cluster-loser anti-join.
+    // Keeping both operating points on the bench means the bounded
+    // fast path can never become the only measured number while the
+    // 100 TB plan silently regresses; the require turns a fast-path
+    // sneak-in into a RED row.
+    "x_curation_pipeline_dist" -> ((s, dir) => {
+      val out = curationGate(
+        docs(s, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 4 === 3),
+        graft.llm.CurationPipeline.Config(
+          minQuality = 0.1, nearDupJaccard = 1.0,
+          nearDupMaxRows = 0L, nearDupMaxBytes = 0L))
+      // the ceiling probe runs while curate() builds the plan, so the
+      // flag is already decided here — no materialization needed
+      require(!graft.llm.Dedup.lastNearDupLocal,
+        "distributed-near-dup gate must take the distributed path")
+      out
     }),
 
     // sketch-based cardinality: HLL++ approximate distinct words per
@@ -4307,5 +4342,7 @@ object LlmQueries {
     * the admission, which no oracle can or should see.
     */
   val oracles: Map[String, String] =
-    oracles0 + ("x_incremental_dedup_dist" -> oracles0("x_incremental_dedup"))
+    oracles0 +
+      ("x_incremental_dedup_dist" -> oracles0("x_incremental_dedup")) +
+      ("x_curation_pipeline_dist" -> oracles0("x_curation_pipeline"))
 }

@@ -199,7 +199,9 @@ class ContractSpec extends SparkSpec {
       "x_training_shards" -> (2,
         "the five-stage export GLUE is the property; each stage's full-corpus cost is its own gate's measurement"),
       "x_curation_pipeline" -> (4,
-        "the five-stage curation COMPOSITION is the property; each stage's full-corpus cost is its own gate's measurement (x_gopher_rules, x_langid, x_dedup_exact, x_neardup_survivors, x_cluster_safe_split)"))
+        "the five-stage curation COMPOSITION is the property; each stage's full-corpus cost is its own gate's measurement (x_gopher_rules, x_langid, x_dedup_exact, x_neardup_survivors, x_cluster_safe_split)"),
+      "x_curation_pipeline_dist" -> (4,
+        "same slice as x_curation_pipeline by construction (shared oracle); the property is the forced-distributed near-dup composition at the same operating point"))
     val src = Seq("src/main/scala/graft/queries/LlmQueries.scala",
       "src/main/scala/graft/queries/RelationalQueries.scala")
       .map(p => new String(java.nio.file.Files.readAllBytes(
