@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.{ChangeFilter, StatusTick}
 
 /** transformWithState changelog compaction (streaming/ChangeFilter):
@@ -73,13 +74,12 @@ class ChangeFilterSpec extends SparkSpec {
   test("TTL selects the processing-time mode and analyzes cleanly") {
     implicit val sqlCtx = spark.sqlContext
     // ttl selects TimeMode.ProcessingTime and a TTLConfig on the value
-    // state — the state-size bound for unbounded key spaces. Running a
-    // ProcessingTime transformWithState query under the test harness
-    // hangs in Spark 4.1's local StateStoreCoordinator (same family as
-    // the batch-twin gap that pushed changesOnlyBatch onto the shared
-    // compaction core), so this pins the WIRING level only: the TTL
-    // query builds, analyzes as a streaming Dataset with the compacted
-    // schema, and the TTLConfig plumbs through to the state variable.
+    // state — the state-size bound for unbounded key spaces. This test
+    // pins the WIRING (the TTL query builds, analyzes as a streaming
+    // Dataset with the compacted schema, and the TTLConfig plumbs
+    // through to the state variable); the eviction RUNTIME is pinned by
+    // the poll-the-sink test below, which sidesteps the Spark 4.1
+    // local-harness wedge in ProcessingTime-mode trailing batches.
     val mem = MemoryStream[StatusTick]
     val out = ChangeFilter.changesOnly(mem.toDS(),
       ttl = Some(java.time.Duration.ofHours(1)))
@@ -92,6 +92,62 @@ class ChangeFilterSpec extends SparkSpec {
       case n if n.nodeName.toLowerCase.contains("transformwithstate") => n
     }.nonEmpty
     assert(hasTws, "ttl path no longer plans transformWithState")
+  }
+
+  test("TTL actually evicts: a key silent past the TTL re-emits as first sight") {
+    implicit val sqlCtx = spark.sqlContext
+    // The RUNTIME pin for the state-size bound the wiring test above
+    // only plumbs: with a 500 ms TTL, the same (key, value) re-reported
+    // after a 2 s silence must come back as a FIRST-sight emission
+    // (prev None) — the state was evicted, not consulted. Without
+    // eviction the tick would be suppressed entirely (the cross-batch
+    // suppression path is pinned by the first test in this suite), so
+    // the second output row is unforgeable evidence of eviction.
+    //
+    // Harness shape: ProcessingTime-mode transformWithState wedges
+    // Spark 4.1's local harness AFTER the data batch (the AvailableNow
+    // trailing bookkeeping hits SPARK's TransformWithStateExec/
+    // PythonSQLMetrics construction NPE), so the test polls the
+    // parquet sink for the batch's output and stops the query instead
+    // of awaiting termination; each run is a fresh query on the same
+    // checkpoint (restart = the production shape for AvailableNow),
+    // with placeholder MemoryStream blocks aligning source offsets.
+    val ckpt = tmpDir("ttl-evict-ckpt")
+    val outDir = tmpDir("ttl-evict-out")
+    def readOut() =
+      try spark.read.schema(
+          "station_id string, num_bikes long, prev_bikes long, ts timestamp")
+        .parquet(outDir)
+        .as[(String, Long, Option[Long], java.sql.Timestamp)]
+        .collect().map(r => (r._1, r._2, r._3)).toSeq
+      catch { case _: Exception => Seq.empty }
+    def runOnce(tick: StatusTick, skipBlocks: Int, expectRows: Int): Unit = {
+      val mem = MemoryStream[StatusTick]
+      (0 until skipBlocks).foreach(_ =>
+        mem.addData(StatusTick("skip", -1, ts(-1))))
+      mem.addData(tick)
+      val q = ChangeFilter.changesOnly(mem.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(500)))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (readOut().size < expectRows && System.nanoTime() < deadline &&
+          q.exception.isEmpty)
+        Thread.sleep(200)
+      q.exception.foreach(e => fail(s"query failed: $e"))
+      q.stop()
+    }
+    runOnce(StatusTick("s1", 5, ts(0)), skipBlocks = 0, expectRows = 1)
+    Thread.sleep(2000) // 4x the TTL: the key's state is expired
+    runOnce(StatusTick("s1", 5, ts(60)), skipBlocks = 1, expectRows = 2)
+    val rows = readOut().sortBy(_.toString)
+    assert(rows == Seq(("s1", 5L, None), ("s1", 5L, None)),
+      s"expected the unchanged re-report to re-emit as first sight " +
+        s"(state evicted), got: $rows")
   }
 
   test("within-batch order is event-time deterministic") {
