@@ -330,6 +330,123 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ------- cross-path equality hardening (r15 verdict task 5) --------
+  // The driver-local bounded paths replay distributed arithmetic in
+  // Scala (agreement prefilter, rounded Jaccard, union-to-min) — the
+  // one drift-prone construction in the engine. The fixed-corpus specs
+  // pin 2 layouts × 3 thresholds; these properties pin RANDOM corpora
+  // whose mutation structure densely hits the jaccard spectrum
+  // (exact copies, 1–3 token edits, extensions, sub-shingle-width
+  // docs) at random thresholds.
+
+  /** Mutation-structured corpus: fresh docs, exact copies, edited
+    * copies, extended copies, and short (sub-shingle-width) docs —
+    * ids strictly increasing from `baseId`.
+    */
+  private def corpusGen(baseId: Long, nDocs: Int): Gen[Seq[(Long, String)]] = {
+    val vocab = Vector("alpha", "bravo", "carol", "delta", "echo", "fox",
+      "golf", "hotel", "india", "jolt", "kilo", "lima")
+    val fresh: Gen[String] = for {
+      n <- Gen.chooseNum(4, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val short: Gen[String] =
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+        .map(_.mkString(" "))
+    // op: 0 = fresh, 1 = copy of an earlier doc, 2 = edit k tokens,
+    // 3 = extend by k tokens, 4 = short doc
+    val op: Gen[(Int, Int, Int)] = for {
+      kind <- Gen.frequency(3 -> 0, 2 -> 1, 3 -> 2, 2 -> 3, 1 -> 4)
+      src <- Gen.chooseNum(0, 1000)
+      k <- Gen.chooseNum(1, 3)
+    } yield (kind, src, k)
+    for {
+      ops <- Gen.listOfN(nDocs, op)
+      freshes <- Gen.listOfN(nDocs, fresh)
+      shorts <- Gen.listOfN(nDocs, short)
+      subs <- Gen.listOfN(nDocs, Gen.oneOf(vocab))
+    } yield {
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      ops.zipWithIndex.foreach { case ((kind, src, k), i) =>
+        val t = kind match {
+          case 0 => freshes(i)
+          case 4 => shorts(i)
+          case _ if texts.isEmpty => freshes(i)
+          case 1 => texts(src % texts.length)
+          case 2 =>
+            val toks = texts(src % texts.length).split(" ")
+            toks.indices.take(k).foreach(j =>
+              toks(j) = subs((i + j) % subs.length))
+            toks.mkString(" ")
+          case 3 =>
+            texts(src % texts.length) + " " +
+              (0 until k).map(j => subs((i + j) % subs.length)).mkString(" ")
+        }
+        texts += t
+      }
+      texts.zipWithIndex.map { case (t, i) => (baseId + i, t) }.toSeq
+    }
+  }
+
+  private val thresholdGen: Gen[Double] =
+    Gen.oneOf(0.3, 0.5, 0.6667, 0.75, 0.8, 0.9, 1.0)
+
+  test("property: dropNearDupLosersBounded local ≡ distributed on random corpora") {
+    import graft.llm.{Dedup, TextAnalysis}
+    val cases = samples(for {
+      docs <- Gen.chooseNum(8, 24).flatMap(n => corpusGen(0L, n))
+      minJ <- thresholdGen
+    } yield (docs, minJ), 50)
+    cases.zipWithIndex.foreach { case ((docsSeq, minJ), i) =>
+      val corpus = docsSeq.toDF("doc_id", "text")
+      val st = corpus.select(col("doc_id").as("id"),
+          Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
+        .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+      val local = Dedup.dropNearDupLosersBounded(corpus, st, minJ)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(Dedup.lastNearDupLocal, s"case $i: expected the local path")
+      val dist = Dedup.dropNearDupLosersBounded(corpus, st, minJ, maxRows = 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!Dedup.lastNearDupLocal, s"case $i: expected the distributed path")
+      assert(local == dist,
+        s"case $i (minJ=$minJ): local=$local dist=$dist corpus=$docsSeq")
+    }
+  }
+
+  test("property: addDelivery local ≡ distributed admission on random corpora") {
+    import graft.llm.IncrementalDedup
+    // two monotone waves per case: wave 2's id floor sits above wave
+    // 1's ceiling so the monotone-id precondition holds by construction
+    val cases = samples(for {
+      w1 <- Gen.chooseNum(6, 14).flatMap(n => corpusGen(0L, n))
+      w2 <- Gen.chooseNum(6, 14).flatMap(n => corpusGen(1000L, n))
+      minJ <- thresholdGen
+      banded <- Gen.oneOf(false, true)
+    } yield (w1, w2, minJ, banded), 50)
+    cases.zipWithIndex.foreach { case ((w1, w2, minJ, banded), i) =>
+      def layout(): IncrementalDedup.IndexLayout =
+        if (banded) graft.llm.BandedIndex() else IncrementalDedup.FlatIndex
+      val rootL = tmpDir(s"prop-adm-l-$i")
+      val rootD = tmpDir(s"prop-adm-d-$i")
+      def run(root: String, dist: Boolean): (Seq[Long], Seq[Long]) = {
+        def admit(w: Seq[(Long, String)]) =
+          IncrementalDedup.addDelivery(w.toDF("doc_id", "text"), root,
+            minJaccard = minJ, layout = layout(),
+            driverAdmissionMaxBytes = if (dist) 0L else 64L << 20)
+            .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+        val a1 = admit(w1); val a2 = admit(w2)
+        assert(IncrementalDedup.lastAdmissionLocal != dist,
+          s"case $i: wrong admission path (dist=$dist)")
+        (a1, a2)
+      }
+      val (l1, l2) = run(rootL, dist = false)
+      val (d1, d2) = run(rootD, dist = true)
+      assert(l1 == d1 && l2 == d2,
+        s"case $i (minJ=$minJ banded=$banded): " +
+          s"local=($l1, $l2) dist=($d1, $d2)")
+    }
+  }
+
   test("ReplaceMany rejects a replacement containing ANY pattern char") {
     // (ab→X),(cX→Y) passes a lead-char-only check yet diverges from the
     // replace chain on "cab" (chain: "Y"; scan: "cX") — the validator
