@@ -124,5 +124,19 @@ class PlanAuditSpec extends SparkSpec {
       .collect { case a: Aggregate => a }
     assert(q2Aggs.size >= 2,
       s"q2: expected the decorrelated min-cost aggregate, got ${q2Aggs.size}")
+    // Q2 references the ps CTE twice (outer + decorrelated subquery);
+    // Catalyst inlines both, so the STATIC plan carries two
+    // scan→aggregate subtrees — the 100 TB failure mode would be two
+    // full fact scans. AQE's stage reuse must collapse them: after
+    // execution, the adaptive plan carries the subquery side's ps
+    // shuffle as a ReusedExchange/ReusedQueryStage of the outer one,
+    // i.e. the fact map stage ran ONCE.
+    val q2df = SparkEntry.queries("tpch_q2_min_cost_supp")(spark, dir)
+    q2df.collect()
+    val executed = q2df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+        executed.contains("ReusedQueryStage"),
+      "q2: the twice-referenced ps aggregate no longer reuses its " +
+        "shuffle stage — the fact table would be scanned twice at scale")
   }
 }
