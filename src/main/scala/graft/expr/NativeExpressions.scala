@@ -925,9 +925,12 @@ object native {
     // its membership probe is boxed-equality: a non-Long input column
     // (Integer ids) would match NOTHING silently — and the negated
     // loser-filter form would silently keep every loser. The explicit
-    // long cast makes any numeric id column correct; on an already-Long
-    // column Catalyst's SimplifyCasts elides it, so the pushed-probe
-    // plan is unchanged at every current call site.
+    // long cast makes INTEGRAL id columns (int/short/long) correct; on
+    // an already-Long column Catalyst's SimplifyCasts elides it, so the
+    // pushed-probe plan is unchanged at every current call site.
+    // Contract: integral inputs only — a fractional column would
+    // TRUNCATE through the cast (5.9 matches 5), which is worse than
+    // the old match-nothing; no call site passes one.
     c(org.apache.spark.sql.catalyst.expressions.InSet(
       e(col.cast(org.apache.spark.sql.types.LongType)), set))
   }

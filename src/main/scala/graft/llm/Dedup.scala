@@ -771,7 +771,12 @@ object Dedup {
       sum(size(col("arr"))).as("mass")).head()
     val n = m.getLong(0)
     val massBytes = if (n == 0L) 0L else 8L * (m.getLong(1) + (k + 2L) * n)
-    lastNearDupLocal = n <= maxRows && massBytes <= maxBytes
+    // maxRows == 0 is the FORCED-distributed contract (the _dist twin
+    // gates); without the explicit check an empty state (n = 0,
+    // massBytes = 0) would satisfy 0 <= 0 and take the local path,
+    // turning an empty-but-valid input into a require() crash in the
+    // forced-distributed gates
+    lastNearDupLocal = maxRows > 0 && n <= maxRows && massBytes <= maxBytes
     if (!lastNearDupLocal) {
       val pairs = verifyJaccardFromShingles(
         minhashCandidatesFromSigs(state.select("id", "sig"),
@@ -839,11 +844,12 @@ object Dedup {
               // zero-denominator = jaccard 0, the distributed
               // verifyJaccardFromHashedShingles definition (two
               // empty-shingle docs share every band key but carry no
-              // dedup evidence)
+              // dedup evidence). Computed as a VALUE then compared, so
+              // a degenerate minJaccard <= 0 threshold still agrees
+              // with the distributed `0.0 >= t` filter
               val denom = a.len + b.len - shared
-              if (denom != 0L &&
-                  rd4(shared.toDouble / denom) >= minJaccard)
-                union(p._1, p._2)
+              val j = if (denom == 0L) 0.0 else rd4(shared.toDouble / denom)
+              if (j >= minJaccard) union(p._1, p._2)
             }
           }
           j += 1

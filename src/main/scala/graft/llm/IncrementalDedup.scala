@@ -184,13 +184,15 @@ object IncrementalDedup {
   private def writeIdBound(spark: SparkSession, root: String, v: Long): Unit = {
     val p = boundPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, "_maxid.tmp")
-    // delete-then-create, never truncate-in-place: a crash can leave
-    // _maxid.tmp behind, and the hard-link index clones (LlmQueries
+    // UNIQUE tmp name, never truncate-in-place: a crash can leave a
+    // stale tmp behind, and the hard-link index clones (LlmQueries
     // cloneIndex) assume committed index trees are never rewritten in
     // place — fs.create(overwrite) on a linked leftover would truncate
-    // the SHARED inode across every clone
-    if (fs.exists(tmp)) fs.delete(tmp, false)
+    // the SHARED inode across every clone. The .tmp suffix keeps
+    // stragglers out of the clone walk; the unique stem keeps a
+    // concurrent writer from racing a delete/create on one path.
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_maxid.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     out.write(v.toString.getBytes("UTF-8")); out.close()
     if (fs.exists(p)) fs.delete(p, false)
@@ -295,6 +297,11 @@ object IncrementalDedup {
       // tag commit — re-running an empty delivery is a no-op either
       // way, so exactly-once needs no marker (and streaming callers
       // save the per-trigger isEmpty probe job by just calling in).
+      // No admission ran at all, so the path flag must not carry a
+      // STALE true from a previous call — a forced-distributed gate's
+      // require(!lastAdmissionLocal) on an empty delivery would
+      // otherwise crash on leftover state.
+      lastAdmissionLocal = false
       batch.unpersist()
       return delivery.limit(0)
     }
@@ -457,9 +464,11 @@ object IncrementalDedup {
         // zero-denominator = jaccard 0 — the distributed
         // verifyJaccardFromHashedShingles definition; unguarded the two
         // paths diverge on empty-shingle docs (NaN filters keep
-        // distributed, drop locally)
+        // distributed, drop locally). Value-then-compare so degenerate
+        // minJaccard <= 0 thresholds agree with the distributed filter
         val denom = a.len + b.len - shared
-        denom != 0L && rd4(shared.toDouble / denom) >= minJaccard
+        val j = if (denom == 0L) 0.0 else rd4(shared.toDouble / denom)
+        j >= minJaccard
       }
       // union-find with path halving, union-to-min (the
       // duplicateClustersLocal labeling, so cluster ids agree)

@@ -24,10 +24,11 @@ object RelationalQueries {
 
   /** Register the star-schema tables as temp views for the SQL-surface
     * gates (the TPC-H subquery shapes are written as Spark SQL so
-    * Catalyst's decorrelation/anti-join rewrites are what's tested). */
+    * Catalyst's decorrelation/anti-join rewrites are what's tested).
+    * Delegates to the one table-name registry in [[Tables.registerAll]]
+    * so the view list can't drift from the synthetic schema. */
   private def tpchViews(s: SparkSession, dir: String): Unit =
-    Seq("part", "supplier", "lineitem", "orders", "nation", "region")
-      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    Tables.registerAll(s, dir)
 
   /** Z-order grid bounds are persisted layout state (2 longs per dim) —
     * staged once per corpus, like the trained quantizers/idf tables. */

@@ -134,12 +134,18 @@ class ChangeFilterSpec extends SparkSpec {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (readOut().size < expectRows && System.nanoTime() < deadline &&
-          q.exception.isEmpty)
-        Thread.sleep(200)
-      q.exception.foreach(e => fail(s"query failed: $e"))
-      q.stop()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (readOut().size < expectRows && System.nanoTime() < deadline &&
+            q.exception.isEmpty)
+          Thread.sleep(200)
+        // only an exception that prevented the DATA batch's output is a
+        // failure — the documented trailing-batch wedge may surface as
+        // q.exception AFTER the rows landed, and that must not flake
+        // the eviction assertion the rows already prove
+        if (readOut().size < expectRows)
+          q.exception.foreach(e => fail(s"query failed before output: $e"))
+      } finally q.stop()
     }
     runOnce(StatusTick("s1", 5, ts(0)), skipBlocks = 0, expectRows = 1)
     Thread.sleep(2000) // 4x the TTL: the key's state is expired

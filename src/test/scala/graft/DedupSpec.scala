@@ -239,7 +239,11 @@ class DedupSpec extends SparkSpec {
       df.select(col("doc_id").as("id"),
           Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
         .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
-    for (minJ <- Seq(0.5, 0.8, 1.0)) {
+    // 0.0 is the degenerate threshold where every band-sharing pair
+    // (even jaccard-0 ones) merges — pre-r16-review the local replay's
+    // denom != 0 short-circuit dropped the empty∩empty union the
+    // distributed `0.0 >= 0.0` filter kept
+    for (minJ <- Seq(0.0, 0.5, 0.8, 1.0)) {
       val st = stateOf(corpus)
       val local = Dedup.dropNearDupLosersBounded(corpus, st, minJ)
         .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -250,10 +254,26 @@ class DedupSpec extends SparkSpec {
       assert(!Dedup.lastNearDupLocal, "maxRows=1 must force the distributed path")
       assert(local == dist, s"survivor sets diverge at minJaccard=$minJ: " +
         s"local=$local distributed=$dist")
-      assert(Set(6L, 7L, 8L).subsetOf(local),
-        s"distinct short docs must ALL survive (single-shingle backoff, " +
-          s"jaccard 0 pairwise) at minJaccard=$minJ: $local")
+      if (minJ > 0.0)
+        assert(Set(6L, 7L, 8L).subsetOf(local),
+          s"distinct short docs must ALL survive (single-shingle backoff, " +
+            s"jaccard 0 pairwise) at minJaccard=$minJ: $local")
     }
+  }
+
+  test("forced-distributed ceiling (maxRows 0) holds even on an empty state") {
+    // an empty state satisfies n <= 0 && mass <= 0, so without the
+    // explicit maxRows > 0 guard the FORCED-distributed contract the
+    // _dist twin gates rely on would silently flip local and trip
+    // their require() on an empty-but-valid input
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val st = corpus.select(col("doc_id").as("id"),
+        Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("arr"))
+      .withColumn("sig", Dedup.minhashSignature(col("arr"), 32))
+    val out = Dedup.dropNearDupLosersBounded(corpus, st, 1.0, maxRows = 0)
+    assert(!Dedup.lastNearDupLocal,
+      "ceiling 0 must force the distributed path even on an empty state")
+    assert(out.count() == 0)
   }
 
   test("verifyJaccardFromHashedShingles: empty shingle sets are jaccard 0, " +

@@ -134,6 +134,21 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("exceed index max id 15"))
   }
 
+  test("an empty delivery resets the admission-path flag") {
+    // the empty-delivery early return runs NO admission; the flag must
+    // not carry a stale true from a previous call, or a
+    // forced-distributed gate's require(!lastAdmissionLocal) would
+    // crash on an empty-but-valid trigger
+    val root = tmpDir("incr-dedup-empty")
+    IncrementalDedup.addDelivery(d1, root, minJaccard = 1.0)
+    assert(IncrementalDedup.lastAdmissionLocal,
+      "bounded delivery should have taken the local path")
+    val out = IncrementalDedup.addDelivery(d1.limit(0), root, minJaccard = 1.0)
+    assert(out.count() == 0)
+    assert(!IncrementalDedup.lastAdmissionLocal,
+      "empty delivery must clear the stale local-path flag")
+  }
+
   test("driver-local admission ≡ distributed admission (both layouts, " +
       "fractional thresholds)") {
     // a corpus whose sliding token windows produce near-dup pairs across

@@ -389,7 +389,7 @@ class PropertySpec extends SparkSpec {
   }
 
   private val thresholdGen: Gen[Double] =
-    Gen.oneOf(0.3, 0.5, 0.6667, 0.75, 0.8, 0.9, 1.0)
+    Gen.oneOf(0.0, 0.3, 0.5, 0.6667, 0.75, 0.8, 0.9, 1.0)
 
   test("property: dropNearDupLosersBounded local ≡ distributed on random corpora") {
     import graft.llm.{Dedup, TextAnalysis}
