@@ -92,7 +92,8 @@ object Dedup {
 
   /** LSH candidate generation over a precomputed (id, sig) table. */
   def minhashCandidatesFromSigs(sigTable: DataFrame,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4,
+      persistInput: Boolean = true): DataFrame = {
     val k = bands * rowsPerBand
     // persist: the signature subtree feeds bucketing AND both sides of
     // the pair re-attach join — uncached, the k min-hash passes over the
@@ -102,8 +103,18 @@ object Dedup {
     // != NONE) — a second cache entry of near-identical data buys
     // nothing. Caller owns the lifetime either way: unpersist/clearCache
     // after materializing in a long-lived session.
+    //
+    // persistInput = false is for callers whose sigTable is a PROJECTION
+    // of an already-cached table: Dataset.storageLevel cannot see through
+    // the Project (reports NONE), so the auto-persist here would both
+    // double-cache the signatures AND leak the entry — the caller can't
+    // unpersist a cache this function created on a derived plan. The
+    // per-delivery paths (addDelivery, dropNearDupLosersBounded) pass
+    // false; under a streaming sink the leak would otherwise grow one
+    // cache entry per trigger, forever.
     val sigs =
-      if (sigTable.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      if (!persistInput ||
+          sigTable.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         sigTable
       else sigTable
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -403,12 +414,15 @@ object Dedup {
     // rebuild via the native two-pointer sweep (codegen'd, O(tokens +
     // spans·log spans) per doc) — the HOF filter/transform/exists tree it
     // replaces was CodegenFallback and O(tokens × spans)
-    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .join(spans, col(idCol) === spans("id"), "left")
+    // dataset-qualified join keys: with idCol == "id" (a legal caller
+    // choice) the unqualified col("id") would resolve against BOTH join
+    // children and fail analysis as ambiguous
+    val left = df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+    left.join(spans, left(idCol) === spans("id"), "left")
       .withColumn("_kept", graft.expr.native.removeCoveredTokens(col("_toks"),
         coalesce(col("_spans"), array().cast("array<struct<s:long,e:long>>"))))
       .filter(size(col("_kept")) > 0)
-      .select(col(idCol), concat_ws(" ", col("_kept")).as(textCol))
+      .select(left(idCol), concat_ws(" ", col("_kept")).as(textCol))
   }
 
   // --------------------------------------------------------------- SimHash
@@ -437,8 +451,7 @@ object Dedup {
     */
   def simhashCandidatesFromSigs(sigTable: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = sigTable
-    val chunked = sigs.select(col("id"), col("sim"),
+    val chunked = sigTable.select(col("id"), col("sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*))
@@ -779,8 +792,11 @@ object Dedup {
     lastNearDupLocal = maxRows > 0 && n <= maxRows && massBytes <= maxBytes
     if (!lastNearDupLocal) {
       val pairs = verifyJaccardFromShingles(
+        // persistInput = false: state is the caller's prepared (and by
+        // contract persisted) table; its (id, sig) projection reads
+        // through that cache, and an auto-persist here would leak
         minhashCandidatesFromSigs(state.select("id", "sig"),
-          bands, rowsPerBand)
+          bands, rowsPerBand, persistInput = false)
           .filter(col("est_jaccard") >= minJaccard / 2),
         state)
         .filter(col("jaccard") >= minJaccard)

@@ -195,8 +195,31 @@ object IncrementalDedup {
       s"_maxid.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     out.write(v.toString.getBytes("UTF-8")); out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // RATCHET commit with the rename result CHECKED: rename returns
+    // false (it does not throw) when the destination reappears between
+    // the delete and the rename — a racing writer. Discarding that
+    // false would leave the bound stale-LOWER, which silently weakens
+    // the monotone-id guard (the next delivery could overlap
+    // already-admitted ids and still pass). Each retry first re-reads
+    // the current bound and yields if a racer already committed >= v
+    // (the bound is a max — losing to a higher value is success).
+    var attempts = 0
+    var committed = false
+    while (!committed && attempts < 3) {
+      attempts += 1
+      if (readIdBound(spark, root).exists(_ >= v)) {
+        fs.delete(tmp, false)
+        return
+      }
+      if (fs.exists(p)) fs.delete(p, false)
+      committed = fs.rename(tmp, p)
+    }
+    if (!committed) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"writeIdBound: could not commit $p after $attempts attempts " +
+          "(racing writers?) — refusing to leave a stale-lower bound")
+    }
   }
 
   /** Signature-index state for a batch of documents: (id, sig, sharr). */
@@ -262,6 +285,10 @@ object IncrementalDedup {
         if (readIdBound(spark, indexRoot).forall(_ < m))
           writeIdBound(spark, indexRoot, m)
       }
+      // no admission ran — clear any stale path flag (the empty-delivery
+      // rule) so a forced-distributed caller's require can't trip on a
+      // replayed trigger
+      lastAdmissionLocal = false
       return delivery.limit(0)
     }
     val hasIndex = layout.hasIndex(spark, indexRoot)
@@ -308,10 +335,17 @@ object IncrementalDedup {
     if (!emptyDelivery && hasIndex && requireMonotoneIds) {
       val maxIdx = readIdBound(spark, indexRoot).getOrElse(
         idx.agg(max(col("id"))).head().getLong(0))
-      require(minNew > maxIdx,
-        s"addDelivery: delivery min id $minNew must exceed index max id " +
-          s"$maxIdx for whole-corpus-rerun equivalence " +
-          "(pass requireMonotoneIds = false to accept index-wins semantics)")
+      // a rejected delivery is a caller-recoverable error (reorder and
+      // retry) — release the delivery cache on the way out, or every
+      // rejection leaks a MEMORY_AND_DISK entry for the session's life
+      if (minNew <= maxIdx) {
+        batch.unpersist(false)
+        throw new IllegalArgumentException(
+          s"requirement failed: addDelivery: delivery min id $minNew " +
+            s"must exceed index max id $maxIdx for whole-corpus-rerun " +
+            "equivalence (pass requireMonotoneIds = false to accept " +
+            "index-wins semantics)")
+      }
     }
 
     val ord = committed0.size + 1
@@ -532,7 +566,13 @@ object IncrementalDedup {
     lastAdmissionLocal = driverSurvivors.isDefined
 
     // within-delivery candidates: banded LSH over the (small) delivery
-    lazy val batchPairs = Dedup.minhashCandidatesFromSigs(sigView, bands, rowsPerBand)
+    // persistInput = false: sigView is a projection of the persisted
+    // batch — the auto-persist inside candidate generation can't see
+    // that cache through the Project, would double-cache the delivery
+    // signatures, and (with nothing able to unpersist it) would leak
+    // one cache entry per trigger under a streaming sink
+    lazy val batchPairs = Dedup.minhashCandidatesFromSigs(sigView,
+        bands, rowsPerBand, persistInput = false)
       .filter(col("est_jaccard") >= minJaccard / 2)
       .select("id_a", "id_b")
     // delivery↔index candidates: band-key equi-join; the index side is a

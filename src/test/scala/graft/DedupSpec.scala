@@ -199,6 +199,19 @@ class DedupSpec extends SparkSpec {
     assert(!r.contains(5L))
   }
 
+  test("dropRepeatedSpans accepts idCol == \"id\" (no ambiguous self-reference)") {
+    // the span table's internal key is also named `id`; the rebuild
+    // join must qualify its sides or this legal caller choice fails
+    // analysis as an ambiguous reference
+    val df = Seq(
+      (0L, "a1 a2 r1 r2 r3 r4 r5 r6 r7 r8 b1 b2"),
+      (1L, "c1 c2 r1 r2 r3 r4 r5 r6 r7 r8 d1 d2"))
+      .toDF("id", "text")
+    val out = Dedup.dropRepeatedSpans(df, k = 8, idCol = "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(out(0L) == "a1 a2 b1 b2" && out(1L) == "c1 c2 d1 d2", s"$out")
+  }
+
   test("dropRepeatedSpans cuts both copies; an all-repeated doc disappears") {
     val df = Seq(
       (0L, "u1 u2 s1 s2 s3 s4 s5 s6 v1 v2"),

@@ -123,6 +123,9 @@ class IncrementalDedupSpec extends SparkSpec {
     val replayed = IncrementalDedup.addDelivery(d2, root,
       deliveryTag = Some("t2"))
     assert(replayed.count() == 0, "replayed tag must admit nothing")
+    assert(!IncrementalDedup.lastAdmissionLocal,
+      "a replayed trigger ran no admission — the path flag must clear " +
+        "(a forced-distributed caller's require would trip on stale state)")
     val healed = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
       .mkString.trim.toLong
     assert(healed == 15L, s"bound not re-ratcheted on replay: $healed")
@@ -132,6 +135,27 @@ class IncrementalDedupSpec extends SparkSpec {
         docsDf(13L -> "overlapping id thirteen"), root)
     }
     assert(ex.getMessage.contains("exceed index max id 15"))
+  }
+
+  test("admissions leave no cache entries behind (both paths, incl. rejects)") {
+    // the delivery state persists for the candidate/verify references;
+    // every exit — local success, distributed success, and the
+    // caller-recoverable monotone rejection — must release it. Under a
+    // streaming sink a leaked entry per trigger is unbounded executor
+    // memory growth (r16 review: the distributed path double-cached the
+    // sigView projection through candidate generation's auto-persist).
+    spark.catalog.clearCache()
+    val root = tmpDir("incr-dedup-nocache")
+    IncrementalDedup.addDelivery(d1, root, minJaccard = 1.0)
+    IncrementalDedup.addDelivery(d2, root, minJaccard = 1.0,
+      driverAdmissionMaxBytes = 0L)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addDelivery(
+        docsDf(2L -> "overlapping id two"), root, minJaccard = 1.0)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"admission leaked cache entries: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq)
   }
 
   test("an empty delivery resets the admission-path flag") {
