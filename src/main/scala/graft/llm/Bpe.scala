@@ -192,15 +192,24 @@ object Bpe {
     */
   def encodeCorpus(df: DataFrame, merges: Seq[Merge],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // posexplode_OUTER over the pre-filtered word array: an empty or
+    // whitespace-only document yields one (null pos, null word) marker
+    // row instead of vanishing — an inner explode+join would silently
+    // DROP such documents from the output, breaking "every document
+    // becomes its token stream" for downstream joins on the id
     val positioned = df
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
-      .filter(col("word") =!= "")
-    val encoded = encodeWordTable(positioned.select("word").distinct(), merges)
-    positioned.join(encoded, Seq("word"))
+        posexplode_outer(filter(split(col(textCol), " "), w => w =!= ""))
+          .as(Seq("pos", "word")))
+    val encoded = encodeWordTable(
+      positioned.select("word").filter(col("word").isNotNull).distinct(),
+      merges)
+    positioned.join(encoded, Seq("word"), "left")
       .groupBy(col("id").as(idCol))
       .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"), col("tokens")))),
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("tokens"), array().cast("array<string>"))
+            .as("tokens")))),
         s => s.getField("tokens"))).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
@@ -233,17 +242,11 @@ object Bpe {
   def padMerges(base: Seq[Merge], size: Int): Seq[Merge] =
     base ++ (base.length until size).map(i => Merge(i, s"#$i", s"#$i", 0L))
 
-  /** Free the block-manager state behind a localCheckpoint'ed Dataset.
-    * `Dataset.unpersist()` only drops CacheManager entries; the
-    * checkpoint's RDD blocks live on the RDD itself, reachable through
-    * the `LogicalRDD` leaf the checkpoint returned. Falls back to
-    * ContextCleaner GC if the plan shape ever changes.
-    */
+  /** Free the block-manager state behind a localCheckpoint'ed Dataset —
+    * shared helper ([[graft.core.CacheUtil.freeCheckpoint]], also used
+    * by the IVF maintenance loops). */
   private def freeCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.logical.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
+    graft.core.CacheUtil.freeCheckpoint(df)
 
   /** Train `numMerges` BPE merges over the corpus. Returns the ranked
     * merge table. `minCount` stops early once the best pair drops below

@@ -165,6 +165,7 @@ object Similarity {
       else base.filter(Sampling.hashBucket(col("id"), "ivf-train")
         < math.round(sampleFraction * 1000000L)))
       .localCheckpoint(true) // several actions below; train once, not per-action
+    try {
     // a sparser-than-requested corpus just gets fewer cells — callers
     // must clamp anything derived from nCentroids to the returned size
     var cents: Seq[Seq[Double]] = sample
@@ -193,6 +194,11 @@ object Similarity {
       it += 1
     }
     cents
+    // free the training sample's checkpoint blocks on every exit —
+    // centroids are collected driver state, nothing references the
+    // sample afterwards, and a maintenance loop calling this per cell
+    // would otherwise pin one sample per call until session end
+    } finally graft.core.CacheUtil.freeCheckpoint(sample)
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
@@ -219,12 +225,13 @@ object Similarity {
     // all-zero corpus yields an empty result; a corpus sparser than the
     // requested cell count just probes fewer cells
     if (cents.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(null).cast("long").as("query_id"),
-          lit(null).cast("long").as("rank"),
-          lit(null).cast("long").as("neighbor_id"),
-          lit(null).cast("double").as("cos_sim"))
-        .limit(0)
+      // typed from the INPUTS: the id may be any orderable type, and a
+      // caller unioning per-shard results must get the same schema from
+      // the empty-corpus edge as from the populated path
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        lit(null).cast("long").as("rank"),
+        lit(null).cast(corpus.schema(idCol).dataType).as("neighbor_id"),
+        lit(null).cast("double").as("cos_sim"))
     val probe = math.min(nProbe, cents.size)
     val cBase = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cvec"))
@@ -452,6 +459,7 @@ object Similarity {
       val cell = spark.read.parquet(path).filter(col("cid") === cid)
         .drop("cid")
         .localCheckpoint(true)
+      try {
       val subs = trainCentroids(cell, subCells, lloydIters, sampleFraction,
         idCol, vecCol)
       if (subs.length >= 2) {
@@ -478,6 +486,10 @@ object Similarity {
         fs.delete(new org.apache.hadoop.fs.Path(path, s"cid=$cid"), true)
         ()
       }
+      // the cell's checkpoint blocks are dead once its rewrite (or the
+      // too-sparse skip) completes — freed per iteration, or an N-cell
+      // maintenance pass pins N hot cells in storage until session end
+      } finally graft.core.CacheUtil.freeCheckpoint(cell)
     }
     q
   }
@@ -632,11 +644,11 @@ object Similarity {
     val cents = trainCentroids(df, nCells, lloydIters, sampleFraction,
       idCol, vecCol)
     if (cents.isEmpty)
-      return df.sparkSession.emptyDataFrame
-        .select(lit(null).cast("long").as("id_a"),
-          lit(null).cast("long").as("id_b"),
-          lit(null).cast("double").as("cos_sim"))
-        .limit(0)
+      // typed from the input (the ivfTopK empty-edge rule): id_a/id_b
+      // carry the caller's id type on both the empty and populated paths
+      return df.limit(0).select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"),
+        lit(null).cast("double").as("cos_sim"))
     semanticDupPairsImpl(df, cents, minCos, nBits, nTables, idCol, vecCol)
   }
 
@@ -1041,13 +1053,23 @@ object Similarity {
       .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
       .withColumn("codes", graft.expr.native.pqEncode(
         unitVec(col(vecCol).cast("array<double>")), codebooks))
-    val newCells = assigned.select("cid").distinct()
-      .collect().map(_.getInt(0)).toSet
-    assigned.write.mode("append").partitionBy("cid").parquet(path)
-    // a delivery can populate a previously-empty cell: make it live
+    // same write discipline as ivfAppendIndex: repartition on the
+    // partition column (skip for a single-partition micro-delivery) so
+    // a delivery never writes tasks×cells small files, and derive the
+    // live-cell update from the POST-write directory listing — a
+    // pre-write scan job over the delta would both encode the delta
+    // twice and, on a nondeterministic delta, disagree with what the
+    // write actually produced, leaving a written cell permanently
+    // dead to probedScan
+    val placed =
+      if (assigned.rdd.getNumPartitions <= 1)
+        assigned.sortWithinPartitions("cid")
+      else assigned.repartition(col("cid"))
+    placed.write.mode("append").partitionBy("cid").parquet(path)
     ivfLiveCells(spark, path).foreach { live =>
-      if (!newCells.subsetOf(live))
-        writeLiveCells(spark, path, live ++ newCells)
+      val present = presentCells(spark, path)
+      if (!present.subsetOf(live))
+        writeLiveCells(spark, path, live ++ present)
     }
   }
 
@@ -1086,10 +1108,13 @@ object Similarity {
     val qBase = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qvec"))
       .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
-    val (_, scan) = probedScan(spark, indexPath, qBase, quantizer, nProbe)
+    // ONE probedScan for the whole search: the sweep reuses the same
+    // (probes, scan) pair the rerank reads vectors from — calling the
+    // public ivfPqAdcSweep here would run the probe-cell collect (and,
+    // under PlanAudit, the partition-listing assert) a second time
+    val (probes, scan) = probedScan(spark, indexPath, qBase, quantizer, nProbe)
     val candidates = adcCandidateCut(
-      ivfPqAdcSweep(spark, indexPath, queries, quantizer, codebooks,
-        nProbe, idCol, vecCol), rerank)
+      adcSweepFrom(probes, scan, codebooks, idCol), rerank)
     // rerank: vectors fetched for candidates only, still cell-pruned.
     // A bare join would bound only the join OUTPUT — the scan would
     // still read the wide vector column for every probed-cell row,
@@ -1115,16 +1140,32 @@ object Similarity {
       .join(cVec, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_raw"))
-    val collected = if (maxPushdownIds == 0) Array.empty[org.apache.spark.sql.Row]
+    // the pushdown path materializes ids as Longs — gate it on the id
+    // column actually BEING bigint (the siblings' contract is any
+    // orderable id type; getAs[Long] on an int/string id would throw,
+    // so non-Long ids take the always-lazy shape instead)
+    val longIds = Seq("query_id", "neighbor_id").forall(c =>
+      candidates.schema(c).dataType ==
+        org.apache.spark.sql.types.LongType)
+    val collected =
+      if (maxPushdownIds == 0 || !longIds) Array.empty[org.apache.spark.sql.Row]
       else candidates.limit(maxPushdownIds + 1).collect()
     val rescored =
-      if (maxPushdownIds > 0 && collected.length <= maxPushdownIds) {
+      if (maxPushdownIds > 0 && longIds &&
+          collected.length <= maxPushdownIds) {
         import spark.implicits._
         val local = collected
           .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
           .toSeq.toDF("query_id", "neighbor_id")
         val ids = collected.map(_.getAs[Long]("neighbor_id")).distinct
-        rescoredOf(local, cVecBase.filter(col("neighbor_id").isin(ids: _*)))
+        // InSet + min/max range guard, not a per-literal IN tree: at the
+        // 10^3-10^5-id sizes this pushdown ships, the In-with-literal-
+        // children form costs more driver analysis time than the scan
+        // (NativeExpressions.inLongSet rationale), and the range guard
+        // reaches parquet footers
+        rescoredOf(local, cVecBase.filter(
+          graft.expr.native.inBoundedLongSet(col("neighbor_id"),
+            ids.toIndexedSeq)))
       } else rescoredOf(candidates, cVecBase)
     rankByCosine(rescored, k)
   }
@@ -1142,6 +1183,16 @@ object Similarity {
         col(vecCol).cast("array<double>").as("qvec"))
       .filter(graft.expr.native.arrayDot(col("qvec"), col("qvec")) > 0)
     val (probes, scan) = probedScan(spark, indexPath, qBase, quantizer, nProbe)
+    adcSweepFrom(probes, scan, codebooks, idCol)
+  }
+
+  /** The sweep body over an already-probed (probes, scan) pair — shared
+    * by [[ivfPqAdcSweep]] (which derives the pair itself, the
+    * plan-assertable surface) and [[ivfPqSearchIndex]] (which reuses the
+    * pair its rerank also reads, so one search runs ONE probe collect).
+    */
+  private def adcSweepFrom(probes: DataFrame, scan: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], idCol: String): DataFrame =
     scan.select(col("cid"), col(idCol).as("neighbor_id"), col("codes"))
       .join(broadcast(probes.select(col("cid"), col("query_id"),
         unitVec(col("qvec")).as("qunit"))), Seq("cid"))
@@ -1149,5 +1200,4 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         graft.expr.native.pqAdcDist(col("qunit"), col("codes"), codebooks)
           .as("adc"))
-  }
 }

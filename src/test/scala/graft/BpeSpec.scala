@@ -132,10 +132,15 @@ class BpeSpec extends SparkSpec {
   }
 
   test("encodeCorpus: ordered per-doc streams, replay-equal, mass-conserving") {
+    // docs 4/5: empty and whitespace-only — they must SURVIVE as
+    // ([], 0) rows (an inner explode+join silently dropped them,
+    // breaking downstream joins of token streams back onto the corpus)
     val corpus = Seq(
       (1L, "low lower lowest low"),
       (2L, "new newer lowest"),
-      (3L, "low")).toDF("doc_id", "text")
+      (3L, "low"),
+      (4L, ""),
+      (5L, "   ")).toDF("doc_id", "text")
     val merges = Bpe.train(corpus, numMerges = 8, minCount = 1)
     val out = Bpe.encodeCorpus(corpus, merges)
       .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -157,6 +162,9 @@ class BpeSpec extends SparkSpec {
     // repeated words encode identically at every position (doc 1: 'low' twice)
     assert(out(1L)._1.take(enc("low").size) == enc("low"))
     assert(out(1L)._1.takeRight(enc("low").size) == enc("low"))
+    // wordless docs present with empty streams, not absent
+    assert(out(4L) == (Nil, 0L) && out(5L) == (Nil, 0L),
+      s"empty/whitespace docs must yield ([], 0): ${out.get(4L)}, ${out.get(5L)}")
   }
 
   test("padMerges entries are provably inert") {

@@ -56,6 +56,45 @@ class SimilaritySpec extends SparkSpec {
     // empty / all-zero corpus: empty result, not an exception
     val zero = Seq((7L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(Similarity.ivfTopK(zero, zero, k = 1).isEmpty)
+    // and the empty-edge schema carries the CALLER's id type (string
+    // here) — the populated path does, so a per-shard union must not
+    // hit an AnalysisException only on the empty shard
+    val zeroStr = Seq(("a", Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val emptyR = Similarity.ivfTopK(zeroStr, zeroStr, k = 1)
+    assert(emptyR.isEmpty)
+    assert(emptyR.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType &&
+      emptyR.schema("neighbor_id").dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"empty-edge schema must keep the caller's id type: ${emptyR.schema}")
+    val emptyP = graft.llm.Similarity.semanticDupPairsTrained(zeroStr)
+    assert(emptyP.isEmpty && emptyP.schema("id_a").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("ivfPqSearchIndex handles non-bigint ids (pushdown gated on type)") {
+    // int-typed vec_id: the candidate-pushdown path materializes Longs,
+    // so it must step aside (lazy shape) instead of ClassCastException
+    val intVecs = Seq(
+      (0, Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+      (1, Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+      (2, Seq(0.0f, 3.0f, 0.0f, 1.0f)),
+      (3, Seq(-1.0f, 0.0f, -2.0f, 0.0f)),
+      (4, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(intVecs, nCentroids = 2,
+      lloydIters = 1)
+    val cbs = Similarity.trainPqCodebooks(intVecs, numSub = 2,
+      codesPerSub = 4, lloydIters = 1)
+    val idx = tmpDir("wh-ivfpq-int") + "/index"
+    Similarity.ivfPqWriteIndex(intVecs, graft.llm.IvfQuantizer(cents),
+      cbs, idx)
+    val res = Similarity.ivfPqSearchIndex(spark, idx,
+      intVecs.filter(col("vec_id") === 0), k = 1,
+      graft.llm.IvfQuantizer(cents), cbs, nProbe = 2, rerank = 2)
+      .collect()
+    assert(res.nonEmpty && res(0).getAs[Int]("neighbor_id") == 1,
+      s"twin not found over int ids: ${res.toSeq}")
   }
 
   test("ivfTopK recall vs brute force on real embeddings") {
