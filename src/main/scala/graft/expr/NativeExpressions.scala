@@ -919,6 +919,23 @@ object native {
     * anyway. Membership-only — pair with [[inBoundedLongSet]] when the
     * column is a parquet-sortable id so footers can prune.
     */
+  /** Call-boundary guard for [[inLongSet]]'s integral-only contract:
+    * the long cast TRUNCATES a fractional column (5.9 matches 5), and
+    * in the negated loser-filter form that silently drops extra rows —
+    * strictly worse than a loud failure. Assert wherever a resolved
+    * schema exists before building the InSet, so a future caller with
+    * a double id fails fast instead of truncating.
+    */
+  def requireIntegralId(df: org.apache.spark.sql.DataFrame,
+      colName: String, context: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(colName).dataType
+    val ok = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    require(ok, s"$context: id column '$colName' must be integral for " +
+      s"the InSet pushdown (a fractional id would truncate through the " +
+      s"long cast), got ${dt.simpleString}")
+  }
   def inLongSet(col: Column, values: Iterable[Long]): Column = {
     val set: Set[Any] = values.iterator.map(v => Long.box(v): Any).toSet
     // InSet bypasses the analyzer coercion In would have received, and

@@ -728,7 +728,10 @@ object Dedup {
       case Left(local) if local.length <= pushdownBound =>
         val losers = local.collect { case (id, c) if id != c => id }
         if (losers.isEmpty) df
-        else df.filter(!graft.expr.native.inLongSet(col(idCol), losers))
+        else {
+          graft.expr.native.requireIntegralId(df, idCol, "dropClusterLosers")
+          df.filter(!graft.expr.native.inLongSet(col(idCol), losers))
+        }
       case other =>
         val labels = other match {
           case Left(local) =>
@@ -749,11 +752,21 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     dropClusterLosers(df, nearDupPairs(df, minJaccard, textCol, idCol), idCol)
 
-  /** Whether the last [[dropNearDupLosersBounded]] ran the driver-local
-    * bounded path (diagnostic side channel, the `lastCcRounds` pattern —
-    * the equivalence spec asserts each path actually executed).
+  /** Whether the last [[dropNearDupLosersBounded]] ON THIS THREAD ran
+    * the driver-local bounded path (diagnostic side channel, the
+    * `lastCcRounds` pattern — the equivalence spec asserts each path
+    * actually executed). THREAD-LOCAL, not a shared global: the
+    * forced-distributed gates require(!flag) right after building
+    * their plan on the same caller thread, and a shared @volatile
+    * could be clobbered by a concurrent gate construction between the
+    * decision and the require — turning the guard into a false RED or
+    * a silent pass.
     */
-  @volatile var lastNearDupLocal: Boolean = false
+  private val _lastNearDupLocal = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  def lastNearDupLocal: Boolean = _lastNearDupLocal.get()
+  def lastNearDupLocal_=(v: Boolean): Unit = _lastNearDupLocal.set(v)
 
   /** Near-dup survivor filter over a PREPARED signature/shingle state
     * table (id, sig, arr) — the bounded-probe twin of the distributed
@@ -880,7 +893,11 @@ object Dedup {
       if (find(id) != id) losers += id
     }
     if (losers.isEmpty) df
-    else df.filter(!graft.expr.native.inLongSet(col(idCol), losers))
+    else {
+      graft.expr.native.requireIntegralId(df, idCol,
+        "dropNearDupLosersBounded")
+      df.filter(!graft.expr.native.inLongSet(col(idCol), losers))
+    }
   }
 
   // ------------------------------------------------------- n-gram Jaccard

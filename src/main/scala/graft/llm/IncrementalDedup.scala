@@ -147,13 +147,20 @@ object IncrementalDedup {
     */
   @volatile var lastStagePlans: Seq[graft.core.PlanAudit.Stage] = Nil
 
-  /** Whether the last [[addDelivery]] admission ran the driver-local
-    * bounded path (vs the distributed join pipeline) — diagnostic side
-    * channel (the `Dedup.lastCcRounds` pattern) so the equivalence spec
-    * can assert each path actually executed. Nothing in the engine
-    * reads it.
+  /** Whether the last [[addDelivery]] admission ON THIS THREAD ran the
+    * driver-local bounded path (vs the distributed join pipeline) —
+    * diagnostic side channel (the `Dedup.lastCcRounds` pattern) so the
+    * equivalence spec can assert each path actually executed. Nothing
+    * in the engine reads it. THREAD-LOCAL, not a shared global: the
+    * forced-distributed gate's require(!flag) runs on the same caller
+    * thread as the addDelivery that set it, and a shared @volatile
+    * could be clobbered by a concurrent caller between the two.
     */
-  @volatile var lastAdmissionLocal: Boolean = false
+  private val _lastAdmissionLocal = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  def lastAdmissionLocal: Boolean = _lastAdmissionLocal.get()
+  def lastAdmissionLocal_=(v: Boolean): Unit = _lastAdmissionLocal.set(v)
 
   // -------------------------------------------------------------------
   // Monotone-id bound: the max id ever admitted, kept as an O(1)
@@ -265,6 +272,11 @@ object IncrementalDedup {
       layout: IndexLayout = FlatIndex,
       driverAdmissionMaxBytes: Long = DriverAdmissionMaxBytes): DataFrame = {
     val spark = delivery.sparkSession
+    // admission ids flow into getLong collects and negated inLongSet
+    // loser filters — a fractional id would truncate through the long
+    // cast and silently drop extra rows; fail fast at the boundary
+    graft.expr.native.requireIntegralId(delivery, idCol,
+      "IncrementalDedup.addDelivery")
     val k = bands * rowsPerBand
     // manifest read ONCE per admission (replay guard + stage ordinal);
     // layout.append re-reads under its own commit discipline

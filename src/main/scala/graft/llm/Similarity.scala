@@ -281,17 +281,47 @@ object Similarity {
     }
   }
 
-  private def writeLiveCells(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeLiveCells(spark: org.apache.spark.sql.SparkSession,
       path: String, cells: Set[Int]): Unit = {
     val fs = fsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path, "_cells.tmp")
-    val out = fs.create(tmp, true)
-    out.write(cells.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    out.close()
     val dst = cellsManifestPath(path)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
-    ()
+    // UNIQUE tmp stem + CHECKED rename — the writeIdBound treatment:
+    // a fixed shared `_cells.tmp` with fs.create(overwrite) lets
+    // concurrent appenders clobber each other's staged bytes, and an
+    // unchecked rename=false silently drops the manifest update,
+    // leaving a freshly appended cell dead to probedScan until a later
+    // append self-heals. The .tmp suffix keeps stragglers out of the
+    // hard-link clone walk; the unique stem keeps writers off one path.
+    var want = cells
+    var attempts = 0
+    var committed = false
+    while (!committed && attempts < 3) {
+      attempts += 1
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        s"_cells.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      out.write(want.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+      if (fs.exists(dst)) fs.delete(dst, false)
+      committed = fs.rename(tmp, dst)
+      if (!committed) {
+        fs.delete(tmp, false)
+        // a racer committed between the delete and the rename. Under
+        // concurrent APPENDS the manifest is a monotone set union —
+        // losing to a superset is success; otherwise fold the winner's
+        // set in and retry. (Recluster SHRINKS the set, but cell
+        // maintenance is single-writer by contract, so the only live
+        // race here is append-vs-append.)
+        val now = ivfLiveCells(spark, path).getOrElse(Set.empty)
+        if (want.subsetOf(now)) return
+        want = want ++ now
+      }
+    }
+    if (!committed)
+      throw new IllegalStateException(
+        s"writeLiveCells: could not commit $dst after $attempts " +
+          "attempts (racing writers?) — refusing to leave a fresh " +
+          "cell dead to probedScan")
   }
 
   /** Cells physically present in the index layout, from the hive

@@ -309,4 +309,24 @@ class DedupSpec extends SparkSpec {
       .filter(col("jaccard") >= 0.5).count() == 0,
       "no empty-set pair may pass a threshold filter")
   }
+
+  test("dropClusterLosers fails fast on a fractional id column " +
+      "(InSet long cast would truncate)") {
+    // the pushed loser filter casts the id column to long for the
+    // single-InSet probe; on a double id 5.9 would match 5 and the
+    // NEGATED filter would silently drop extra rows — the boundary
+    // must reject it loudly instead (advisor r16, low)
+    val df = Seq((1.0, "a"), (2.5, "b"), (2.9, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dropClusterLosers(df, pairs)
+    }
+    assert(ex.getMessage.contains("must be integral"))
+    // integer ids keep working (the cast widens, no truncation)
+    val intDf = Seq((1, "a"), (2, "b"), (3, "c")).toDF("doc_id", "text")
+    val kept = Dedup.dropClusterLosers(intDf, pairs)
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(1, 2), s"int-id loser drop broken: $kept")
+  }
 }

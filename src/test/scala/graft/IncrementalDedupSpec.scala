@@ -158,6 +158,20 @@ class IncrementalDedupSpec extends SparkSpec {
         spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq)
   }
 
+  test("addDelivery fails fast on a fractional id column") {
+    // admission ids flow into getLong collects and NEGATED inLongSet
+    // loser filters: a double id would truncate through the long cast
+    // (5.9 matches 5) and silently drop extra rows — the boundary must
+    // reject it loudly (advisor r16, low)
+    val root = tmpDir("incr-dedup-fracid")
+    val frac = Seq((1.5, "some text here"), (2.0, "other text there"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.addDelivery(frac, root)
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
   test("an empty delivery resets the admission-path flag") {
     // the empty-delivery early return runs NO admission; the flag must
     // not carry a stale true from a previous call, or a

@@ -358,6 +358,42 @@ class ScaleOpsSpec extends SparkSpec {
       viaRebuild.exceptAll(viaAppend).isEmpty)
   }
 
+  test("writeLiveCells commit discipline: unique tmp stems, checked " +
+      "rename, no litter under contention") {
+    // the r16 _maxid treatment applied to the cell manifest (advisor
+    // r16, low): a fixed shared `_cells.tmp` + unchecked rename could
+    // silently drop a manifest update under racing appenders, leaving
+    // a freshly appended cell dead to probedScan
+    val root = tmpDir("wh-ivf-cells")
+    def fsOf = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sequential correctness + idempotent overwrite
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(3, 1, 2))
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(5, 4))
+    assert(graft.llm.Similarity.ivfLiveCells(spark, root)
+      .contains(Set(4, 5)))
+    // contention: 8 writers race one manifest; none may throw, and the
+    // surviving manifest must be a well-formed subset-union of the
+    // committed sets (checked rename + merge-retry — a lost rename is
+    // either retried or lost-to-a-superset)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try graft.llm.Similarity.writeLiveCells(spark, root, Set(100 + i))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing writeLiveCells threw: ${errs.peek()}")
+    val live = graft.llm.Similarity.ivfLiveCells(spark, root).get
+    assert(live.nonEmpty && live.subsetOf((100 to 107).toSet ++ Set(4, 5)),
+      s"manifest corrupted under contention: $live")
+    // no tmp litter: every unique-stem staging file was renamed away
+    // or deleted on a failed rename
+    val leftover = fsOf.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"staging litter: ${leftover.mkString(",")}")
+  }
+
   test("index maintenance tolerates non-numeric cid= directories") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,
