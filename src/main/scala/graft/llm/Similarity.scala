@@ -440,6 +440,114 @@ object Similarity {
       vecCol: String = "embedding"): Unit =
     ivfAppendIndex(delta, IvfQuantizer(centroids), path, idCol, vecCol)
 
+  /** Exactly-once [[ivfAppendIndex]] for REPLAYED writers (a streaming
+    * foreachBatch re-runs its micro-batch after recovery): the same
+    * tag-ledger discipline as the incremental-dedup index
+    * ([[graft.sources.Warehouse.deltaAppendTagged]]) grafted onto the
+    * IVF layout, whose data must stay under flat `cid=` partitions for
+    * probed-cell pruning — so instead of per-tag generation
+    * directories, the batch is (1) STAGED under `_staging/<tag>/`
+    * (underscore-hidden from every index scan), (2) a move-list of
+    * final destinations is written into the staging dir, (3) staged
+    * files are renamed into their live cells under tag-stamped names,
+    * and (4) the tag is committed to the index's manifest ledger. A
+    * replayed COMMITTED tag is a no-op; a replay of a CRASHED attempt
+    * first deletes exactly the destinations its move-list names — an
+    * O(delta) reclaim, never an index sweep — then re-runs, so
+    * admission is exactly-once at every crash point. Same scale shape
+    * as [[ivfAppendIndex]]: O(delta) work, resident cells untouched,
+    * frozen quantizer. HARD PRECONDITION (as deltaAppendTagged): the
+    * tag is writer-unique — one live writer per tag, the foreachBatch
+    * epoch contract. Returns true iff this call performed the append.
+    */
+  def ivfAppendIndexTagged(delta: DataFrame, quantizer: IvfQuantizer,
+      path: String, tag: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    require(quantizer.centroids.nonEmpty,
+      "ivfAppendIndexTagged needs the index's quantizer")
+    require(tag.nonEmpty && !tag.contains("/"),
+      s"tag must be a plain name, got '$tag'")
+    val spark = delta.sparkSession
+    val gen = s"gen-ivf-$tag"
+    // ledger, not live: compaction never folds IVF cells, but the
+    // shared resolver keeps replay guards uniform across index kinds
+    if (graft.sources.Warehouse.generationLedger(spark, path)
+        .contains(gen)) return false
+    val fs = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path, s"_staging/$tag")
+    val moveList = new org.apache.hadoop.fs.Path(staging, "_movelist")
+    // reclaim a crashed earlier attempt: the move-list names every
+    // destination the attempt could have reached, so deleting exactly
+    // those (idempotent — unmoved ones don't exist) restores the
+    // pre-attempt index without scanning it
+    if (fs.exists(moveList)) {
+      val in = fs.open(moveList)
+      val targets = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+      targets.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, t), false))
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val assigned = delta.select(col(idCol), col(vecCol))
+      .filter(graft.expr.native.arrayDot(
+        col(vecCol).cast("array<double>"),
+        col(vecCol).cast("array<double>")) > 0)
+      .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
+    // same small-files discipline as ivfAppendIndex (one file per
+    // touched cell for a micro-delivery)
+    val placed =
+      if (assigned.rdd.getNumPartitions <= 1)
+        assigned.sortWithinPartitions("cid")
+      else assigned.repartition(col("cid"))
+    placed.write.mode("errorifexists").partitionBy("cid")
+      .parquet(staging.toString)
+    // enumerate staged data files → tag-stamped destinations in the
+    // live layout (filenames carry the tag for debuggability; the
+    // reclaim contract reads the move-list, not the name pattern)
+    val moves = {
+      val it = fs.listFiles(staging, true)
+      val b = List.newBuilder[(org.apache.hadoop.fs.Path, String)]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        val parent = f.getPath.getParent.getName
+        if (name.endsWith(".parquet") && parent.startsWith("cid="))
+          b += (f.getPath -> s"$parent/t-$tag-$name")
+      }
+      b.result()
+    }
+    if (moves.nonEmpty) {
+      // COMMIT ORDER: move-list first (create-if-absent — the staging
+      // dir was reclaimed above, so an existing file is a racing
+      // writer on our tag, a precondition violation worth crashing on),
+      // then the renames, then live cells, then the ledger tag
+      val out = fs.create(moveList, false)
+      out.write(moves.map(_._2).mkString("\n").getBytes("UTF-8"))
+      out.close()
+      moves.foreach { case (src, rel) =>
+        val dst = new org.apache.hadoop.fs.Path(path, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst), s"staging move failed: $src -> $dst")
+      }
+      // newly populated cells become live (monotone union — harmless
+      // if the tag commit below never lands: a live cell whose files
+      // were reclaimed scans as empty)
+      ivfLiveCells(spark, path).foreach { live =>
+        val present = presentCells(spark, path)
+        if (!present.subsetOf(live))
+          writeLiveCells(spark, path, live ++ present)
+      }
+    }
+    graft.sources.Warehouse.commitNextVersion(spark, path, gen)
+    fs.delete(staging, true)
+    true
+  }
+
+  def ivfAppendIndexTagged(delta: DataFrame, centroids: Seq[Seq[Double]],
+      path: String, tag: String): Boolean =
+    ivfAppendIndexTagged(delta, IvfQuantizer(centroids), path, tag)
+
   /** Cell-skew maintenance for an append-maintained index
     * ([[ivfAppendIndex]] freezes the quantizer, so a drifting delivery
     * stream concentrates into whatever cells the drift points at until

@@ -1650,6 +1650,42 @@ object LlmQueries {
         .select(col("id").as("doc_id"))
     }),
 
+    // STREAMING ANN-index maintenance: the twin wave arrives as a
+    // file-source micro-batch through DocStream.ivfAppendSink
+    // (foreachBatch → Similarity.ivfAppendIndexTagged against the
+    // persisted IVF index) — completing the "every index maintainable
+    // from a stream" story next to st_incremental_dedup. Same twin
+    // contract as x_cosine_ann_ivf_append (the stream-maintained index
+    // must search-match a full rebuild over the union), PLUS the
+    // exactly-once tag ledger: a double-admitted replay would put k+1
+    // exact-equal corpus rows per probe and trip annTwinGate's parity
+    // guard. Timed region = per-trigger cost against a resident index
+    // clone: one micro-batch staged-append + the probed search — the
+    // maintenance shape a 24/7 embedding intake pays at a 100 TB index.
+    // Multi-trigger ordering, crash reclaim, and replay idempotence are
+    // pinned by StreamIvfAppendSpec.
+    "st_ivf_append" -> ((s, dir) => {
+      val cents = pseudorandomCentroids(n = 16, dim = 64)
+      annTwinGate(s, dir, (c, q) => {
+        val base = ivfAppendBaseOnce(s, dir,
+          c.filter(col("vec_id") < 1000000L), cents)
+        val root = cloneIndex(s, base, "st_ivf_append")
+        val delta = c.filter(col("vec_id") >= 1000000L)
+        // stream-source file is a deterministic function of the corpus
+        // — staged once per session; index clone + checkpoint stay
+        // fresh per invocation (a reused checkpoint would mark the
+        // batch committed and skip the admission being timed)
+        val srcDir = stStageOnce(s, dir, Seq(delta), key = "st-ivf")
+        val stream = s.readStream.schema(delta.schema).parquet(srcDir)
+        val ckpt = freshIndexRoot(s, "st_ivf_append_ckpt")
+        val qy = graft.streaming.DocStream.ivfAppendSink(stream,
+          graft.llm.IvfQuantizer(cents), root, ckpt)
+        qy.processAllAvailable()
+        qy.stop()
+        Similarity.ivfSearchIndex(s, root, q, k = 5, cents, nProbe = 4)
+      }, k = 5)
+    }),
+
     // schema-drift-tolerant ingestion: two delivery generations of the
     // same corpus with mutually cast-INCOMPATIBLE schemas — gen1 predates
     // `source`/`n_chars`/`quality` and stores doc_id narrowed to INT32;
@@ -3289,6 +3325,22 @@ object LlmQueries {
     // same twin contract as the pruned gate: append-maintained index
     // must return exactly what a full rebuild over the union returns
     "x_cosine_ann_ivf_append" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings
+           WHERE vec_id < 8)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           1.0::DOUBLE AS cos_sim
+         FROM embeddings q JOIN corpus c
+           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 8
+           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+
+    // streaming twin of x_cosine_ann_ivf_append: identical rebuild-
+    // equality contract through the exactly-once micro-batch sink (a
+    // replayed double admission would break the per-probe parity)
+    "st_ivf_append" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL

@@ -92,6 +92,48 @@ object DocStream {
       }
       .start()
 
+  /** Streaming twin of [[graft.llm.Similarity.ivfAppendIndex]] — the
+    * index-maintenance story [[incrementalDedupSink]] gives the dedup
+    * index, for the ANN index: each micro-batch of (id, vector) rows is
+    * assigned against the index's FROZEN quantizer and appended under
+    * its live `cid=` cells, so the stream-maintained index serves
+    * [[graft.llm.Similarity.ivfSearchIndex]] queries identically to a
+    * full rebuild over everything ever delivered (the
+    * `x_cosine_ann_ivf_append` twin contract, continuously).
+    *
+    * Exactly-once admission: the micro-batch id tags the append
+    * ([[graft.llm.Similarity.ivfAppendIndexTagged]] — staged write,
+    * move-list, ledger commit), so a replayed batch after recovery is a
+    * no-op and a crashed attempt is reclaimed file-exactly before the
+    * retry. Scale shape per trigger: O(batch) assignment against
+    * broadcast centroids, one file per touched cell, resident cells
+    * never read or rewritten — the maintenance cost a 24/7 embedding
+    * intake against a 100 TB index can actually pay.
+    */
+  def ivfAppendSink(vecs: DataFrame,
+      quantizer: graft.llm.IvfQuantizer, indexPath: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Similarity.ivfAppendIndexTagged(batch, quantizer,
+          indexPath, f"batch-$batchId%09d", idCol, vecCol)
+        ()
+      }
+      .start()
+
+  def ivfAppendSink(vecs: DataFrame, centroids: Seq[Seq[Double]],
+      indexPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ivfAppendSink(vecs, graft.llm.IvfQuantizer(centroids),
+      indexPath, checkpointDir)
+
   /** Drift-tolerant streaming intake over per-generation delivery
     * directories: one file stream per generation (each pinned to its
     * generation's physical schema — a streaming scan needs an explicit
