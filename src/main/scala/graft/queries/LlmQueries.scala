@@ -1307,6 +1307,50 @@ object LlmQueries {
           md5(concat_ws(" ", col("tokens"))).as("token_hash"))
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenization — the second
+    // industry-standard tokenizer family next to BPE. The gate runs the
+    // EM-free deterministic operating point so the oracle can replay it
+    // exactly: vocab = all single chars + the top-256 substrings
+    // (len ≤ 3) by (freq-weighted count DESC, piece ASC) over the
+    // bounded-length ASCII word slice; piece log-probs quantize to 1e9
+    // integer units (the BM25 cross-engine protocol, boundary-asserted
+    // in quantizedLogProbs), so the Viterbi objective — max Σ score_u,
+    // tie → min token count — is exact BIGINT arithmetic in both
+    // engines, and the exported (score_u, n_pieces) pair is tie-UNIQUE
+    // by construction (max score unique; min n among max-score unique)
+    // — no float or segmentation-choice ambiguity can flake the hash.
+    // DuckDB replays Viterbi by exhaustive recursive segmentation
+    // (correct by definition of max), which the ≤10-char slice keeps
+    // tractable; EM training itself is engine state, pinned by
+    // UnigramSpec (hand-computed EM round, Viterbi ≡ exhaustive on
+    // random vocabs, prune-tie determinism). At 100 TB: one word-count
+    // shuffle, |vocab|-row driver state, partition-local DP over the
+    // DISTINCT-word table against the broadcast vocab — the
+    // Bpe.encodeCorpus scale shape.
+    "x_unigram_tokenize" -> ((s, dir) => {
+      val w = graft.llm.Bpe.wordFreqs(docs(s, dir))
+        .filter(col("word").rlike("^[A-Za-z0-9]+$") &&
+          length(col("word")) <= 10)
+      val vocab = graft.llm.Unigram.frequencyVocab(w, maxPieceLen = 3,
+        topPieces = 256)
+      val scores = graft.llm.Unigram.quantizedLogProbs(vocab)
+      // per-doc totals via the encodeCorpus composition: DISTINCT words
+      // Viterbi-encoded once, joined back — exact BIGINT sums per doc
+      // (token IDENTITY stays out of the compared output: among
+      // (score, n)-optimal segmentations the chosen array is an
+      // implementation tie-break, pinned Spark-side by UnigramSpec)
+      val enc = graft.llm.Unigram.encodeWords(w.select("word"), scores,
+        maxPieceLen = 3)
+        .select(col("word"), col("n_pieces"), col("score_u"))
+      docs(s, dir).select(col("doc_id"),
+          explode(filter(split(col("text"), " "),
+            x => x.rlike("^[A-Za-z0-9]{1,10}$"))).as("word"))
+        .join(enc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_pieces")).as("n_tokens"),
+          sum(col("score_u")).as("score_u"))
+    }),
+
     // BPE training determinism under ties: a literal corpus planting an
     // equal-count argmax tie at rank 0 ((a,b) vs (c,d), n=5 — resolved
     // left ASC) and a multi-char tie at rank 2 ((ab,ab) vs (cd,cd),
@@ -2683,6 +2727,65 @@ object LlmQueries {
          SELECT d.doc_id, sum(w.n_toks)::BIGINT AS n_tokens,
            md5(string_agg(w.toks, ' ' ORDER BY d.pos)) AS token_hash
          FROM docw d JOIN wordtok w USING (word)
+         GROUP BY d.doc_id""",
+
+    // exhaustive-segmentation replay of the Viterbi objective: every
+    // segmentation of every (≤10-char) word into vocab pieces is
+    // enumerated by the recursive CTE; max score (tie → min tokens) is
+    // the Viterbi optimum by definition. Scores are exact BIGINT
+    // micro-units (ln quantized once, boundary-asserted Spark-side).
+    "x_unigram_tokenize" ->
+      """WITH RECURSIVE
+         words AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
+             AND length(word) <= 10
+           GROUP BY 1),
+         cand AS MATERIALIZED (
+           SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+             SELECT freq, unnest(flatten(list_transform(
+               range(1, length(word) + 1),
+               i -> list_transform(
+                 range(1, least(3, length(word) - i + 1) + 1),
+                 l -> substr(word, i::INT, l::INT))))) AS piece
+             FROM words)
+           GROUP BY 1),
+         vocab0 AS MATERIALIZED (
+           SELECT piece, cnt FROM cand WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (
+             SELECT piece, cnt FROM cand WHERE length(piece) >= 2
+             ORDER BY cnt DESC, piece ASC LIMIT 256) t),
+         vocab AS MATERIALIZED (
+           SELECT piece, length(piece) AS pl,
+             round(1e9 * ln(cnt / (SELECT sum(cnt)::DOUBLE FROM vocab0)))
+               ::BIGINT AS score_u
+           FROM vocab0),
+         seg AS (
+           SELECT word, length(word) AS wl, 0 AS pos,
+             0::BIGINT AS score, 0::BIGINT AS n
+           FROM words
+           UNION ALL
+           SELECT s.word, s.wl, s.pos + v.pl, s.score + v.score_u, s.n + 1
+           FROM seg s JOIN vocab v
+             ON v.piece = substr(s.word, s.pos + 1, v.pl)
+           WHERE s.pos < s.wl AND s.pos + v.pl <= s.wl),
+         wordbest AS MATERIALIZED (
+           SELECT word, n AS n_pieces, score AS word_score FROM (
+             SELECT word, score, n, row_number() OVER (
+               PARTITION BY word ORDER BY score DESC, n ASC) AS rn
+             FROM seg WHERE pos = wl) t
+           WHERE rn = 1),
+         docw AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
+             AND length(word) <= 10)
+         SELECT d.doc_id, sum(w.n_pieces)::BIGINT AS n_tokens,
+           sum(w.word_score)::BIGINT AS score_u
+         FROM docw d JOIN wordbest w USING (word)
          GROUP BY d.doc_id""",
 
     // precomputed expected merge sequence for the literal tie corpus
