@@ -447,6 +447,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateClustersLocal union-find ≡ distributed " +
+      "pointer-doubling ≡ BFS ground truth on random graphs") {
+    import graft.llm.Dedup
+    // graph shapes the fixed-corpus specs miss: long chains (diameter
+    // stresses the O(log d) delta loop), reversed chains, all-self-edge
+    // graphs, plus random extra edges (duplicates/reversals included)
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40) // node universe 0..n-1
+      shape <- Gen.oneOf(0, 1, 2, 3)
+      extra <- Gen.chooseNum(0, 30)
+      randomPairs <- Gen.listOfN(extra, for {
+        a <- Gen.chooseNum(0L, (n - 1).toLong)
+        b <- Gen.chooseNum(0L, (n - 1).toLong)
+      } yield (a, b))
+    } yield {
+      val base: Seq[(Long, Long)] = shape match {
+        case 0 => (0L until (n - 1).toLong).map(i => (i, i + 1)) // chain
+        case 1 => (0L until (n - 1).toLong).map(i => (i + 1, i)) // reversed
+        case 2 => (0L until n.toLong).map(i => (i, i)) // self-edges only
+        case _ => Seq.empty
+      }
+      base ++ randomPairs
+    }
+    // independent ground truth: label every node in the edge set with
+    // its component's minimum id (plain BFS, no Spark, no union-find)
+    def bfsLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      def link(a: Long, b: Long): Unit = {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      edges.foreach { case (a, b) => link(a, b) }
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!label.contains(start)) {
+          val comp = scala.collection.mutable.ArrayBuffer(start)
+          val seen = scala.collection.mutable.Set(start)
+          var qi = 0
+          while (qi < comp.length) {
+            adj(comp(qi)).foreach(nb =>
+              if (seen.add(nb)) comp += nb)
+            qi += 1
+          }
+          val m = comp.min
+          comp.foreach(id => label(id) = m)
+        }
+      }
+      label.toMap
+    }
+    val cases = samples(edgeGen.suchThat(_.nonEmpty), 60)
+    assert(cases.length >= 50, s"generator starved: ${cases.length}")
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      val pairsDf = edges.toDF("id_a", "id_b")
+      val truth = bfsLabels(edges)
+      val local = Dedup.duplicateClustersLocal(pairsDf) match {
+        case Left(arr) => arr.toMap
+        case Right(_) => fail(s"case $i: expected the driver fast path")
+      }
+      val dist = Dedup.duplicateClustersLocal(pairsDf,
+          driverMaxPairs = 0) match {
+        case Right(df) =>
+          df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        case Left(_) => fail(s"case $i: expected the distributed path")
+      }
+      assert(local == truth,
+        s"case $i: union-find diverged from BFS\n edges=$edges\n " +
+          s"local=$local\n truth=$truth")
+      assert(dist == truth,
+        s"case $i: pointer-doubling diverged from BFS\n edges=$edges\n " +
+          s"dist=$dist\n truth=$truth")
+    }
+  }
+
   test("ReplaceMany rejects a replacement containing ANY pattern char") {
     // (ab→X),(cX→Y) passes a lead-char-only check yet diverges from the
     // replace chain on "cab" (chain: "Y"; scan: "cX") — the validator
