@@ -70,6 +70,61 @@ object Bench {
     */
   def publishable(spread: Double): Boolean = spread <= SpreadPublishBar
 
+  /** Window-normalized per-gate regression screen against the COMMITTED
+    * reference artifact — the r16 lesson automated: a whole-window heat
+    * difference (the box running ~10% hotter) inflates every gate
+    * uniformly and is NOT a regression, so each gate's now/ref ratio is
+    * divided by the shared-gate total ratio before the threshold test.
+    * Gates under `floorSec` in both runs are skipped (sub-100ms gates
+    * re-rank on scheduler jitter alone); failed gates (negative
+    * medians) and gates absent from either side (new/retired) are
+    * excluded. Pure so ContractSpec can pin the screen's shape.
+    * Returns (windowRatio, gate → (now, ref, normalized)) where
+    * windowRatio is the MEDIAN of shared-gate ratios.
+    */
+  def regressionOutliers(now: Map[String, Double], ref: Map[String, Double],
+      threshold: Double = 1.3, floorSec: Double = 0.1)
+      : (Double, Map[String, (Double, Double, Double)]) = {
+    val shared = now.keySet.intersect(ref.keySet)
+      .filter(k => now(k) > 0 && ref(k) > 0)
+    if (shared.isEmpty) return (1.0, Map.empty)
+    // MEDIAN of per-gate ratios, not the total ratio: a single large
+    // regressed gate inflates the shared total and would mask itself,
+    // while the median is unmoved by a few true regressions and equals
+    // the uniform heat factor on a quiet diff
+    val ratios = shared.toSeq.map(g => now(g) / ref(g)).sorted
+    val windowRatio = ratios(ratios.length / 2)
+    val outliers = shared.iterator.flatMap { g =>
+      val n = now(g); val r = ref(g)
+      val norm = (n / r) / windowRatio
+      if (norm > threshold && math.max(n, r) >= floorSec)
+        Some(g -> (n, r, norm))
+      else None
+    }.toMap
+    (windowRatio, outliers)
+  }
+
+  /** Per-gate medians of a committed bench artifact (its `detail` map);
+    * empty when the file is missing or unparseable — the screen then
+    * reports no outliers rather than failing the run.
+    */
+  def readCommittedMedians(path: String): Map[String, Double] = try {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(f)
+    val det = root.get("detail")
+    if (det == null) return Map.empty
+    val it = det.fields()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) {
+      val e = it.next()
+      val m = e.getValue.get("median")
+      if (m != null) b += e.getKey -> m.asDouble()
+    }
+    b.result()
+  } catch { case _: Throwable => Map.empty }
+
   /** Committable artifact name iff the run EXPLICITLY asked to publish;
     * trial name (gitignored) otherwise. Pure so ContractSpec can pin
     * that no default invocation can reach the committable name.
@@ -229,6 +284,15 @@ object Bench {
     // committable name; every other run writes bench_trial_<sf>.json
     // (gitignored) plus the volatile targets.
     val artifactName = artifactFileName(sfTag, args, sys.env)
+    // regression tripwire vs the COMMITTED same-SF artifact, read
+    // BEFORE any write below can touch it (a publish run overwrites
+    // the very file it screens against)
+    val referenceName = s"bench_$sfTag.json"
+    val refMedians = readCommittedMedians(referenceName)
+    val nowMedians = rows.collect {
+      case (n, m, _) if m > 0 => n -> m
+    }.toMap
+    val (windowRatio, outliers) = regressionOutliers(nowMedians, refMedians)
     // spread + publishable travel IN the artifact (and the driver's
     // stdout-tail capture): a noisy window is marked non-publishable at
     // measurement time instead of re-ranking queries in a later report
@@ -238,7 +302,7 @@ object Bench {
     def summaryLine(entries: Seq[(String, Double)], elided: Int): String = {
       val qs = entries.map { case (n, m) => "\"" + n + "\":" + r3(m) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"$artifactName","sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"regression_outliers":${outliers.size},"queries":$qs,"queries_elided":$elided,"failed":$failedNames,"detail_file":"$artifactName","sf":"$sfDir","runs":$Runs}"""
     }
     val bySlowest = rows.sortBy { case (_, m, _) => -math.abs(m) }
       .map { case (n, m, _) => (n, m) }
@@ -255,8 +319,22 @@ object Bench {
       val qmin = r4(ts.map(math.abs).min)
       s""""$n":{"median":${r4(med)},"min":$qmin,"runs":$runs,"spread":$spread}"""
     }.mkString("{", ",", "}")
+    val outliersJson = outliers.toSeq.sortBy(-_._2._3)
+      .map { case (g, (n, r, norm)) =>
+        s""""$g":{"now":${r4(n)},"ref":${r4(r)},"normalized":${r3(norm)}}""" }
+      .mkString("{", ",", "}")
+    val regressionsJson =
+      s"""{"reference":"$referenceName","shared_gates":${
+        nowMedians.keySet.intersect(refMedians.keySet).size
+      },"window_ratio":${r3(windowRatio)},"threshold":1.3,"outliers":$outliersJson}"""
+    if (outliers.nonEmpty)
+      System.err.println(s"BENCH REGRESSION SCREEN: ${outliers.size} " +
+        s"window-normalized outlier(s) vs $referenceName " +
+        s"(window ${r3(windowRatio)}x): " +
+        outliers.toSeq.sortBy(-_._2._3).take(5).map { case (g, (n, r, norm)) =>
+          f"$g $r%.2f->$n%.2fs (${norm}%.2fx)" }.mkString(", "))
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"noisy_pass_reruns":$reruns,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"spread":$spread,"publishable":$pub,"pass_totals":${passTotals.map(r4).mkString("[", ",", "]")},"noisy_pass_reruns":$reruns,"regressions":$regressionsJson,"queries":$qsCompact,"detail":$qsFull,"failed":$failedNames,"sf":"$sfDir","runs":$Runs}"""
     Seq("/tmp/bench.json", "bench_latest.json", artifactName).foreach { p =>
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))

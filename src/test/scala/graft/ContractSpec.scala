@@ -57,6 +57,41 @@ class ContractSpec extends SparkSpec {
       s"new queries not yet in gates_manifest.txt (append them): $unlisted")
   }
 
+  // r16's 45.3 vs 37.0s driver-window confusion, automated: the screen
+  // must normalize uniform window heat away, flag a genuine per-gate
+  // plan regression, and exempt micro-gates (scheduler jitter) and
+  // gates present on only one side (new/retired/failed).
+  test("bench regression screen: heat-normalized, flags a planted " +
+      "regression, exempts micro and one-sided gates") {
+    val ref = (1 to 10).map(i => s"g$i" -> 0.2).toMap ++
+      Map("slow" -> 0.2, "tiny" -> 0.02, "gone" -> 0.5)
+    // whole window 20% hotter; "slow" genuinely 2.6x; "tiny" 3x but
+    // under the 0.1s floor; "fresh" has no reference
+    val now = (1 to 10).map(i => s"g$i" -> 0.24).toMap ++
+      Map("slow" -> 0.52, "tiny" -> 0.06, "fresh" -> 1.0)
+    val (w, out) = Bench.regressionOutliers(now, ref)
+    assert(math.abs(w - 1.2) < 1e-9, s"window ratio must be the heat: $w")
+    assert(out.keySet == Set("slow"), s"outliers: $out")
+    val (n, r, norm) = out("slow")
+    assert(n == 0.52 && r == 0.2)
+    assert(math.abs(norm - (0.52 / 0.2) / 1.2) < 1e-9)
+    // uniform heat alone → clean screen
+    assert(Bench.regressionOutliers(
+      ref.map { case (k, v) => k -> v * 1.25 }, ref)._2.isEmpty)
+    // no reference artifact → no outliers, never a crash
+    assert(Bench.regressionOutliers(now, Map.empty) == (1.0, Map.empty))
+    assert(Bench.readCommittedMedians("/nonexistent/bench.json").isEmpty)
+  }
+
+  // the committed headline artifact must itself parse through the
+  // reader the screen uses (a format drift in Bench's artifact writer
+  // would silently blind the tripwire)
+  test("committed bench artifact parses through readCommittedMedians") {
+    val med = Bench.readCommittedMedians("bench_sf0.1.json")
+    assert(med.size > 100, s"expected >100 gate medians, got ${med.size}")
+    assert(med.values.forall(_ > 0))
+  }
+
   // Round-14 tree drift: the driver's own post-round Bench run (a
   // hot-window, publishable:false measurement) overwrote the committed
   // bench_sf0.1.json in the working tree and the round-close `git add
