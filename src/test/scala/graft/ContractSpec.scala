@@ -57,6 +57,59 @@ class ContractSpec extends SparkSpec {
       s"new queries not yet in gates_manifest.txt (append them): $unlisted")
   }
 
+  // r16 protocol regression: an end-of-round re-run overwrote
+  // bench_sf0.1.json WITHOUT regenerating BASELINE.md, leaving the
+  // repo's most load-bearing number inconsistent with its own
+  // provenance rules. This guard parses the generated headline block
+  // and pins its rendered numbers (and the gate count) to the
+  // committed artifact pair, so any future clobber — including a
+  // driver publish run at round close — turns sbt test red.
+  test("BASELINE.md generated headline equals the committed " +
+      "artifact pair") {
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val begin = md.indexOf("<!-- headline:begin")
+    val end = md.indexOf("<!-- headline:end -->")
+    assert(begin >= 0 && end > begin, "headline markers missing")
+    val block = md.substring(begin, end)
+    def grab(re: String, n: Int): Seq[String] = {
+      val m = re.r.findFirstMatchIn(block)
+      assert(m.isDefined, s"headline pattern not found: $re")
+      (1 to n).map(m.get.group)
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val b = om.readTree(new java.io.File("bench_sf0.1.json"))
+    val d = om.readTree(new java.io.File("duckdb_baseline_sf0.1.json"))
+    // numeric tolerance at the 2-decimal rendering precision (Java's
+    // %.2f and the generator's Python :.2f disagree on exact .xx5
+    // boundaries — 29.965 renders 29.97 vs 29.96); any real clobber
+    // drifts by whole tenths of a second, orders beyond this band
+    def close(rendered: String, artifact: Double, what: String): Unit =
+      assert(math.abs(rendered.toDouble - artifact) <= 0.006,
+        s"headline $what $rendered drifted from artifact $artifact")
+    val Seq(nGates) = grab("""over all (\d+) oracle-paired""", 1)
+    assert(nGates.toInt == b.get("detail").size(),
+      s"headline counts $nGates gates; bench artifact has " +
+        s"${b.get("detail").size()}")
+    assert(nGates.toInt == d.get("queries").size(),
+      s"headline counts $nGates gates; duckdb artifact has " +
+        s"${d.get("queries").size()}")
+    val Seq(sv, sf) = grab(
+      """\| Spark local\[32\] \| ([0-9.]+) s \| ([0-9.]+) s \|""", 2)
+    close(sv, b.get("value").asDouble(), "Spark total")
+    close(sf, b.get("min_total").asDouble(), "Spark floor")
+    val Seq(dv, df) = grab(
+      """\| DuckDB \d+-thread \| ([0-9.]+) s \| ([0-9.]+) s \|""", 2)
+    close(dv, d.get("median_total").asDouble(), "DuckDB total")
+    close(df, d.get("min_total").asDouble(), "DuckDB floor")
+    val Seq(rv, rf) = grab(
+      """\*\*ratio\*\* \| \*\*([0-9.]+)x\*\* \| \*\*([0-9.]+)x\*\*""", 2)
+    close(rv, b.get("value").asDouble() /
+      d.get("median_total").asDouble(), "ratio")
+    close(rf, b.get("min_total").asDouble() /
+      d.get("min_total").asDouble(), "floor ratio")
+  }
+
   // r16's 45.3 vs 37.0s driver-window confusion, automated: the screen
   // must normalize uniform window heat away, flag a genuine per-gate
   // plan regression, and exempt micro-gates (scheduler jitter) and
