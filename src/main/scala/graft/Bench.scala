@@ -91,8 +91,16 @@ object Bench {
     // MEDIAN of per-gate ratios, not the total ratio: a single large
     // regressed gate inflates the shared total and would mask itself,
     // while the median is unmoved by a few true regressions and equals
-    // the uniform heat factor on a quiet diff
-    val ratios = shared.toSeq.map(g => now(g) / ref(g)).sorted
+    // the uniform heat factor on a quiet diff. The median is taken
+    // over MEASURABLE gates only (≥ floorSec in both runs) — the
+    // sub-floor gates' ratios re-rank on scheduler jitter alone, and
+    // letting ~40 of them vote would let micro-gate noise shift the
+    // normalizer every large gate is judged against. Degenerate case
+    // (no measurable gate): fall back to all shared ratios.
+    val measurable = shared.filter(g =>
+      now(g) >= floorSec && ref(g) >= floorSec)
+    val voters = if (measurable.nonEmpty) measurable else shared
+    val ratios = voters.toSeq.map(g => now(g) / ref(g)).sorted
     val windowRatio = ratios(ratios.length / 2)
     val outliers = shared.iterator.flatMap { g =>
       val n = now(g); val r = ref(g)

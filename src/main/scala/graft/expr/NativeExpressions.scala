@@ -908,17 +908,6 @@ object native {
     c(LangId(e(tokens), profiles))
   def countInSet(tokens: Column, values: Seq[String]): Column =
     c(CountInSet(e(tokens), values))
-  /** Bounded-set membership as a single [[InSet]] node. `isin`/
-    * `isInCollection` build an `In` with ONE LITERAL CHILD PER VALUE;
-    * at the bounded-probe sizes the driver-local admission paths push
-    * down (10³–10⁵ ids), the analyzer/optimizer walking that tree costs
-    * 0.2–0.7 s of driver time PER QUERY — more than the probe's Spark
-    * job itself. InSet is one node holding a hash set: O(1) analysis,
-    * same null semantics as In (null input → null), and the optimizer
-    * would have rewritten In to InSet past the conversion threshold
-    * anyway. Membership-only — pair with [[inBoundedLongSet]] when the
-    * column is a parquet-sortable id so footers can prune.
-    */
   /** Call-boundary guard for [[inLongSet]]'s integral-only contract:
     * the long cast TRUNCATES a fractional column (5.9 matches 5), and
     * in the negated loser-filter form that silently drops extra rows —
@@ -936,6 +925,17 @@ object native {
       s"the InSet pushdown (a fractional id would truncate through the " +
       s"long cast), got ${dt.simpleString}")
   }
+  /** Bounded-set membership as a single [[InSet]] node. `isin`/
+    * `isInCollection` build an `In` with ONE LITERAL CHILD PER VALUE;
+    * at the bounded-probe sizes the driver-local admission paths push
+    * down (10³–10⁵ ids), the analyzer/optimizer walking that tree costs
+    * 0.2–0.7 s of driver time PER QUERY — more than the probe's Spark
+    * job itself. InSet is one node holding a hash set: O(1) analysis,
+    * same null semantics as In (null input → null), and the optimizer
+    * would have rewritten In to InSet past the conversion threshold
+    * anyway. Membership-only — pair with [[inBoundedLongSet]] when the
+    * column is a parquet-sortable id so footers can prune.
+    */
   def inLongSet(col: Column, values: Iterable[Long]): Column = {
     val set: Set[Any] = values.iterator.map(v => Long.box(v): Any).toSet
     // InSet bypasses the analyzer coercion In would have received, and

@@ -263,65 +263,137 @@ object Similarity {
   private def cellsManifestPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_cells")
 
+  private def cellsDirPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_cells.d")
+
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Live cell ids, when the index carries a cell manifest. */
+  private def cellsVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val d = cellsDirPath(path)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
+  }
+
+  private def cellsVersionFile(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(cellsDirPath(path), f"$v%09d")
+
+  /** Tolerant cell-set file read: a writer that crashed mid-write
+    * leaves a PREFIX of its intended lines at the committed version —
+    * unparseable trailing garbage is skipped, and a missing cell is
+    * the self-healing case (the next append re-unions presentCells).
+    */
+  private def readCellsFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[Int] = {
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    s.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap(t => scala.util.Try(t.toInt).toOption).toSet
+  }
+
+  /** Live cell ids, when the index carries a cell manifest. Reads the
+    * TIP of the versioned `_cells.d` commit log (falling back to the
+    * legacy single-file `_cells` for pre-versioned indexes); version
+    * files are immutable, so there is no window in which a committed
+    * manifest is unreadable. A tip pruned by a racing writer's
+    * retention pass (keeps the last 8 — reachable only after 8 commits
+    * land between our listing and our open) retries on a fresh listing.
+    */
   def ivfLiveCells(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[Set[Int]] = {
     val fs = fsOf(spark, path)
-    val p = cellsManifestPath(path)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      Some(s.split("\n").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val vs = cellsVersions(fs, path)
+      if (vs.isEmpty) {
+        val legacy = cellsManifestPath(path)
+        return if (!fs.exists(legacy)) None
+          else Some(readCellsFile(fs, legacy))
+      }
+      try return Some(readCellsFile(fs, cellsVersionFile(path, vs.last)))
+      catch { case _: java.io.FileNotFoundException => () }
     }
+    throw new IllegalStateException(
+      s"ivfLiveCells: manifest tip vanished 5 times under $path")
   }
 
+  /** Commit a live-cell manifest at the next free version of the
+    * `_cells.d` commit log — create-if-absent IS the commit (the
+    * Warehouse manifest discipline). The first delete-then-rename
+    * revision of this method could still LOSE a racer's committed set
+    * (a commit landing before our delete was deleted and overwritten,
+    * and on local filesystems rename overwrites so the checked-rename
+    * retry never fired); a version-file CAS cannot: losing the create
+    * race re-reads the new tip and retries, and with `mergeTip` the
+    * retry folds the winner's set in, so concurrent APPENDS linearize
+    * to the full union. `mergeTip = false` is for the exact-set
+    * writers — full index (re)build, and recluster, whose set SHRINKS
+    * (removing the split parent) and which is single-writer
+    * maintenance by contract. Version files are immutable (hard-link
+    * clone safe, no reader window); each commit prunes versions older
+    * than the last 8.
+    */
   private[graft] def writeLiveCells(spark: org.apache.spark.sql.SparkSession,
-      path: String, cells: Set[Int]): Unit = {
+      path: String, cells: Set[Int], mergeTip: Boolean): Unit = {
     val fs = fsOf(spark, path)
-    val dst = cellsManifestPath(path)
-    // UNIQUE tmp stem + CHECKED rename — the writeIdBound treatment:
-    // a fixed shared `_cells.tmp` with fs.create(overwrite) lets
-    // concurrent appenders clobber each other's staged bytes, and an
-    // unchecked rename=false silently drops the manifest update,
-    // leaving a freshly appended cell dead to probedScan until a later
-    // append self-heals. The .tmp suffix keeps stragglers out of the
-    // hard-link clone walk; the unique stem keeps writers off one path.
-    var want = cells
     var attempts = 0
-    var committed = false
-    while (!committed && attempts < 3) {
+    while (attempts < 16) {
       attempts += 1
-      val tmp = new org.apache.hadoop.fs.Path(path,
-        s"_cells.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      out.write(want.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-      out.close()
-      if (fs.exists(dst)) fs.delete(dst, false)
-      committed = fs.rename(tmp, dst)
-      if (!committed) {
-        fs.delete(tmp, false)
-        // a racer committed between the delete and the rename. Under
-        // concurrent APPENDS the manifest is a monotone set union —
-        // losing to a superset is success; otherwise fold the winner's
-        // set in and retry. (Recluster SHRINKS the set, but cell
-        // maintenance is single-writer by contract, so the only live
-        // race here is append-vs-append.)
-        val now = ivfLiveCells(spark, path).getOrElse(Set.empty)
-        if (want.subsetOf(now)) return
-        want = want ++ now
+      val vs = cellsVersions(fs, path)
+      val legacy = cellsManifestPath(path)
+      val content =
+        if (mergeTip && vs.nonEmpty)
+          cells ++ readCellsFile(fs, cellsVersionFile(path, vs.last))
+        else if (mergeTip && fs.exists(legacy))
+          // first versioned commit on a pre-versioned index: the
+          // legacy single-file set is the tip to fold in
+          cells ++ readCellsFile(fs, legacy)
+        else cells
+      val target = cellsVersionFile(path, vs.lastOption.getOrElse(0L) + 1)
+      // create-if-absent must be ATOMIC for the CAS to hold. On HDFS
+      // fs.create(overwrite=false) is (NameNode-arbitrated); on the
+      // LOCAL filesystem Hadoop's create is a non-atomic exists-then-
+      // create — two racers both pass the check and silently clobber
+      // one another (measured: the contention spec lost 9 of 10 sets)
+      // — so file:// goes through java.nio CREATE_NEW (O_CREAT|O_EXCL).
+      val committed =
+        try {
+          val out =
+            if (fs.getScheme == "file") {
+              val local = java.nio.file.Paths.get(target.toUri.getPath)
+              java.nio.file.Files.createDirectories(local.getParent)
+              java.nio.file.Files.newOutputStream(local,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+            } else fs.create(target, false)
+          try out.write(content.toSeq.sorted.mkString("\n")
+            .getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false } // lost the race
+      if (committed) {
+        // retention: immutable history older than the last 8 versions
+        // is dead weight (readers resolve the tip; 8 back-versions keep
+        // a pruned-tip read unreachable in practice, and the reader
+        // retries on a fresh listing regardless)
+        vs.dropRight(7).foreach(v =>
+          fs.delete(cellsVersionFile(path, v), false))
+        // the legacy single-file manifest is superseded the moment a
+        // versioned commit exists (readers prefer the version log)
+        if (fs.exists(legacy)) fs.delete(legacy, false)
+        return
       }
     }
-    if (!committed)
-      throw new IllegalStateException(
-        s"writeLiveCells: could not commit $dst after $attempts " +
-          "attempts (racing writers?) — refusing to leave a fresh " +
-          "cell dead to probedScan")
+    throw new IllegalStateException(
+      s"writeLiveCells: could not commit a manifest version under " +
+        s"$path after 16 attempts (racing writers?) — refusing to " +
+        "leave a fresh cell dead to probedScan")
   }
 
   /** Cells physically present in the index layout, from the hive
@@ -381,7 +453,8 @@ object Similarity {
         col(vecCol).cast("array<double>")) > 0)
       .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
-    writeLiveCells(spark, path, presentCells(spark, path))
+    writeLiveCells(spark, path, presentCells(spark, path),
+      mergeTip = false)
   }
 
   def ivfWriteIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
@@ -431,7 +504,7 @@ object Similarity {
     ivfLiveCells(spark, path).foreach { live =>
       val present = presentCells(spark, path)
       if (!present.subsetOf(live))
-        writeLiveCells(spark, path, live ++ present)
+        writeLiveCells(spark, path, live ++ present, mergeTip = true)
     }
   }
 
@@ -469,13 +542,20 @@ object Similarity {
       s"tag must be a plain name, got '$tag'")
     val spark = delta.sparkSession
     val gen = s"gen-ivf-$tag"
-    // ledger, not live: compaction never folds IVF cells, but the
-    // shared resolver keeps replay guards uniform across index kinds
-    if (graft.sources.Warehouse.generationLedger(spark, path)
-        .contains(gen)) return false
     val fs = fsOf(spark, path)
     val staging = new org.apache.hadoop.fs.Path(path, s"_staging/$tag")
     val moveList = new org.apache.hadoop.fs.Path(staging, "_movelist")
+    // ledger, not live: compaction never folds IVF cells, but the
+    // shared resolver keeps replay guards uniform across index kinds.
+    // A crash BETWEEN the ledger commit and the staging cleanup leaves
+    // an orphaned staging dir that every replay would otherwise skip
+    // forever (the early return) — reclaim it here, where the replay
+    // lands.
+    if (graft.sources.Warehouse.generationLedger(spark, path)
+        .contains(gen)) {
+      if (fs.exists(staging)) fs.delete(staging, true)
+      return false
+    }
     // reclaim a crashed earlier attempt: the move-list names every
     // destination the attempt could have reached, so deleting exactly
     // those (idempotent — unmoved ones don't exist) restores the
@@ -536,7 +616,7 @@ object Similarity {
       ivfLiveCells(spark, path).foreach { live =>
         val present = presentCells(spark, path)
         if (!present.subsetOf(live))
-          writeLiveCells(spark, path, live ++ present)
+          writeLiveCells(spark, path, live ++ present, mergeTip = true)
       }
     }
     graft.sources.Warehouse.commitNextVersion(spark, path, gen)
@@ -618,7 +698,8 @@ object Similarity {
           .collect().map(_.getInt(0)).toSet
         moved.write.mode("append").partitionBy("cid").parquet(path)
         // COMMIT: children become live, the parent stops being live
-        writeLiveCells(spark, path, live0 - cid ++ childCells)
+        writeLiveCells(spark, path, live0 - cid ++ childCells,
+          mergeTip = false)
         q = candidate
         // vacuum the superseded parent directory
         fs.delete(new org.apache.hadoop.fs.Path(path, s"cid=$cid"), true)
@@ -1162,7 +1243,8 @@ object Similarity {
       .withColumn("codes", graft.expr.native.pqEncode(
         unitVec(col(vecCol).cast("array<double>")), codebooks))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
-    writeLiveCells(spark, path, presentCells(spark, path))
+    writeLiveCells(spark, path, presentCells(spark, path),
+      mergeTip = false)
   }
 
   /** Delta maintenance for an [[ivfPqWriteIndex]] index — the faiss
@@ -1207,7 +1289,7 @@ object Similarity {
     ivfLiveCells(spark, path).foreach { live =>
       val present = presentCells(spark, path)
       if (!present.subsetOf(live))
-        writeLiveCells(spark, path, live ++ present)
+        writeLiveCells(spark, path, live ++ present, mergeTip = true)
     }
   }
 

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * size, not corpus bytes. Driver state is exactly the vocab map.
   *
   * Determinism: seeding, pruning, and final ranking all tie-break on
-  * (count DESC, piece ASC), so training is reproducible run-to-run and
+  * (count DESC, piece ASC), and EM expected counts are exact integer
+  * sums of per-word quantized contributions ([[CountUnit]] — a double
+  * accumulation through the shuffle aggregate would be
+  * merge-order-dependent and FP noise near the prune cutoff would
+  * reorder the vocab), so training is reproducible run-to-run and
   * cluster-size independent. For ORACLE-compared tokenization the piece
   * log-probs quantize to 1e9 integer units with the [[Ranking]] (BM25)
   * boundary assert, making the Viterbi objective — maximize Σ score_u,
@@ -57,14 +61,20 @@ object Unigram {
     */
   def frequencyVocab(words: DataFrame, maxPieceLen: Int,
       topPieces: Int): Map[String, Long] = {
+    // persisted across the two collects: the candidate enumeration
+    // (len·maxPieceLen rows per distinct word through a hash-agg
+    // shuffle) is the heaviest pass here and would otherwise run twice
     val counts = pieceCounts(words, maxPieceLen)
-    val chars = counts.filter(length(col("piece")) === 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val multi = counts.filter(length(col("piece")) >= 2)
-      .orderBy(col("cnt").desc, col("piece").asc)
-      .limit(topPieces)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    (chars ++ multi).toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chars = counts.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val multi = counts.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(topPieces)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      (chars ++ multi).toMap
+    } finally { counts.unpersist(); () }
   }
 
   /** Quantize piece probabilities (∝ counts) to 1e9-unit integer
@@ -204,11 +214,26 @@ object Unigram {
 
   // ------------------------------------------------------------ EM
 
+  /** Per-word expected-count quantum: each word's per-piece posterior
+    * mass is rounded to these units BEFORE any cross-word summation,
+    * so every downstream reduction is exact integer arithmetic —
+    * order-free, hence bit-reproducible across partitionings and
+    * cluster sizes (double accumulation through a shuffle aggregate is
+    * merge-order-dependent, and prune ranks on these counts: FP noise
+    * near the cutoff would make training non-reproducible). Bound:
+    * per-piece expected mass must stay under Long.MaxValue/1e6 ≈
+    * 9.2e12 — a piece's mass is capped by the corpus's (weighted)
+    * occurrences of that piece, so this holds to ~10-trillion-token
+    * corpora; widen the quantum past that.
+    */
+  private val CountUnit = 1e6
+
   /** One E-step: expected piece counts over all segmentations of every
     * word (forward-backward over each word, partition-local against
     * the broadcast vocab), reduced to ONE |vocab|-row aggregate and
     * collected — driver state stays model-sized. Unsegmentable words
     * contribute nothing (their chars are not in the vocab at all).
+    * Deterministic across partitionings: see [[CountUnit]].
     */
   def expectedCounts(words: DataFrame, vocab: Map[String, Double],
       maxPieceLen: Int): Map[String, Double] = {
@@ -219,7 +244,7 @@ object Unigram {
       .as[(String, Long)]
       .mapPartitions { it =>
         val v = bc.value
-        val acc = new java.util.HashMap[String, Double]()
+        val acc = new java.util.HashMap[String, Long]()
         it.foreach { case (w, f) =>
           val n = w.length
           if (n > 0) {
@@ -251,6 +276,10 @@ object Unigram {
                 }
                 i -= 1
               }
+              // per-WORD double accumulation (fixed inner order — a
+              // deterministic function of the word alone), quantized
+              // ONCE per word so every cross-word sum is exact integers
+              val wordAcc = new java.util.HashMap[String, Double]()
               i = 0
               while (i < n) {
                 var l = 1; val lm = math.min(maxPieceLen, n - i)
@@ -260,12 +289,19 @@ object Unigram {
                     case Some(p) =>
                       val post = alpha(i) * p * beta(i + l) / z
                       if (post > 0)
-                        acc.merge(piece, post * f, (a, b) => a + b)
+                        wordAcc.merge(piece, post, (a, b) => a + b)
                     case None => ()
                   }
                   l += 1
                 }
                 i += 1
+              }
+              val wIt = wordAcc.entrySet().iterator()
+              while (wIt.hasNext) {
+                val e = wIt.next()
+                val units = math.rint(e.getValue * f * CountUnit).toLong
+                if (units != 0L)
+                  acc.merge(e.getKey, units, (a, b) => a + b)
               }
             }
           }
@@ -274,7 +310,8 @@ object Unigram {
       }
       .toDF("piece", "c")
       .groupBy("piece").agg(sum(col("c")).as("c"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1) / CountUnit).toMap
   }
 
   /** One EM iteration: E-step expected counts, M-step renormalize.

@@ -2450,6 +2450,26 @@ object LlmQueries {
     })
   )
 
+  /** Shared by x_cosine_ann_ivf_append AND st_ivf_append: the two
+    * gates verify the SAME rebuild-equality contract (append-maintained
+    * index == full rebuild over the union) — one via a direct tagged
+    * append, one through the streaming sink. ONE definition so a future
+    * contract fix (slice, zero-norm guard) cannot silently diverge the
+    * "identical contract" twins.
+    */
+  private val ivfAppendTwinOracle: String =
+    """WITH corpus AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000, embedding FROM embeddings
+         WHERE vec_id < 8)
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0::DOUBLE AS cos_sim
+       FROM embeddings q JOIN corpus c
+         ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
+       WHERE q.vec_id < 8
+         AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0"""
+
   private val oracles0: Map[String, String] = Map(
     // Sampling.hashBucket: bucket = parse-int-hex(md5[25..32]) % 1e6,
     // identical byte-for-byte in any engine with md5
@@ -3427,34 +3447,12 @@ object LlmQueries {
 
     // same twin contract as the pruned gate: append-maintained index
     // must return exactly what a full rebuild over the union returns
-    "x_cosine_ann_ivf_append" ->
-      """WITH corpus AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000, embedding FROM embeddings
-           WHERE vec_id < 8)
-         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           1.0::DOUBLE AS cos_sim
-         FROM embeddings q JOIN corpus c
-           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
-         WHERE q.vec_id < 8
-           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+    "x_cosine_ann_ivf_append" -> ivfAppendTwinOracle,
 
-    // streaming twin of x_cosine_ann_ivf_append: identical rebuild-
-    // equality contract through the exactly-once micro-batch sink (a
-    // replayed double admission would break the per-probe parity)
-    "st_ivf_append" ->
-      """WITH corpus AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000, embedding FROM embeddings
-           WHERE vec_id < 8)
-         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           1.0::DOUBLE AS cos_sim
-         FROM embeddings q JOIN corpus c
-           ON q.embedding = c.embedding AND q.vec_id <> c.vec_id
-         WHERE q.vec_id < 8
-           AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0""",
+    // streaming twin of x_cosine_ann_ivf_append: the SAME contract
+    // (shared SQL constant) through the exactly-once micro-batch sink
+    // (a replayed double admission would break the per-probe parity)
+    "st_ivf_append" -> ivfAppendTwinOracle,
 
     "s_schema_drift" ->
       """SELECT doc_id, lang, NULL AS source, NULL::BIGINT AS n_chars,

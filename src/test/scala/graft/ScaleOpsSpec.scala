@@ -358,40 +358,59 @@ class ScaleOpsSpec extends SparkSpec {
       viaRebuild.exceptAll(viaAppend).isEmpty)
   }
 
-  test("writeLiveCells commit discipline: unique tmp stems, checked " +
-      "rename, no litter under contention") {
-    // the r16 _maxid treatment applied to the cell manifest (advisor
-    // r16, low): a fixed shared `_cells.tmp` + unchecked rename could
-    // silently drop a manifest update under racing appenders, leaving
-    // a freshly appended cell dead to probedScan
+  test("writeLiveCells commit discipline: versioned CAS loses NO " +
+      "concurrent append; exact-set writers replace; retention bounds " +
+      "the log") {
+    // r17 review: the first delete-then-rename revision could still
+    // LOSE a racer's committed manifest (a commit landing before the
+    // delete got deleted and overwritten — and local-FS rename
+    // overwrites, so its retry branch never fired). The version-file
+    // create-if-absent CAS makes concurrent appends linearize to the
+    // FULL union, which this test asserts exactly.
     val root = tmpDir("wh-ivf-cells")
-    def fsOf = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sequential correctness + idempotent overwrite
-    graft.llm.Similarity.writeLiveCells(spark, root, Set(3, 1, 2))
-    graft.llm.Similarity.writeLiveCells(spark, root, Set(5, 4))
+    // sequential: exact-set writers replace (the recluster semantics)
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(3, 1, 2),
+      mergeTip = false)
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(5, 4),
+      mergeTip = false)
     assert(graft.llm.Similarity.ivfLiveCells(spark, root)
       .contains(Set(4, 5)))
-    // contention: 8 writers race one manifest; none may throw, and the
-    // surviving manifest must be a well-formed subset-union of the
-    // committed sets (checked rename + merge-retry — a lost rename is
-    // either retried or lost-to-a-superset)
+    // contention: 8 merge-writers race one manifest; none may throw,
+    // and EVERY writer's cell must survive in the final tip
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val threads = (0 until 8).map { i =>
       new Thread(() =>
-        try graft.llm.Similarity.writeLiveCells(spark, root, Set(100 + i))
+        try graft.llm.Similarity.writeLiveCells(spark, root,
+          Set(100 + i), mergeTip = true)
         catch { case t: Throwable => errs.add(t) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     assert(errs.isEmpty, s"racing writeLiveCells threw: ${errs.peek()}")
     val live = graft.llm.Similarity.ivfLiveCells(spark, root).get
-    assert(live.nonEmpty && live.subsetOf((100 to 107).toSet ++ Set(4, 5)),
-      s"manifest corrupted under contention: $live")
-    // no tmp litter: every unique-stem staging file was renamed away
-    // or deleted on a failed rename
-    val leftover = fsOf.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
-    assert(leftover.isEmpty, s"staging litter: ${leftover.mkString(",")}")
+    assert(live == (100 to 107).toSet ++ Set(4, 5),
+      s"concurrent append lost a manifest update: $live")
+    // retention: the immutable version log stays bounded
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_cells.d"))
+      .map(_.getPath.getName).filter(_.forall(_.isDigit))
+    assert(versions.length <= 8,
+      s"version retention failed: ${versions.length} files")
+    // legacy single-file manifests are read until the first versioned
+    // commit supersedes them
+    val legacyRoot = tmpDir("wh-ivf-cells-legacy")
+    val lp = new org.apache.hadoop.fs.Path(legacyRoot, "_cells")
+    val out = lp.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).create(lp, false)
+    out.write("7\n9".getBytes("UTF-8")); out.close()
+    assert(graft.llm.Similarity.ivfLiveCells(spark, legacyRoot)
+      .contains(Set(7, 9)))
+    graft.llm.Similarity.writeLiveCells(spark, legacyRoot, Set(11),
+      mergeTip = true)
+    assert(graft.llm.Similarity.ivfLiveCells(spark, legacyRoot)
+      .contains(Set(7, 9, 11)),
+      "first versioned merge-commit must fold the legacy set in")
   }
 
   test("index maintenance tolerates non-numeric cid= directories") {

@@ -92,6 +92,16 @@ class StreamIvfAppendSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "_staging/pending"))
     val corpus = baseVecs.union(delta)
     assertSearchEqualsRebuild(idx, corpus, "replay")
+    // crash BETWEEN the ledger commit and the staging cleanup: the
+    // replay of a COMMITTED tag must reclaim its orphaned staging dir
+    // (r17 review — the early return used to skip it forever)
+    val orphan = new org.apache.hadoop.fs.Path(idx,
+      "_staging/batch-000000000")
+    fs.mkdirs(orphan)
+    assert(!Similarity.ivfAppendIndexTagged(delta, cents, idx,
+      "batch-000000000"))
+    assert(!fs.exists(orphan),
+      "committed-tag replay must reclaim its orphaned staging dir")
   }
 
   test("a crashed attempt's moved files are reclaimed exactly, then " +
