@@ -538,9 +538,49 @@ object Similarity {
       vecCol: String = "embedding"): Boolean = {
     require(quantizer.centroids.nonEmpty,
       "ivfAppendIndexTagged needs the index's quantizer")
+    taggedCellAppend(path, tag,
+      delta.select(col(idCol), col(vecCol))
+        .filter(graft.expr.native.arrayDot(
+          col(vecCol).cast("array<double>"),
+          col(vecCol).cast("array<double>")) > 0)
+        .withColumn("cid",
+          quantizer.cidExpr(col(vecCol).cast("array<double>"))))
+  }
+
+  /** Exactly-once tagged append for the IVF-PQ index — the same staged
+    * commit as [[ivfAppendIndexTagged]] with [[ivfPqAppendIndex]]'s
+    * assignment (frozen coarse quantizer + frozen PQ codebooks), so a
+    * PQ index is stream-maintainable under the same replay/crash
+    * guarantees. Returns true iff this call performed the append.
+    */
+  def ivfPqAppendIndexTagged(delta: DataFrame, quantizer: IvfQuantizer,
+      codebooks: Seq[Seq[Seq[Double]]], path: String, tag: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    require(quantizer.centroids.nonEmpty && codebooks.nonEmpty,
+      "ivfPqAppendIndexTagged needs the index's quantizer and codebooks")
+    taggedCellAppend(path, tag,
+      delta.select(col(idCol), col(vecCol))
+        .filter(graft.expr.native.arrayDot(
+          col(vecCol).cast("array<double>"),
+          col(vecCol).cast("array<double>")) > 0)
+        .withColumn("cid",
+          quantizer.cidExpr(col(vecCol).cast("array<double>")))
+        .withColumn("codes", graft.expr.native.pqEncode(
+          unitVec(col(vecCol).cast("array<double>")), codebooks)))
+  }
+
+  /** The shared staged exactly-once commit under a cell-partitioned
+    * layout: stage `assigned` (already carrying its final columns +
+    * `cid`) under `_staging/<tag>/`, commit a move-list, rename into
+    * the live cells under tag-stamped names, union the live-cell
+    * manifest, commit the tag to the ledger. See
+    * [[ivfAppendIndexTagged]] for the crash/replay contract.
+    */
+  private def taggedCellAppend(path: String, tag: String,
+      assigned: DataFrame): Boolean = {
     require(tag.nonEmpty && !tag.contains("/"),
       s"tag must be a plain name, got '$tag'")
-    val spark = delta.sparkSession
+    val spark = assigned.sparkSession
     val gen = s"gen-ivf-$tag"
     val fs = fsOf(spark, path)
     val staging = new org.apache.hadoop.fs.Path(path, s"_staging/$tag")
@@ -569,11 +609,6 @@ object Similarity {
         fs.delete(new org.apache.hadoop.fs.Path(path, t), false))
     }
     if (fs.exists(staging)) fs.delete(staging, true)
-    val assigned = delta.select(col(idCol), col(vecCol))
-      .filter(graft.expr.native.arrayDot(
-        col(vecCol).cast("array<double>"),
-        col(vecCol).cast("array<double>")) > 0)
-      .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
     // same small-files discipline as ivfAppendIndex (one file per
     // touched cell for a micro-delivery)
     val placed =

@@ -104,6 +104,39 @@ class StreamIvfAppendSpec extends SparkSpec {
       "committed-tag replay must reclaim its orphaned staging dir")
   }
 
+  test("ivfPqAppendIndexTagged: exactly-once PQ append equals full " +
+      "rebuild; replayed tag is a no-op") {
+    // same staged-commit machinery as the flat IVF sink, with the PQ
+    // assignment (frozen coarse quantizer + frozen codebooks) — so the
+    // PQ index is stream-maintainable under identical replay/crash
+    // guarantees
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents8 = Similarity.trainCentroids(e, nCentroids = 8,
+      lloydIters = 1)
+    val q8 = graft.llm.IvfQuantizer(cents8)
+    val cbs = Similarity.trainPqCodebooks(e, numSub = 8,
+      codesPerSub = 16, lloydIters = 1)
+    val idx = tmpDir("st-ivfpq-tagged") + "/index"
+    Similarity.ivfPqWriteIndex(e.filter(col("vec_id") % 2 === 0), q8,
+      cbs, idx)
+    val delta = e.filter(col("vec_id") % 2 =!= 0)
+    assert(Similarity.ivfPqAppendIndexTagged(delta, q8, cbs, idx,
+      "batch-000000000"), "first admission must append")
+    assert(!Similarity.ivfPqAppendIndexTagged(delta, q8, cbs, idx,
+      "batch-000000000"), "replayed tag must be a no-op")
+    val rebuilt = tmpDir("st-ivfpq-rebuild") + "/index"
+    Similarity.ivfPqWriteIndex(e, q8, cbs, rebuilt)
+    val queries = e.filter(col("vec_id") < 4)
+    val viaTagged = Similarity.ivfPqSearchIndex(spark, idx, queries,
+      k = 5, q8, cbs, nProbe = 4, rerank = 16)
+    val viaRebuild = Similarity.ivfPqSearchIndex(spark, rebuilt, queries,
+      k = 5, q8, cbs, nProbe = 4, rerank = 16)
+    assert(viaTagged.exceptAll(viaRebuild).isEmpty &&
+      viaRebuild.exceptAll(viaTagged).isEmpty,
+      "tagged-maintained PQ index diverged from full rebuild")
+  }
+
   test("a crashed attempt's moved files are reclaimed exactly, then " +
       "the retry admits once") {
     val root = tmpDir("st-ivf-crash")
