@@ -134,6 +134,30 @@ object DocStream {
     ivfAppendSink(vecs, graft.llm.IvfQuantizer(centroids),
       indexPath, checkpointDir)
 
+  /** [[ivfAppendSink]] for an IVF-PQ index: same exactly-once tagged
+    * staged commit, with the PQ assignment (frozen coarse quantizer +
+    * frozen codebooks) — completing stream-maintainability across both
+    * ANN index variants.
+    */
+  def ivfPqAppendSink(vecs: DataFrame,
+      quantizer: graft.llm.IvfQuantizer,
+      codebooks: Seq[Seq[Seq[Double]]], indexPath: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Similarity.ivfPqAppendIndexTagged(batch, quantizer,
+          codebooks, indexPath, f"batch-$batchId%09d", idCol, vecCol)
+        ()
+      }
+      .start()
+
   /** Drift-tolerant streaming intake over per-generation delivery
     * directories: one file stream per generation (each pinned to its
     * generation's physical schema — a streaming scan needs an explicit

@@ -137,6 +137,43 @@ class StreamIvfAppendSpec extends SparkSpec {
       "tagged-maintained PQ index diverged from full rebuild")
   }
 
+  test("ivfPqAppendSink: two ordered triggers keep the PQ index " +
+      "search-equal to a full rebuild") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("st-ivfpq-sink")
+    val idx = s"$root/index"
+    val q4 = graft.llm.IvfQuantizer(cents)
+    val cbs = Similarity.trainPqCodebooks(baseVecs, numSub = 2,
+      codesPerSub = 4, lloydIters = 1)
+    Similarity.ivfPqWriteIndex(baseVecs, q4, cbs, idx)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = DocStream.ivfPqAppendSink(
+      mem.toDF().toDF("vec_id", "embedding"), q4, cbs, idx,
+      s"$root/ckpt", trigger = Trigger.ProcessingTime(0L))
+    val d1 = Seq(10L -> Seq(0.8, 0.2, 0.0, 0.0),
+      11L -> Seq(0.0, 0.0, 0.1, 0.9))
+    val d2 = Seq(12L -> Seq(0.2, 0.8, 0.0, 0.0))
+    def check(sofar: DataFrame, tag: String): Unit = {
+      val rebuilt = tmpDir(s"st-ivfpq-sink-rb-$tag") + "/index"
+      Similarity.ivfPqWriteIndex(sofar, q4, cbs, rebuilt)
+      val a = Similarity.ivfPqSearchIndex(spark, idx, sofar, k = 3,
+        q4, cbs, nProbe = 2, rerank = 4)
+      val b = Similarity.ivfPqSearchIndex(spark, rebuilt, sofar, k = 3,
+        q4, cbs, nProbe = 2, rerank = 4)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"stream-maintained PQ index diverged from rebuild after $tag")
+    }
+    try {
+      mem.addData(d1: _*)
+      q.processAllAvailable()
+      check(baseVecs.union(vecsDf(d1: _*)), "t1")
+      mem.addData(d2: _*)
+      q.processAllAvailable()
+      check(baseVecs.union(vecsDf(d1: _*)).union(vecsDf(d2: _*)), "t2")
+    } finally q.stop()
+  }
+
   test("a crashed attempt's moved files are reclaimed exactly, then " +
       "the retry admits once") {
     val root = tmpDir("st-ivf-crash")
