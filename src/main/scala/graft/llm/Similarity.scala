@@ -337,7 +337,11 @@ object Similarity {
     * (removing the split parent) and which is single-writer
     * maintenance by contract. Version files are immutable (hard-link
     * clone safe, no reader window); each commit prunes versions older
-    * than the last 8.
+    * than the last 8 — which bounds the linearization guarantee: a
+    * writer stalled across ≥8 intervening commits could re-create an
+    * already-pruned version number that no successor merges. Real
+    * concurrency is far below that bound (the streaming sinks are
+    * one-writer-per-trigger and cell maintenance is single-writer).
     */
   private[graft] def writeLiveCells(spark: org.apache.spark.sql.SparkSession,
       path: String, cells: Set[Int], mergeTip: Boolean): Unit = {
@@ -355,28 +359,51 @@ object Similarity {
           // legacy single-file set is the tip to fold in
           cells ++ readCellsFile(fs, legacy)
         else cells
-      val target = cellsVersionFile(path, vs.lastOption.getOrElse(0L) + 1)
-      // create-if-absent must be ATOMIC for the CAS to hold. On HDFS
-      // fs.create(overwrite=false) is (NameNode-arbitrated); on the
-      // LOCAL filesystem Hadoop's create is a non-atomic exists-then-
-      // create — two racers both pass the check and silently clobber
-      // one another (measured: the contention spec lost 9 of 10 sets)
-      // — so file:// goes through java.nio CREATE_NEW (O_CREAT|O_EXCL).
+      val next = vs.lastOption.getOrElse(0L) + 1
+      val target = cellsVersionFile(path, next)
+      val bytes = content.toSeq.sorted.mkString("\n").getBytes("UTF-8")
+      // the commit must publish FULL CONTENT atomically, not just the
+      // file's existence: a create-then-write (even an O_EXCL one)
+      // exposes an empty/partial tip that a racing writer reads and
+      // "merges" as truth, dropping the in-flight set (measured: the
+      // contention spec intermittently lost the early writers' cells).
+      // file:// → write a hidden tmp fully, then HARD-LINK it to the
+      // version name: link creation is atomic and fails with EEXIST
+      // when the version was taken — an exclusive create whose bytes
+      // are complete the instant the name appears. Other filesystems →
+      // write tmp, rename-no-overwrite (atomic with full content on
+      // HDFS; rename to an existing destination returns false = lost).
       val committed =
-        try {
-          val out =
-            if (fs.getScheme == "file") {
-              val local = java.nio.file.Paths.get(target.toUri.getPath)
-              java.nio.file.Files.createDirectories(local.getParent)
-              java.nio.file.Files.newOutputStream(local,
-                java.nio.file.StandardOpenOption.CREATE_NEW,
-                java.nio.file.StandardOpenOption.WRITE)
-            } else fs.create(target, false)
-          try out.write(content.toSeq.sorted.mkString("\n")
-            .getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false } // lost the race
+        if (fs.getScheme == "file") {
+          val dir = java.nio.file.Paths.get(
+            cellsDirPath(path).toUri.getPath)
+          java.nio.file.Files.createDirectories(dir)
+          val tmp = java.nio.file.Files.createTempFile(dir, ".cells", ".tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          val local = dir.resolve(f"$next%09d")
+          try {
+            java.nio.file.Files.createLink(local, tmp)
+            java.nio.file.Files.deleteIfExists(tmp)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+              false // lost the version race
+          }
+        } else {
+          val tmp = new org.apache.hadoop.fs.Path(cellsDirPath(path),
+            s".cells-${java.util.UUID.randomUUID()}.tmp")
+          try {
+            val out = fs.create(tmp, false)
+            try out.write(bytes) finally out.close()
+            val ok = fs.rename(tmp, target)
+            if (!ok && fs.exists(tmp)) fs.delete(tmp, false)
+            ok
+          } catch { case _: java.io.IOException =>
+            if (fs.exists(tmp)) fs.delete(tmp, false)
+            false
+          }
+        }
       if (committed) {
         // retention: immutable history older than the last 8 versions
         // is dead weight (readers resolve the tip; 8 back-versions keep

@@ -378,16 +378,20 @@ class ScaleOpsSpec extends SparkSpec {
     // contention: 8 merge-writers race one manifest; none may throw,
     // and EVERY writer's cell must survive in the final tip
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-    val threads = (0 until 8).map { i =>
-      new Thread(() =>
-        try graft.llm.Similarity.writeLiveCells(spark, root,
-          Set(100 + i), mergeTip = true)
-        catch { case t: Throwable => errs.add(t) })
+    def wave(base: Int): Unit = {
+      val threads = (0 until 8).map { i =>
+        new Thread(() =>
+          try graft.llm.Similarity.writeLiveCells(spark, root,
+            Set(base + i), mergeTip = true)
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
+    wave(100); wave(200) // second wave races across pruned history too
     assert(errs.isEmpty, s"racing writeLiveCells threw: ${errs.peek()}")
     val live = graft.llm.Similarity.ivfLiveCells(spark, root).get
-    assert(live == (100 to 107).toSet ++ Set(4, 5),
+    assert(live ==
+      (100 to 107).toSet ++ (200 to 207).toSet ++ Set(4, 5),
       s"concurrent append lost a manifest update: $live")
     // retention: the immutable version log stays bounded
     val fs = new org.apache.hadoop.fs.Path(root)
