@@ -360,50 +360,17 @@ object Similarity {
           cells ++ readCellsFile(fs, legacy)
         else cells
       val next = vs.lastOption.getOrElse(0L) + 1
-      val target = cellsVersionFile(path, next)
-      val bytes = content.toSeq.sorted.mkString("\n").getBytes("UTF-8")
       // the commit must publish FULL CONTENT atomically, not just the
       // file's existence: a create-then-write (even an O_EXCL one)
       // exposes an empty/partial tip that a racing writer reads and
       // "merges" as truth, dropping the in-flight set (measured: the
       // contention spec intermittently lost the early writers' cells).
-      // file:// → write a hidden tmp fully, then HARD-LINK it to the
-      // version name: link creation is atomic and fails with EEXIST
-      // when the version was taken — an exclusive create whose bytes
-      // are complete the instant the name appears. Other filesystems →
-      // write tmp, rename-no-overwrite (atomic with full content on
-      // HDFS; rename to an existing destination returns false = lost).
-      val committed =
-        if (fs.getScheme == "file") {
-          val dir = java.nio.file.Paths.get(
-            cellsDirPath(path).toUri.getPath)
-          java.nio.file.Files.createDirectories(dir)
-          val tmp = java.nio.file.Files.createTempFile(dir, ".cells", ".tmp")
-          java.nio.file.Files.write(tmp, bytes)
-          val local = dir.resolve(f"$next%09d")
-          try {
-            java.nio.file.Files.createLink(local, tmp)
-            java.nio.file.Files.deleteIfExists(tmp)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              java.nio.file.Files.deleteIfExists(tmp)
-              false // lost the version race
-          }
-        } else {
-          val tmp = new org.apache.hadoop.fs.Path(cellsDirPath(path),
-            s".cells-${java.util.UUID.randomUUID()}.tmp")
-          try {
-            val out = fs.create(tmp, false)
-            try out.write(bytes) finally out.close()
-            val ok = fs.rename(tmp, target)
-            if (!ok && fs.exists(tmp)) fs.delete(tmp, false)
-            ok
-          } catch { case _: java.io.IOException =>
-            if (fs.exists(tmp)) fs.delete(tmp, false)
-            false
-          }
-        }
+      // AtomicFiles stages the bytes in a hidden tmp and the version
+      // name appears atomically with them (hard link on file://,
+      // rename-no-overwrite elsewhere); false = lost the version race.
+      val committed = graft.core.AtomicFiles.publishExclusive(fs,
+        cellsVersionFile(path, next),
+        content.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       if (committed) {
         // retention: immutable history older than the last 8 versions
         // is dead weight (readers resolve the tip; 8 back-versions keep

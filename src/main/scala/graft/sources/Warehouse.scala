@@ -148,10 +148,15 @@ object Warehouse {
       version: Long, gen: String): Unit = {
     val fs = fsOf(spark, root)
     val p = new org.apache.hadoop.fs.Path(manifestPath(root), f"$version%09d")
-    // overwrite=false: create-if-absent IS the commit; losing the race
-    // to another committer must fail, not clobber
-    val out = fs.create(p, false)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    // create-if-absent IS the commit; losing the race to another
+    // committer must fail, not clobber. Through AtomicFiles so the
+    // exclusive create is actually atomic on local filesystems (plain
+    // fs.create(overwrite=false) is exists-then-create there) and the
+    // version name never appears without its complete bytes (a torn
+    // version file would resolve as an empty ledger entry).
+    if (!graft.core.AtomicFiles.publishExclusive(fs, p,
+        gen.getBytes("UTF-8")))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
   }
 
   /** Initialize a manifest-committed table at `root` from `df` (becomes

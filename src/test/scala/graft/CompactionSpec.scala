@@ -141,6 +141,33 @@ class CompactionSpec extends SparkSpec {
     assert(Warehouse.orphanGenerations(spark, root).isEmpty)
   }
 
+  test("truly concurrent deltaAppends never lose a generation " +
+      "(atomic manifest publish)") {
+    // r17: manifestCommit publishes through AtomicFiles — plain
+    // fs.create(overwrite=false) on the local filesystem is a
+    // non-atomic exists-then-create, so two racers at one version
+    // number could both "succeed" and silently drop a generation.
+    // Six real threads race the commit CAS; every generation's rows
+    // must be resolvable afterwards.
+    val root = tmpDir("wh-concurrent-append") + "/log"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 6).map { i =>
+      new Thread(() =>
+        try {
+          Warehouse.deltaAppend(
+            Seq((i.toLong, s"w$i")).toDF("id", "v"), root)
+          ()
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent deltaAppend threw: ${errs.peek()}")
+    assert(Warehouse.committedGenerations(spark, root).size == 6)
+    val ids = Warehouse.deltaRead(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(ids == (0L until 6L).toSet,
+      s"a concurrent append's generation was lost: $ids")
+  }
+
   test("index compaction preserves admission semantics end-to-end") {
     val d = (0L until 400L).map(i =>
       (i, s"doc $i body ${"w" + i % 50} tail ${"u" + i % 7}"))
