@@ -70,6 +70,13 @@ object Bench {
     */
   def publishable(spread: Double): Boolean = spread <= SpreadPublishBar
 
+  /** Normalized-ratio bar above which a gate counts as a regression
+    * outlier — ONE definition, echoed into the artifact's
+    * `regressions.threshold` field so the recorded bar can never
+    * diverge from the screen that produced the outlier list.
+    */
+  val RegressionThreshold = 1.3
+
   /** Window-normalized per-gate regression screen against the COMMITTED
     * reference artifact — the r16 lesson automated: a whole-window heat
     * difference (the box running ~10% hotter) inflates every gate
@@ -83,7 +90,7 @@ object Bench {
     * windowRatio is the MEDIAN of shared-gate ratios.
     */
   def regressionOutliers(now: Map[String, Double], ref: Map[String, Double],
-      threshold: Double = 1.3, floorSec: Double = 0.1)
+      threshold: Double = RegressionThreshold, floorSec: Double = 0.1)
       : (Double, Map[String, (Double, Double, Double)]) = {
     val shared = now.keySet.intersect(ref.keySet)
       .filter(k => now(k) > 0 && ref(k) > 0)
@@ -123,7 +130,7 @@ object Bench {
     val root = om.readTree(f)
     val det = root.get("detail")
     if (det == null) return Map.empty
-    val it = det.fields()
+    val it = det.properties().iterator()
     val b = Map.newBuilder[String, Double]
     while (it.hasNext) {
       val e = it.next()
@@ -334,7 +341,7 @@ object Bench {
     val regressionsJson =
       s"""{"reference":"$referenceName","shared_gates":${
         nowMedians.keySet.intersect(refMedians.keySet).size
-      },"window_ratio":${r3(windowRatio)},"threshold":1.3,"outliers":$outliersJson}"""
+      },"window_ratio":${r3(windowRatio)},"threshold":$RegressionThreshold,"outliers":$outliersJson}"""
     if (outliers.nonEmpty)
       System.err.println(s"BENCH REGRESSION SCREEN: ${outliers.size} " +
         s"window-normalized outlier(s) vs $referenceName " +

@@ -44,18 +44,38 @@ object AtomicFiles {
           false
       }
     } else {
+      // ONLY a lost create race returns false — the tmp name is
+      // UUID-unique, so any exception out of create/write/rename is a
+      // GENUINE I/O failure and must propagate (a blanket catch here
+      // fed commitNextVersion's CAS loop false "already exists"
+      // verdicts on disk-full/permission errors, retrying forever at
+      // ever-higher versions instead of surfacing the real error)
       val tmp = new org.apache.hadoop.fs.Path(target.getParent,
         s".stage-${java.util.UUID.randomUUID()}.tmp")
       try {
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
         val ok = fs.rename(tmp, target)
-        if (!ok && fs.exists(tmp)) fs.delete(tmp, false)
+        if (!ok) fs.delete(tmp, false)
         ok
       } catch {
-        case _: java.io.IOException =>
-          if (fs.exists(tmp)) fs.delete(tmp, false)
-          false
+        case e: Throwable =>
+          try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+          catch { case _: Throwable => () }
+          throw e
       }
     }
+
+  /** Digit-named version files under `dir`, ascending — the listing
+    * half of the version-log commit discipline (shared by the
+    * delta-log manifest and the live-cells manifest; staging litter
+    * and squatters are excluded by the digit-only filter). Empty when
+    * the directory does not exist yet.
+    */
+  def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
 }

@@ -271,13 +271,8 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def cellsVersions(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Long] = {
-    val d = cellsDirPath(path)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit))
-      .map(_.toLong).sorted.toSeq
-  }
+      path: String): Seq[Long] =
+    graft.core.AtomicFiles.listVersions(fs, cellsDirPath(path))
 
   private def cellsVersionFile(path: String, v: Long) =
     new org.apache.hadoop.fs.Path(cellsDirPath(path), f"$v%09d")
@@ -313,11 +308,19 @@ object Similarity {
       val vs = cellsVersions(fs, path)
       if (vs.isEmpty) {
         val legacy = cellsManifestPath(path)
-        return if (!fs.exists(legacy)) None
-          else Some(readCellsFile(fs, legacy))
+        // the first versioned commit deletes the legacy file, so a
+        // reader between the (empty) version listing and the legacy
+        // check/read can catch the transition mid-flight: a missing or
+        // vanished legacy file only means "no manifest" if a RE-LISTED
+        // version log is still empty — otherwise retry on the log
+        try {
+          if (fs.exists(legacy)) return Some(readCellsFile(fs, legacy))
+          if (cellsVersions(fs, path).isEmpty) return None
+        } catch { case _: java.io.FileNotFoundException => () }
+      } else {
+        try return Some(readCellsFile(fs, cellsVersionFile(path, vs.last)))
+        catch { case _: java.io.FileNotFoundException => () }
       }
-      try return Some(readCellsFile(fs, cellsVersionFile(path, vs.last)))
-      catch { case _: java.io.FileNotFoundException => () }
     }
     throw new IllegalStateException(
       s"ivfLiveCells: manifest tip vanished 5 times under $path")
@@ -351,14 +354,21 @@ object Similarity {
       attempts += 1
       val vs = cellsVersions(fs, path)
       val legacy = cellsManifestPath(path)
-      val content =
-        if (mergeTip && vs.nonEmpty)
-          cells ++ readCellsFile(fs, cellsVersionFile(path, vs.last))
-        else if (mergeTip && fs.exists(legacy))
-          // first versioned commit on a pre-versioned index: the
-          // legacy single-file set is the tip to fold in
-          cells ++ readCellsFile(fs, legacy)
-        else cells
+      // a racer can prune the tip (retention) or delete the legacy
+      // file (first versioned commit supersedes it) between our
+      // listing/exists check and the read — that is a lost race, not
+      // an error: re-enter the loop on a fresh listing
+      val contentOpt =
+        try Some(
+          if (mergeTip && vs.nonEmpty)
+            cells ++ readCellsFile(fs, cellsVersionFile(path, vs.last))
+          else if (mergeTip && fs.exists(legacy))
+            // first versioned commit on a pre-versioned index: the
+            // legacy single-file set is the tip to fold in
+            cells ++ readCellsFile(fs, legacy)
+          else cells)
+        catch { case _: java.io.FileNotFoundException => None }
+      val content = contentOpt.getOrElse(Set.empty)
       val next = vs.lastOption.getOrElse(0L) + 1
       // the commit must publish FULL CONTENT atomically, not just the
       // file's existence: a create-then-write (even an O_EXCL one)
@@ -368,9 +378,10 @@ object Similarity {
       // AtomicFiles stages the bytes in a hidden tmp and the version
       // name appears atomically with them (hard link on file://,
       // rename-no-overwrite elsewhere); false = lost the version race.
-      val committed = graft.core.AtomicFiles.publishExclusive(fs,
-        cellsVersionFile(path, next),
-        content.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      val committed = contentOpt.isDefined &&
+        graft.core.AtomicFiles.publishExclusive(fs,
+          cellsVersionFile(path, next),
+          content.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       if (committed) {
         // retention: immutable history older than the last 8 versions
         // is dead weight (readers resolve the tip; 8 back-versions keep

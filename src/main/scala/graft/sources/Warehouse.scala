@@ -239,13 +239,9 @@ object Warehouse {
   /** Versions committed to a delta-log table, ascending (empty when the
     * table does not exist yet).
     */
-  def deltaVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = fsOf(spark, root)
-    if (!fs.exists(manifestPath(root))) Seq.empty
-    else fs.listStatus(manifestPath(root))
-      .map(_.getPath.getName).filter(_.forall(_.isDigit))
-      .map(_.toLong).sorted.toSeq
-  }
+  def deltaVersions(spark: SparkSession, root: String): Seq[Long] =
+    graft.core.AtomicFiles.listVersions(fsOf(spark, root),
+      manifestPath(root))
 
   /** Append `df` as one new immutable generation of the delta-log table
     * at `root` (creating the table at version 1 if absent). Returns the
