@@ -112,6 +112,31 @@ class UnigramSpec extends SparkSpec {
     assert(q("b") == math.round(math.log(0.7) * 1e9))
   }
 
+  test("expectedCounts is bit-identical across partitionings " +
+      "(integer-quantized accumulation)") {
+    // the determinism contract behind CountUnit: double accumulation
+    // through a shuffle aggregate is merge-order-dependent, so two
+    // partitionings of the same word table could rank prune candidates
+    // differently; per-word quantization makes every cross-word sum
+    // exact integer arithmetic
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 120).map { i =>
+      val len = 2 + rnd.nextInt(9)
+      (Array.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString,
+        1L + rnd.nextInt(20))
+    }
+    val df = words.toDF("word", "freq")
+    val vocab = ('a' to 'd').map(c => c.toString -> 0.15).toMap ++
+      Map("ab" -> 0.1, "ba" -> 0.1, "abc" -> 0.1, "cc" -> 0.05,
+        "dd" -> 0.05)
+    val c1 = Unigram.expectedCounts(df.repartition(1), vocab,
+      maxPieceLen = 3)
+    val c8 = Unigram.expectedCounts(df.repartition(8), vocab,
+      maxPieceLen = 3)
+    assert(c1 == c8, // EXACT equality, not tolerance
+      s"partitioning changed expected counts:\n 1: $c1\n 8: $c8")
+  }
+
   test("prune: single chars never pruned; multi ties break piece ASC") {
     val counts = Map("a" -> 0.1, "b" -> 0.1, "xy" -> 5.0, "yz" -> 5.0,
       "qq" -> 1.0)
