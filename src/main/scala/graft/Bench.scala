@@ -77,6 +77,18 @@ object Bench {
     */
   val RegressionThreshold = 1.3
 
+  /** Absolute-delta floor for the regression screen: a gate is flagged
+    * only when its heat-adjusted excess (now − ref × windowRatio)
+    * exceeds this many seconds AND its normalized ratio exceeds
+    * [[RegressionThreshold]]. Ratio-only screening flagged
+    * `st_rate_intake` 0.18→0.23 s (1.47×) in the r17 driver window —
+    * 50 ms of scheduler jitter on a micro-gate tripping the same alarm
+    * as a real plan regression (the committed publish pair showed zero
+    * outliers). 0.1 s is below any delta a genuine plan change
+    * produces on a measurable gate, and far above per-gate jitter.
+    */
+  val RegressionDeltaFloorSec = 0.1
+
   /** Window-normalized per-gate regression screen against the COMMITTED
     * reference artifact — the r16 lesson automated: a whole-window heat
     * difference (the box running ~10% hotter) inflates every gate
@@ -90,7 +102,8 @@ object Bench {
     * windowRatio is the MEDIAN of shared-gate ratios.
     */
   def regressionOutliers(now: Map[String, Double], ref: Map[String, Double],
-      threshold: Double = RegressionThreshold, floorSec: Double = 0.1)
+      threshold: Double = RegressionThreshold, floorSec: Double = 0.1,
+      deltaFloorSec: Double = RegressionDeltaFloorSec)
       : (Double, Map[String, (Double, Double, Double)]) = {
     val shared = now.keySet.intersect(ref.keySet)
       .filter(k => now(k) > 0 && ref(k) > 0)
@@ -112,7 +125,12 @@ object Bench {
     val outliers = shared.iterator.flatMap { g =>
       val n = now(g); val r = ref(g)
       val norm = (n / r) / windowRatio
-      if (norm > threshold && math.max(n, r) >= floorSec)
+      // heat-adjusted excess seconds: what the gate costs BEYOND the
+      // uniform window-heat expectation. Ratio alone re-flags
+      // micro-gates on tens of milliseconds of jitter.
+      val excess = n - r * windowRatio
+      if (norm > threshold && math.max(n, r) >= floorSec &&
+          excess > deltaFloorSec)
         Some(g -> (n, r, norm))
       else None
     }.toMap
@@ -341,7 +359,7 @@ object Bench {
     val regressionsJson =
       s"""{"reference":"$referenceName","shared_gates":${
         nowMedians.keySet.intersect(refMedians.keySet).size
-      },"window_ratio":${r3(windowRatio)},"threshold":$RegressionThreshold,"outliers":$outliersJson}"""
+      },"window_ratio":${r3(windowRatio)},"threshold":$RegressionThreshold,"delta_floor_sec":$RegressionDeltaFloorSec,"outliers":$outliersJson}"""
     if (outliers.nonEmpty)
       System.err.println(s"BENCH REGRESSION SCREEN: ${outliers.size} " +
         s"window-normalized outlier(s) vs $referenceName " +

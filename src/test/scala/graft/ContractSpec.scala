@@ -117,14 +117,24 @@ class ContractSpec extends SparkSpec {
   test("bench regression screen: heat-normalized, flags a planted " +
       "regression, exempts micro and one-sided gates") {
     val ref = (1 to 10).map(i => s"g$i" -> 0.2).toMap ++
-      Map("slow" -> 0.2, "tiny" -> 0.02, "gone" -> 0.5)
+      Map("slow" -> 0.2, "tiny" -> 0.02, "gone" -> 0.5, "jitter" -> 0.15)
     // whole window 20% hotter; "slow" genuinely 2.6x; "tiny" 3x but
-    // under the 0.1s floor; "fresh" has no reference
+    // under the 0.1s floor; "fresh" has no reference; "jitter" is the
+    // r17 st_rate_intake shape — a micro-gate whose ratio trips the
+    // threshold (norm ≈ 1.44) on < 0.1 s of heat-adjusted excess
+    // (0.26 − 0.15×1.2 = 0.08 s), exempted by the absolute-delta floor
     val now = (1 to 10).map(i => s"g$i" -> 0.24).toMap ++
-      Map("slow" -> 0.52, "tiny" -> 0.06, "fresh" -> 1.0)
+      Map("slow" -> 0.52, "tiny" -> 0.06, "fresh" -> 1.0, "jitter" -> 0.26)
     val (w, out) = Bench.regressionOutliers(now, ref)
     assert(math.abs(w - 1.2) < 1e-9, s"window ratio must be the heat: $w")
     assert(out.keySet == Set("slow"), s"outliers: $out")
+    // the delta floor is what exempts "jitter": with it disabled the
+    // gate IS over the ratio threshold, so the exemption above is the
+    // floor's doing, not an accident of the numbers
+    assert(Bench.regressionOutliers(now, ref, deltaFloorSec = 0.0)._2
+      .keySet == Set("slow", "jitter"),
+      "jitter gate must trip the ratio screen when the delta floor is off")
+    assert(Bench.RegressionDeltaFloorSec == 0.1)
     val (n, r, norm) = out("slow")
     assert(n == 0.52 && r == 0.2)
     assert(math.abs(norm - (0.52 / 0.2) / 1.2) < 1e-9)
@@ -315,6 +325,19 @@ class ContractSpec extends SparkSpec {
     }
     // registered gates must still exist
     assert(registry.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  // Rounds 13-17 all flagged round artifacts left untracked/modified at
+  // snapshot time. tools/round_hygiene.sh is the primary guard (runnable
+  // any time); this twin runs the same check under an opt-in env flag —
+  // opt-in because a mid-session tree is legitimately dirty, but the
+  // round-close `GRAFT_ROUND_HYGIENE=1 sbt test` must be clean.
+  test("round artifacts are committed (opt-in hygiene guard)") {
+    assume(sys.env.get("GRAFT_ROUND_HYGIENE").contains("1"))
+    import scala.sys.process._
+    val rc = Seq("bash", "tools/round_hygiene.sh").!
+    assert(rc == 0,
+      "round artifacts uncommitted — see tools/round_hygiene.sh output")
   }
 
   test("representative queries run non-empty at sf0.001") {
