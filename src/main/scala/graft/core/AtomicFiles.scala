@@ -42,6 +42,23 @@ object AtomicFiles {
         case _: java.nio.file.FileAlreadyExistsException =>
           java.nio.file.Files.deleteIfExists(tmp)
           false
+        // some local mounts (NFS/overlay) expose scheme "file" but
+        // reject hard links — fall back to ATOMIC_MOVE without
+        // REPLACE_EXISTING, which keeps both invariants (name appears
+        // with full content; an occupied name loses the race) at the
+        // cost of clobber-atomicity guarantees the link path didn't
+        // need either
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          try {
+            java.nio.file.Files.move(tmp, local,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+              false
+          }
       }
     } else {
       // ONLY a lost create race returns false — the tmp name is

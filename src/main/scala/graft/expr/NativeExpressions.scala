@@ -918,7 +918,15 @@ object native {
   def requireIntegralId(df: org.apache.spark.sql.DataFrame,
       colName: String, context: String): Unit = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(colName).dataType
+    // resolve the way Spark resolves column references — with the
+    // session's resolver (case-insensitive by default) — not the
+    // case-SENSITIVE StructType.apply: a caller writing "DOC_ID"
+    // against a doc_id schema works everywhere else in the plan, so
+    // the guard must judge the same column the plan will bind
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val field = df.schema.find(f => resolver(f.name, colName)).getOrElse(
+      df.schema(colName)) // fall through to Spark's own error message
+    val dt = field.dataType
     val ok = dt == ByteType || dt == ShortType ||
       dt == IntegerType || dt == LongType
     require(ok, s"$context: id column '$colName' must be integral for " +

@@ -347,12 +347,27 @@ object Similarity {
     * one-writer-per-trigger and cell maintenance is single-writer).
     */
   private[graft] def writeLiveCells(spark: org.apache.spark.sql.SparkSession,
-      path: String, cells: Set[Int], mergeTip: Boolean): Unit = {
+      path: String, cells: Set[Int], mergeTip: Boolean,
+      expectedTip: Option[Long] = None): Unit = {
     val fs = fsOf(spark, path)
     var attempts = 0
     while (attempts < 16) {
       attempts += 1
       val vs = cellsVersions(fs, path)
+      // exact-set writers (mergeTip = false) are read-modify-write
+      // across the CALLER's live-set read: an append committing in
+      // between would be silently dropped from the manifest, leaving
+      // its cell dead to probedScan. The caller passes the tip version
+      // its read observed; any advance past it is a single-writer
+      // contract violation that must surface, not shrink the live set.
+      expectedTip.foreach { t =>
+        val tip = vs.lastOption.getOrElse(0L)
+        if (tip != t) throw new java.util.ConcurrentModificationException(
+          s"writeLiveCells: manifest under $path advanced from version " +
+            s"$t to $tip during an exact-set rewrite — a concurrent " +
+            "append violated the single-writer maintenance contract; " +
+            "its cells would be dropped. Re-run maintenance.")
+      }
       val legacy = cellsManifestPath(path)
       // a racer can prune the tip (retention) or delete the legacy
       // file (first versioned commit supersedes it) between our
@@ -638,13 +653,19 @@ object Similarity {
       b.result()
     }
     if (moves.nonEmpty) {
-      // COMMIT ORDER: move-list first (create-if-absent — the staging
-      // dir was reclaimed above, so an existing file is a racing
-      // writer on our tag, a precondition violation worth crashing on),
-      // then the renames, then live cells, then the ledger tag
-      val out = fs.create(moveList, false)
-      out.write(moves.map(_._2).mkString("\n").getBytes("UTF-8"))
-      out.close()
+      // COMMIT ORDER: move-list first, then the renames, then live
+      // cells, then the ledger tag. The move-list publishes through the
+      // same atomic primitive as every other commit-ordering file
+      // (AtomicFiles: full bytes appear WITH the name) — a plain
+      // fs.create here was a non-atomic exists-then-create that also
+      // exposed an empty file before its bytes, safe only by the
+      // implicit single-writer-per-tag contract. A false return means
+      // the name is taken: a racing writer on our tag, a precondition
+      // violation worth crashing on.
+      require(graft.core.AtomicFiles.publishExclusive(fs, moveList,
+        moves.map(_._2).mkString("\n").getBytes("UTF-8")),
+        s"taggedCellAppend: move-list already exists under $staging — " +
+          s"a concurrent writer is appending tag '$tag'")
       moves.foreach { case (src, rel) =>
         val dst = new org.apache.hadoop.fs.Path(path, rel)
         fs.mkdirs(dst.getParent)
@@ -723,7 +744,11 @@ object Similarity {
       if (subs.length >= 2) {
         val candidate = q.copy(splits = q.splits + (cid -> subs))
         // orphan cleanup: a crashed earlier attempt may have left
-        // child dirs that never became live — rewriting is idempotent
+        // child dirs that never became live — rewriting is idempotent.
+        // Tip version captured BEFORE the live-set read: any append
+        // landing after this point advances the tip and the exact-set
+        // commit below fails loudly instead of dropping its cells.
+        val tip0 = cellsVersions(fs, path).lastOption.getOrElse(0L)
         val live0 = ivfLiveCells(spark, path).getOrElse(
           presentCells(spark, path))
         subs.indices.map(i => candidate.subCid(cid, i)).foreach { sc =>
@@ -739,7 +764,7 @@ object Similarity {
         moved.write.mode("append").partitionBy("cid").parquet(path)
         // COMMIT: children become live, the parent stops being live
         writeLiveCells(spark, path, live0 - cid ++ childCells,
-          mergeTip = false)
+          mergeTip = false, expectedTip = Some(tip0))
         q = candidate
         // vacuum the superseded parent directory
         fs.delete(new org.apache.hadoop.fs.Path(path, s"cid=$cid"), true)

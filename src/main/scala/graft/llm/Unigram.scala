@@ -153,6 +153,97 @@ object Unigram {
     }
   }
 
+  /** SentencePiece's byte-fallback piece name for one UTF-8 byte. */
+  def bytePiece(b: Int): String = f"<0x${b & 0xff}%02X>"
+
+  /** Integer score charged PER FALLBACK BYTE token: ln p = −100 in the
+    * 1e9-unit quantized protocol. Any trained piece scores ≥
+    * ln(1/total)·1e9 ≥ −43.7e9 even for a 1-count piece against a
+    * Long.MaxValue-total corpus, so a fallback byte (−100e9) is always
+    * strictly worse than any vocab piece — and the arithmetic stays
+    * exact BIGINT, replayable by an oracle engine.
+    */
+  val ByteFallbackScoreU: Long = -100000000000L
+
+  /** Viterbi segmentation with SentencePiece-style byte-fallback: the
+    * vocab-only lattice is tried FIRST and its result returned
+    * untouched when a segmentation exists (so fallback mode is
+    * bit-identical to [[viterbiLocal]] on every previously-segmentable
+    * word); only an unsegmentable word re-runs the DP on a lattice
+    * extended with one edge per CODE POINT whose single-character
+    * piece is absent from the vocab, emitting that code point's UTF-8
+    * bytes as `<0xXX>` tokens at [[ByteFallbackScoreU]] per byte.
+    * Every code point has a UTF-8 encoding, so the extended lattice
+    * always completes — an unseen-script word tokenizes instead of
+    * returning None. Tie rules match [[viterbiLocal]] (max score, then
+    * fewest tokens, then longer final piece); fallback edges are
+    * considered after the vocab edges at each position.
+    */
+  def viterbiLocalWithByteFallback(word: String, scoreU: Map[String, Long],
+      maxPieceLen: Int): (Array[String], Long) =
+    viterbiLocal(word, scoreU, maxPieceLen).getOrElse {
+      val n = word.length
+      val NegInf = Long.MinValue
+      val best = Array.fill(n + 1)(NegInf)
+      val bestN = Array.fill(n + 1)(Int.MaxValue)
+      val back = Array.fill(n + 1)(-1)
+      val fb = new Array[Boolean](n + 1)
+      best(0) = 0L; bestN(0) = 0
+      var j = 1
+      while (j <= n) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, j)
+        while (l <= lMax) {
+          val i = j - l
+          if (best(i) != NegInf) {
+            scoreU.get(word.substring(i, j)) match {
+              case Some(s) =>
+                val cand = best(i) + s
+                val candN = bestN(i) + 1
+                if (cand > best(j) ||
+                    (cand == best(j) && candN <= bestN(j))) {
+                  best(j) = cand; bestN(j) = candN; back(j) = i
+                  fb(j) = false
+                }
+              case None => ()
+            }
+          }
+          l += 1
+        }
+        // fallback edge spanning the code point that ENDS at j (two
+        // chars for a surrogate pair), only when that code point is
+        // not itself a vocab piece
+        val cpStart =
+          if (j >= 2 && java.lang.Character.isLowSurrogate(word.charAt(j - 1))
+              && java.lang.Character.isHighSurrogate(word.charAt(j - 2))) j - 2
+          else j - 1
+        val cp = word.substring(cpStart, j)
+        if (best(cpStart) != NegInf && !scoreU.contains(cp)) {
+          val nBytes = cp.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val cand = best(cpStart) + nBytes * ByteFallbackScoreU
+          val candN = bestN(cpStart) + nBytes
+          if (cand > best(j) || (cand == best(j) && candN <= bestN(j))) {
+            best(j) = cand; bestN(j) = candN; back(j) = cpStart
+            fb(j) = true
+          }
+        }
+        j += 1
+      }
+      // the extended lattice is total (every code point has an edge)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = n
+      while (p > 0) {
+        val i = back(p)
+        if (fb(p))
+          word.substring(i, p)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .reverseIterator.foreach(b => out += bytePiece(b))
+        else out += word.substring(i, p)
+        p = i
+      }
+      (out.reverseIterator.toArray, best(n))
+    }
+
   /** Distributed Viterbi encode of a word table — one mapPartitions
     * with the quantized vocab as broadcast state (the
     * [[Bpe.encodeWordTable]] shape: plan depth constant in vocab size).
@@ -160,7 +251,8 @@ object Unigram {
     * surface with null pieces and null score rather than vanishing.
     */
   def encodeWords(words: DataFrame, scoreU: Map[String, Long],
-      maxPieceLen: Int, wordCol: String = "word"): DataFrame = {
+      maxPieceLen: Int, wordCol: String = "word",
+      byteFallback: Boolean = false): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(scoreU)
@@ -168,7 +260,10 @@ object Unigram {
       .mapPartitions { it =>
         val v = bc.value
         it.map { w =>
-          viterbiLocal(w, v, maxPieceLen) match {
+          if (byteFallback) {
+            val (pieces, s) = viterbiLocalWithByteFallback(w, v, maxPieceLen)
+            (w, pieces.toSeq, pieces.length.toLong, s)
+          } else viterbiLocal(w, v, maxPieceLen) match {
             case Some((pieces, s)) =>
               (w, pieces.toSeq, pieces.length.toLong, s)
             case None => (w, null: Seq[String], -1L, 0L)
@@ -228,6 +323,16 @@ object Unigram {
     */
   private val CountUnit = 1e6
 
+  /** Forward-backward rescale trigger/step: values below 2^-256 are
+    * scalb'd up by 2^512 and the shift tracked in a per-position
+    * exponent. Far above the double denormal floor (so precision is
+    * never lost before the rescale) and far below any posterior a
+    * short word produces (so typical words never rescale and keep
+    * bit-identical counts).
+    */
+  private val ScaleFloor = java.lang.Math.scalb(1.0, -256)
+  private val ScaleShift = 512
+
   /** One E-step: expected piece counts over all segmentations of every
     * word (forward-backward over each word, partition-local against
     * the broadcast vocab), reduced to ONE |vocab|-row aggregate and
@@ -248,31 +353,60 @@ object Unigram {
         it.foreach { case (w, f) =>
           val n = w.length
           if (n > 0) {
+            // Per-position POWER-OF-TWO rescaling (the HMM scaling
+            // trick, exponent-only): in plain linear space alpha/beta
+            // are products of ~n piece probabilities (p ~ 1/|vocab|),
+            // which underflow to 0 for long words — the word then
+            // silently vanishes from EM (z == 0), and a degenerate
+            // corpus could trip the "EM step saw no segmentable words"
+            // require spuriously. Each position carries an exponent
+            // offset (alpha_true(j) = alpha(j)·2^expA(j)); when a
+            // freshly computed value drops below 2^-256 it is scalb'd
+            // up by 512. Power-of-two scaling is EXACT in binary FP,
+            // and the posterior below re-applies the exponents through
+            // scalb, so for every word that never triggers a rescale
+            // (all exponents 0) the quantized counts are BIT-IDENTICAL
+            // to the unscaled computation — the cross-partitioning
+            // determinism contract is untouched.
             val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+            val expA = new Array[Int](n + 1)
             var j = 1
             while (j <= n) {
+              expA(j) = expA(j - 1)
               var l = 1; val lm = math.min(maxPieceLen, j)
               while (l <= lm) {
                 if (alpha(j - l) > 0) v.get(w.substring(j - l, j)) match {
-                  case Some(p) => alpha(j) += alpha(j - l) * p
+                  case Some(p) => alpha(j) += math.scalb(alpha(j - l) * p,
+                    expA(j - l) - expA(j))
                   case None => ()
                 }
                 l += 1
+              }
+              if (alpha(j) > 0 && alpha(j) < ScaleFloor) {
+                alpha(j) = math.scalb(alpha(j), ScaleShift)
+                expA(j) -= ScaleShift
               }
               j += 1
             }
             val z = alpha(n)
             if (z > 0) {
               val beta = new Array[Double](n + 1); beta(n) = 1.0
+              val expB = new Array[Int](n + 1)
               var i = n - 1
               while (i >= 0) {
+                expB(i) = expB(i + 1)
                 var l = 1; val lm = math.min(maxPieceLen, n - i)
                 while (l <= lm) {
                   if (beta(i + l) > 0) v.get(w.substring(i, i + l)) match {
-                    case Some(p) => beta(i) += p * beta(i + l)
+                    case Some(p) => beta(i) += math.scalb(p * beta(i + l),
+                      expB(i + l) - expB(i))
                     case None => ()
                   }
                   l += 1
+                }
+                if (beta(i) > 0 && beta(i) < ScaleFloor) {
+                  beta(i) = math.scalb(beta(i), ScaleShift)
+                  expB(i) -= ScaleShift
                 }
                 i -= 1
               }
@@ -287,7 +421,10 @@ object Unigram {
                   val piece = w.substring(i, i + l)
                   v.get(piece) match {
                     case Some(p) =>
-                      val post = alpha(i) * p * beta(i + l) / z
+                      // exponents re-applied through scalb: exact, and
+                      // a literal no-op (shift 0) for unscaled words
+                      val post = math.scalb(alpha(i) * p * beta(i + l) / z,
+                        expA(i) + expB(i + l) - expA(n))
                       if (post > 0)
                         wordAcc.merge(piece, post, (a, b) => a + b)
                     case None => ()

@@ -24,6 +24,15 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** Unseen-script probe words for the byte-fallback gate — "privet"
+    * in Cyrillic and a U+1F4A1 emoji sandwich, written as escapes so
+    * source-encoding drift can never change the gate (the oracle SQL
+    * interpolates the same constants).
+    */
+  private val UnigramCyr =
+    "\u043f\u0440\u0438\u0432\u0435\u0442"
+  private val UnigramEmoji = "a\uD83D\uDCA1b"
+
   /** Corpus for the exact-substring gates: documents plus four planted
     * docs exercising both span shapes (a shared 10-token run in distinct
     * contexts → overlapping 8-grams must merge into one span; a two-run
@@ -1349,6 +1358,37 @@ object LlmQueries {
         .groupBy("doc_id")
         .agg(sum(col("n_pieces")).as("n_tokens"),
           sum(col("score_u")).as("score_u"))
+    }),
+
+    // SentencePiece byte-fallback: a production corpus slice carries
+    // scripts the trained vocab never saw, and viterbiLocal alone
+    // returns None there — with fallback, each uncovered CODE POINT
+    // emits its UTF-8 bytes as <0xXX> tokens at a fixed integer score
+    // (ln p = −100 in the 1e9-unit protocol — strictly below any
+    // trained piece, so vocab segmentations are never displaced and
+    // x_unigram_tokenize is bit-unchanged; UnigramSpec pins that
+    // equivalence). Probe words (literal, so the oracle replays them
+    // exactly): pure Cyrillic (all-fallback), mixed ASCII+Cyrillic
+    // (vocab pieces around fallback bytes), an astral-plane emoji
+    // (4-byte code point, one surrogate pair on the JVM — exactly the
+    // UTF-16/UTF-8 seam the fallback must bridge), and a pure-ASCII
+    // control that must not touch the fallback path. Vocab = the same
+    // EM-free operating point as x_unigram_tokenize; the oracle
+    // recomputes it and replays both lattices (vocab-only first, then
+    // the byte-extended one) by exhaustive recursion — exact BIGINT.
+    "x_unigram_byte_fallback" -> ((s, dir) => {
+      import s.implicits._
+      val w = graft.llm.Bpe.wordFreqs(docs(s, dir))
+        .filter(col("word").rlike("^[A-Za-z0-9]+$") &&
+          length(col("word")) <= 10)
+      val vocab = graft.llm.Unigram.frequencyVocab(w, maxPieceLen = 3,
+        topPieces = 256)
+      val scores = graft.llm.Unigram.quantizedLogProbs(vocab)
+      val probe = Seq(UnigramCyr, "the" + UnigramCyr, UnigramEmoji,
+        "data").toDF("word")
+      graft.llm.Unigram.encodeWords(probe, scores, maxPieceLen = 3,
+        byteFallback = true)
+        .select(col("word"), col("n_pieces"), col("score_u"))
     }),
 
     // BPE training determinism under ties: a literal corpus planting an
@@ -2807,6 +2847,103 @@ object LlmQueries {
            sum(w.word_score)::BIGINT AS score_u
          FROM docw d JOIN wordbest w USING (word)
          GROUP BY d.doc_id""",
+
+    // byte-fallback replay: same vocab CTEs as x_unigram_tokenize, then
+    // BOTH lattices over the literal probe words by exhaustive
+    // recursion — vocab-only first (its best is authoritative when a
+    // segmentation exists, mirroring the Spark two-phase contract),
+    // else the byte-extended lattice where each code point without a
+    // single-char vocab piece contributes strlen-many byte tokens at
+    // -100e9 units each. DuckDB substr/length are code-point based,
+    // which matches the Spark side's surrogate-pair handling; only
+    // (n_pieces, score_u) are compared, both exact BIGINT.
+    "x_unigram_byte_fallback" ->
+      s"""WITH RECURSIVE
+         words AS MATERIALIZED (
+           SELECT word, count(*)::BIGINT AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$$')
+             AND length(word) <= 10
+           GROUP BY 1),
+         cand AS MATERIALIZED (
+           SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+             SELECT freq, unnest(flatten(list_transform(
+               range(1, length(word) + 1),
+               i -> list_transform(
+                 range(1, least(3, length(word) - i + 1) + 1),
+                 l -> substr(word, i::INT, l::INT))))) AS piece
+             FROM words)
+           GROUP BY 1),
+         vocab0 AS MATERIALIZED (
+           SELECT piece, cnt FROM cand WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (
+             SELECT piece, cnt FROM cand WHERE length(piece) >= 2
+             ORDER BY cnt DESC, piece ASC LIMIT 256) t),
+         vocab AS MATERIALIZED (
+           SELECT piece, length(piece) AS pl,
+             round(1e9 * ln(cnt / (SELECT sum(cnt)::DOUBLE FROM vocab0)))
+               ::BIGINT AS score_u
+           FROM vocab0),
+         probe(word) AS (VALUES
+           ('$UnigramCyr'), ('the$UnigramCyr'), ('$UnigramEmoji'),
+           ('data')),
+         positions AS MATERIALIZED (
+           SELECT word, unnest(range(0, length(word)))::INT AS pos
+           FROM probe),
+         vedges AS MATERIALIZED (
+           SELECT p.word, p.pos, v.pl::INT AS pl, v.score_u,
+             1::BIGINT AS tn
+           FROM positions p JOIN vocab v
+             ON p.pos + v.pl <= length(p.word)
+            AND substr(p.word, p.pos + 1, v.pl::INT) = v.piece),
+         fedges AS MATERIALIZED (
+           SELECT word, pos, 1 AS pl,
+             strlen(substr(word, pos + 1, 1))::BIGINT * (-100000000000)
+               AS score_u,
+             strlen(substr(word, pos + 1, 1))::BIGINT AS tn
+           FROM positions
+           WHERE NOT EXISTS (SELECT 1 FROM vocab v
+             WHERE v.piece = substr(positions.word, positions.pos + 1, 1))),
+         segv AS (
+           SELECT word, length(word) AS wl, 0 AS pos,
+             0::BIGINT AS score, 0::BIGINT AS n
+           FROM probe
+           UNION ALL
+           SELECT s.word, s.wl, s.pos + e.pl, s.score + e.score_u,
+             s.n + e.tn
+           FROM segv s JOIN vedges e
+             ON e.word = s.word AND e.pos = s.pos
+           WHERE s.pos < s.wl),
+         segf AS (
+           SELECT word, length(word) AS wl, 0 AS pos,
+             0::BIGINT AS score, 0::BIGINT AS n
+           FROM probe
+           UNION ALL
+           SELECT s.word, s.wl, s.pos + e.pl, s.score + e.score_u,
+             s.n + e.tn
+           FROM segf s JOIN (
+             SELECT * FROM vedges UNION ALL SELECT * FROM fedges) e
+             ON e.word = s.word AND e.pos = s.pos
+           WHERE s.pos < s.wl),
+         bestv AS MATERIALIZED (
+           SELECT word, n, score FROM (
+             SELECT word, score, n, row_number() OVER (
+               PARTITION BY word ORDER BY score DESC, n ASC) AS rn
+             FROM segv WHERE pos = wl) t
+           WHERE rn = 1),
+         bestf AS MATERIALIZED (
+           SELECT word, n, score FROM (
+             SELECT word, score, n, row_number() OVER (
+               PARTITION BY word ORDER BY score DESC, n ASC) AS rn
+             FROM segf WHERE pos = wl) t
+           WHERE rn = 1)
+         SELECT p.word,
+           coalesce(v.n, f.n)::BIGINT AS n_pieces,
+           coalesce(v.score, f.score)::BIGINT AS score_u
+         FROM probe p
+         LEFT JOIN bestv v USING (word)
+         LEFT JOIN bestf f USING (word)""",
 
     // precomputed expected merge sequence for the literal tie corpus
     // (derivation in the Spark-side comment): the tie at n=5 resolves

@@ -208,4 +208,21 @@ class NativeCodegenSpec extends SparkSpec {
     // are excluded by the guard and by the set identically
     assert(ids(native.inBoundedLongSet(col("id"), Seq(5L))) == Set(Some(5L)))
   }
+
+  test("requireIntegralId resolves the id column the way Spark does " +
+      "(case-insensitive by default)") {
+    val df = Seq((1L, 0.5)).toDF("doc_id", "score")
+    // a caller writing DOC_ID binds fine everywhere else in the plan
+    // (session resolver is case-insensitive), so the guard must accept
+    // it too rather than throw on the case-sensitive schema lookup
+    native.requireIntegralId(df, "DOC_ID", "spec")
+    native.requireIntegralId(df, "doc_id", "spec")
+    // a genuinely fractional id still fails fast, under either casing
+    intercept[IllegalArgumentException] {
+      native.requireIntegralId(df, "SCORE", "spec")
+    }
+    intercept[IllegalArgumentException] {
+      native.requireIntegralId(df, "score", "spec")
+    }
+  }
 }

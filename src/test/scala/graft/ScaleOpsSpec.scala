@@ -417,6 +417,33 @@ class ScaleOpsSpec extends SparkSpec {
       "first versioned merge-commit must fold the legacy set in")
   }
 
+  test("exact-set writeLiveCells fails loudly on an intervening commit " +
+      "(expectedTip guard) instead of dropping it") {
+    // r17 advisory: an exact-set rewrite (recluster) is a read-modify-
+    // write across the caller's live-set read — an append committing in
+    // between used to be silently dropped from the manifest. The
+    // caller now passes the tip version its read observed.
+    val root = tmpDir("wh-ivf-cells-tip")
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(1, 2),
+      mergeTip = true)
+    // maintenance reads the live set at tip 1 … then an append lands
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(1, 2, 3),
+      mergeTip = true)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      graft.llm.Similarity.writeLiveCells(spark, root, Set(1, 2, 9),
+        mergeTip = false, expectedTip = Some(1L))
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the intervening append's cell survived
+    assert(graft.llm.Similarity.ivfLiveCells(spark, root)
+      .contains(Set(1, 2, 3)))
+    // with the CURRENT tip the exact-set commit goes through
+    graft.llm.Similarity.writeLiveCells(spark, root, Set(1, 2, 9),
+      mergeTip = false, expectedTip = Some(2L))
+    assert(graft.llm.Similarity.ivfLiveCells(spark, root)
+      .contains(Set(1, 2, 9)))
+  }
+
   test("index maintenance tolerates non-numeric cid= directories") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = graft.llm.Similarity.trainCentroids(e, nCentroids = 8,

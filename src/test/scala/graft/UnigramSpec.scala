@@ -181,4 +181,72 @@ class UnigramSpec extends SparkSpec {
         r.getString(0) -> Option(r.get(3))).toMap
     assert(out("ab").isDefined && out("xq").isEmpty)
   }
+
+  test("byte-fallback: unseen scripts tokenize to UTF-8 byte pieces; " +
+      "segmentable words are bit-identical to plain Viterbi") {
+    val v = Map("a" -> -10L, "b" -> -20L, "ab" -> -5L, "t" -> -12L,
+      "he" -> -15L)
+    // pure unseen script: every code point falls back. "пр" = 2 code
+    // points, 2 bytes each
+    val (cyr, cyrScore) = Unigram.viterbiLocalWithByteFallback(
+      "пр", v, maxPieceLen = 2)
+    assert(cyr.toSeq == Seq("<0xD0>", "<0xBF>", "<0xD1>", "<0x80>"),
+      cyr.toSeq.toString)
+    assert(cyrScore == 4 * Unigram.ByteFallbackScoreU)
+    // mixed: vocab pieces around the fallback bytes, best vocab path
+    // chosen for the covered span ("ab" beats "a"+"b")
+    val (mixed, mixedScore) = Unigram.viterbiLocalWithByteFallback(
+      "abп", v, maxPieceLen = 2)
+    assert(mixed.toSeq == Seq("ab", "<0xD0>", "<0xBF>"))
+    assert(mixedScore == -5L + 2 * Unigram.ByteFallbackScoreU)
+    // astral-plane code point (surrogate pair on the JVM) → 4 bytes,
+    // never split into lone-surrogate garbage
+    val (emoji, emojiScore) = Unigram.viterbiLocalWithByteFallback(
+      "a💡b", v, maxPieceLen = 2)
+    assert(emoji.toSeq == Seq("a", "<0xF0>", "<0x9F>", "<0x92>",
+      "<0xA1>", "b"))
+    assert(emojiScore == -10L - 20L + 4 * Unigram.ByteFallbackScoreU)
+    // segmentable words: byte-fallback mode IS viterbiLocal
+    // (the vocab-only lattice runs first), across a word sample
+    Seq("ab", "the", "abab", "tab").foreach { w =>
+      val Some((p, s)) = Unigram.viterbiLocal(w, v, maxPieceLen = 2)
+      val fb = Unigram.viterbiLocalWithByteFallback(w, v, maxPieceLen = 2)
+      assert(fb._1.toSeq == p.toSeq && fb._2 == s, w)
+    }
+    // distributed path: an unseen-script doc tokenizes instead of
+    // surfacing null
+    val out = Unigram.encodeWords(
+      Seq("пр", "ab").toDF("word"), v, maxPieceLen = 2,
+      byteFallback = true).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("пр") == 4L && out("ab") == 1L)
+  }
+
+  test("EM forward-backward survives long-word underflow (per-position " +
+      "power-of-two rescaling)") {
+    // 400-char word over a tiny-probability vocab: alpha in plain
+    // linear space is ~p^200 ≈ 1e-800 — flushed to zero without
+    // rescaling, so the word would silently vanish from EM
+    val long = "ab" * 200
+    val tiny = Map("a" -> 1e-4, "b" -> 1e-4, "ab" -> 1e-4)
+    val c = Unigram.expectedCounts(wordsDf(long -> 1L), tiny,
+      maxPieceLen = 2)
+    assert(c.nonEmpty, "long word vanished from EM (underflow)")
+    // expected token mass ≈ word length in pieces: between the all-"ab"
+    // segmentation (200 pieces) and all-chars (400); posteriors sum to
+    // the expected segmentation length
+    val mass = c.values.sum
+    assert(mass > 200.0 - 1e-3 && mass < 400.0 + 1e-3, s"mass $mass")
+    // and the scaled path leaves short-word counts exactly where the
+    // hand-computed test pinned them (no-rescale words are bit-identical)
+    val seed = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "ab" -> 1.0 / 3)
+    val short = Unigram.expectedCounts(wordsDf("ab" -> 1L), seed,
+      maxPieceLen = 2)
+    assert(math.abs(short("ab") - 0.75) < 1e-12 &&
+      math.abs(short("a") - 0.25) < 1e-12)
+    // degenerate all-long corpus: emStep no longer fires its
+    // "no segmentable words" require spuriously
+    val step = Unigram.emStep(wordsDf(long -> 2L), tiny, maxPieceLen = 2)
+    assert(math.abs(step.values.sum - 1.0) < 1e-9)
+  }
 }
