@@ -36,6 +36,11 @@ object RecallProbe {
           f"n_hit=${r.getLong(1)} recall=${r.getDouble(2)}%.4f")
       }
       exact.unpersist()
+      // maintained-index lifecycle (append drift + recluster + search):
+      // pins x_ann_recall_maintained's floor
+      val m = graft.queries.LlmQueries.annMaintainedRecall(spark, dir).head()
+      println(f"RECALL $dir%s ivf-maintained k=10 n_exact=${m.getLong(0)} " +
+        f"n_hit=${m.getLong(1)} recall=${m.getDouble(2)}%.4f")
     }
     spark.stop()
   }

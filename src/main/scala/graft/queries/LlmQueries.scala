@@ -233,8 +233,8 @@ object LlmQueries {
   private val exactTopkBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, Long, Long, Double)]]()
   private def exactTopkOnce(s: SparkSession, dir: String, corpus: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
-    val rows = exactTopkBuilt.computeIfAbsent(dir, _ =>
+      queries: DataFrame, k: Int, key: String = ""): DataFrame = {
+    val rows = exactTopkBuilt.computeIfAbsent(s"$dir#$key", _ =>
       Similarity.bruteForceTopK(corpus, queries, k).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
           r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSeq)
@@ -256,6 +256,50 @@ object LlmQueries {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
     import s.implicits._
     rows.toDF("bucket", "log_ratio")
+  }
+
+  /** Measured recall@10 floor for the maintained-index contract —
+    * RecallProbe: 0.8375 / 0.8125 / 0.8875 at sf0.001/0.01/0.1 (above
+    * the static ivf-p8 path: the drifted probes' neighbors concentrate
+    * in the split sub-cells, which probing a split parent expands to).
+    * Re-measure with RecallProbe after retuning any maintenance knob.
+    */
+  private[graft] val AnnMaintainedFloor = 0.7
+
+  /** Maintained-index recall measurement, shared by the
+    * x_ann_recall_maintained gate and RecallProbe: two drifted append
+    * deliveries against the frozen quantizer, one recluster pass, then
+    * recall@10 of the maintained index (searched under the returned
+    * two-level quantizer) vs brute force over the post-drift union,
+    * probing both base and drifted vectors.
+    */
+  private[graft] def annMaintainedRecall(s: SparkSession,
+      dir: String): DataFrame = {
+    val cents = pseudorandomCentroids(n = 16, dim = 64)
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    // drifted deliveries: x → x/4 + 0.8 (exact double arithmetic,
+    // re-narrowed to the index's float width; DuckDB replays both
+    // steps bit-identically under IEEE round-to-nearest)
+    val drift = e.filter(col("vec_id") % 8 === 0).select(
+      (col("vec_id") + lit(2000000L)).as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x * 0.25d + 0.8d).cast("array<float>").as("embedding"))
+    val base = ivfAppendBaseOnce(s, dir, e, cents)
+    val root = cloneIndex(s, base, "x_ann_recall_maint")
+    (0 to 1).foreach { i =>
+      Similarity.ivfAppendIndex(
+        drift.filter(col("vec_id") % 16 === lit(i * 8L)), cents, root)
+    }
+    val maintained = Similarity.ivfReclusterIndex(s, root,
+      graft.llm.IvfQuantizer(cents), bloatFactor = 2.0, subCells = 4)
+    val queries = e.filter(col("vec_id") < 4)
+      .unionByName(drift.filter(col("vec_id") < 2000032L))
+    val union = e.unionByName(drift)
+    val exact = exactTopkOnce(s, dir, union, queries, k = 10,
+      key = "maint")
+    val approx = Similarity.ivfSearchIndex(s, root, queries, k = 10,
+      maintained, nProbe = 8, "vec_id", "embedding")
+    Similarity.recallAtK(exact, approx)
   }
 
   /** Delivery split boundary (max doc id / 2 over a fixed corpus
@@ -1043,6 +1087,28 @@ object LlmQueries {
         .unionByName(contract("lsh",
           Similarity.lshTopK(e, q, k = 10, nBits = 4, nTables = 16), 0.8))
     }),
+
+    // Recall-AFTER-MAINTENANCE contract (r17 verdict task 6):
+    // x_ann_recall pins recall on the static corpus; this gate pins it
+    // after the full maintenance lifecycle — two append deliveries of a
+    // DRIFTED slice (a deterministic affine push toward the positive
+    // orthant, concentrating into few cells of the frozen quantizer)
+    // followed by ivfReclusterIndex (bloated cells split under trained
+    // sub-quantizers). The maintained index + returned two-level
+    // quantizer must still clear the recall@10 floor against brute
+    // force over the post-drift union, for base AND drifted probes —
+    // proving recall survives quantizer staleness, not just that
+    // maintenance equals a rebuild (st_ivf_append's contract). The
+    // oracle replays the exact side (drift is plain arithmetic) and
+    // asserts the floor bit. Floors from measured behavior at
+    // sf0.001/0.01/0.1 with margin. 100 TB: appends are O(delta),
+    // recluster touches only bloated cells, the search is partition-
+    // pruned — the whole lifecycle is the at-scale shape.
+    "x_ann_recall_maintained" -> ((s, dir) =>
+      annMaintainedRecall(s, dir)
+        .select(lit("ivf_maintained").as("method"), col("n_exact"),
+          lit(AnnMaintainedFloor).as("recall_floor"),
+          (col("recall") >= AnnMaintainedFloor).as("recall_ok"))),
 
     // the same IVF search driven END-TO-END through the materialized
     // index layout: the corpus is written hive-partitioned by cell
@@ -3566,6 +3632,38 @@ object LlmQueries {
              AS m(method, recall_floor)
          WHERE rank <= 10
          GROUP BY 1, 3""",
+
+    // maintained-index recall contract: the oracle replays the exact
+    // side over the post-drift union (the drift is plain IEEE
+    // arithmetic — double multiply/add, one narrowing to FLOAT — so
+    // both engines produce bit-identical drifted vectors) and asserts
+    // the measured floor bit; the maintenance lifecycle itself is
+    // engine state the oracle cannot and should not see
+    "x_ann_recall_maintained" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 2000000,
+             list_transform(embedding::DOUBLE[],
+               x -> x * 0.25 + 0.8)::FLOAT[]::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id % 8 = 0),
+         q AS (
+           SELECT vec_id AS query_id, v AS qvec FROM corpus
+           WHERE (vec_id < 4 OR (vec_id >= 2000000 AND vec_id < 2000032))
+             AND list_sum(list_transform(v, x -> x*x)) > 0),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qvec, c.v) AS cos_raw
+           FROM q JOIN corpus c ON c.vec_id <> q.query_id
+             AND list_sum(list_transform(c.v, x -> x*x)) > 0),
+         ranked AS (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT 'ivf_maintained' AS method, count(*)::BIGINT AS n_exact,
+           0.7::DOUBLE AS recall_floor, true AS recall_ok
+         FROM ranked WHERE rank <= 10""",
 
     // identical contract to x_cosine_ann_ivf: the partitioned-index
     // layout changes the bytes a search reads, never its results

@@ -228,6 +228,12 @@ class ContractSpec extends SparkSpec {
         ("recall-CONTRACT gate: exact baseline + two approximate " +
           "searches + recall joins; the oracle pins the exact side and " +
           "the floor bits only"),
+      "x_ann_recall_maintained" ->
+        ("recall-after-maintenance contract: clone + two drifted " +
+          "appends + recluster + pruned search + recall join per " +
+          "invocation — the full index-maintenance lifecycle, which " +
+          "has no SQL analogue; the oracle pins the exact side and " +
+          "the floor bit only"),
       "p6_incremental_composite" ->
         ("two sequential DagRunner incremental materializations " +
           "(parquet writes + admission anti-join); twin replays the " +
