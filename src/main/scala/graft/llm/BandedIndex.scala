@@ -57,6 +57,25 @@ import graft.sources.Warehouse
   * `BandedIndexSpec` pins result equality against the flat layout and
   * asserts the partition pruning on physical plans.
   */
+object BandedIndex {
+  /** Schema of a `bands/` generation — (id, bh) data rows plus the
+    * (band, bkt) pair, which is hive-partitioned on non-empty
+    * generations and kept as data columns on empty ones (both shapes
+    * carry the same four name/type pairs, so one declared schema reads
+    * either; supplying it skips the per-generation footer-inference
+    * job on every candidate lookup).
+    */
+  private[llm] val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bkt",
+      org.apache.spark.sql.types.IntegerType)))
+}
+
 final case class BandedIndex(numBuckets: Int = 256,
     minBucketRows: Long = 1L << 16,
     maxPrunedKeys: Int = 4096,
@@ -112,7 +131,8 @@ final case class BandedIndex(numBuckets: Int = 256,
     }
     Warehouse.committedGenerations(spark, stateRoot(root))
       .filter(sg => twinOf(sg, have).isEmpty).foreach { gen =>
-        val st = spark.read.parquet(s"${stateRoot(root)}/$gen")
+        val st = spark.read.schema(IncrementalDedup.StateSchema)
+          .parquet(s"${stateRoot(root)}/$gen")
           .select("id", "sig")
         val n = st.count() // parquet footer row count: no data read
         val b = bucketsFor(n)
@@ -150,14 +170,16 @@ final case class BandedIndex(numBuckets: Int = 256,
   def hasIndex(spark: SparkSession, root: String): Boolean =
     Warehouse.deltaVersions(spark, stateRoot(root)).nonEmpty
   def readState(spark: SparkSession, root: String): DataFrame =
-    Warehouse.deltaRead(spark, stateRoot(root))
+    Warehouse.deltaRead(spark, stateRoot(root),
+      Some(IncrementalDedup.StateSchema))
 
   def candidateSide(spark: SparkSession, root: String,
       deliveryKeys: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     syncBands(spark, root, bands, rowsPerBand)
     val gens = Warehouse.committedGenerations(spark, bandsRoot(root))
     val scans = gens.map(g =>
-      (bucketsOf(g), spark.read.parquet(s"${bandsRoot(root)}/$g")))
+      (bucketsOf(g), spark.read.schema(BandedIndex.BandsSchema)
+        .parquet(s"${bandsRoot(root)}/$g")))
     // bounded collect: limit(cap + 1) decides prune-vs-full with one
     // small job; above the cap nothing large ever reaches the driver
     val keys = deliveryKeys.select(col("band").cast("int").as("band"),

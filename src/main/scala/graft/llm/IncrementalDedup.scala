@@ -122,7 +122,7 @@ object IncrementalDedup {
     def hasIndex(spark: SparkSession, root: String): Boolean =
       Warehouse.deltaVersions(spark, root).nonEmpty
     def readState(spark: SparkSession, root: String): DataFrame =
-      Warehouse.deltaRead(spark, root)
+      Warehouse.deltaRead(spark, root, Some(StateSchema))
     def candidateSide(spark: SparkSession, root: String,
         deliveryKeys: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
       readState(spark, root)
@@ -229,6 +229,22 @@ object IncrementalDedup {
     }
   }
 
+  /** The persisted survivor-state schema — what [[state]] produces and
+    * every generation directory stores. Passed to the index reads so
+    * they skip per-read parquet footer inference (a Spark job per
+    * `spark.read.parquet`, and at a 100 TB index a footer sweep over
+    * thousands of generations per trigger).
+    */
+  private[graft] val StateSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("sharr",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
   /** Signature-index state for a batch of documents: (id, sig, sharr). */
   def state(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 32): DataFrame =
@@ -240,7 +256,7 @@ object IncrementalDedup {
 
   /** Ids of every survivor admitted to the index so far. */
   def indexIds(spark: SparkSession, indexRoot: String): DataFrame =
-    Warehouse.deltaRead(spark, indexRoot).select("id")
+    Warehouse.deltaRead(spark, indexRoot, Some(StateSchema)).select("id")
 
   /** Fold a FLAT index's per-delivery generations into one compacted
     * generation ([[Warehouse.compactDeltaLog]]): after thousands of
@@ -700,7 +716,8 @@ object IncrementalDedup {
     // admitted ids re-read from the durable generation just written —
     // the returned plan scans parquet instead of replaying the dedup
     delivery.join(
-      spark.read.parquet(genPath).select(col("id").as(idCol)),
+      spark.read.schema(StateSchema).parquet(genPath)
+        .select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
   }
 }

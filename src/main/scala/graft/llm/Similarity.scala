@@ -438,6 +438,28 @@ object Similarity {
       .flatten.toSet
   }
 
+  /** Inferred index schema per root path, so repeated index reads (a
+    * probed search per query batch, cell stats per maintenance pass)
+    * skip the parquet footer-inference Spark job — at a 100 TB index
+    * that job is a footer sweep over every cell directory, per search.
+    * Populated by the first read; INVALIDATED by the overwrite writers
+    * ([[ivfWriteIndex]], [[ivfPqWriteIndex]]), which may change the
+    * column set at a reused path. Append/recluster writers keep the
+    * schema by construction (mode("append") into the same layout), so
+    * they leave the memo alone.
+    */
+  private val indexSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def readIndexParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    Option(indexSchemaMemo.get(path)) match {
+      case Some(sch) => spark.read.schema(sch).parquet(path)
+      case None =>
+        val df = spark.read.parquet(path)
+        indexSchemaMemo.putIfAbsent(path, df.schema)
+        df
+    }
+
   /** Per-cell row counts — the audit that decides when a drifting
     * append stream has bloated hot cells past the recluster threshold.
     * Partition-column-only aggregation: footer-level, no data read.
@@ -445,7 +467,7 @@ object Similarity {
   def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val live = ivfLiveCells(spark, path)
-    val base = spark.read.parquet(path)
+    val base = readIndexParquet(spark, path)
     val scoped = live match {
       case Some(cells) =>
         base.filter(col("cid").isin(cells.toSeq.sorted.map(Int.box): _*))
@@ -473,6 +495,7 @@ object Similarity {
         col(vecCol).cast("array<double>")) > 0)
       .withColumn("cid", quantizer.cidExpr(col(vecCol).cast("array<double>")))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    indexSchemaMemo.remove(path) // overwrite may change the column set
     writeLiveCells(spark, path, presentCells(spark, path),
       mergeTip = false)
   }
@@ -735,7 +758,7 @@ object Similarity {
       // recluster — PQ codes are global subspace state, independent of
       // which cell a vector lives in, so moving a row never re-encodes
       // it — and any future payload column is likewise preserved.
-      val cell = spark.read.parquet(path).filter(col("cid") === cid)
+      val cell = readIndexParquet(spark, path).filter(col("cid") === cid)
         .drop("cid")
         .localCheckpoint(true)
       try {
@@ -851,7 +874,7 @@ object Similarity {
       .map(_.getInt(0))
       .filter(c => live.forall(_.contains(c)))
       .sorted
-    val scan = spark.read.parquet(indexPath)
+    val scan = readIndexParquet(spark, indexPath)
       .filter(col("cid").isin(cells.map(Int.box).toIndexedSeq: _*))
     // plan self-assert behind the audit toggle (the BandedIndex
     // auditPartitions rule): partitionsRead forces an extra planning
@@ -1308,6 +1331,7 @@ object Similarity {
       .withColumn("codes", graft.expr.native.pqEncode(
         unitVec(col(vecCol).cast("array<double>")), codebooks))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    indexSchemaMemo.remove(path) // overwrite may change the column set
     writeLiveCells(spark, path, presentCells(spark, path),
       mergeTip = false)
   }

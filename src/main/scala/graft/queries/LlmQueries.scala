@@ -331,6 +331,23 @@ object LlmQueries {
     * round-trip would not survive a scale-up. */
   private val clusterTableBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
+
+  /** Schema of each staged parquet artifact, captured from the written
+    * DataFrame at staging time so every per-invocation read skips the
+    * parquet footer-inference Spark job (one scheduler round + driver
+    * gap per read; the schema is knowable statically — the writer is
+    * ten lines up — so inferring it back from footers is pure waste).
+    */
+  private val stagedSchemaByPath = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def readStaged(s: SparkSession, path: String): DataFrame =
+    Option(stagedSchemaByPath.get(path)) match {
+      case Some(sch) => s.read.schema(sch).parquet(path)
+      case None =>
+        val df = s.read.parquet(path)
+        stagedSchemaByPath.putIfAbsent(path, df.schema)
+        df
+    }
   /** `build` returns the table plus a cleanup thunk (unpersist of any
     * intermediate cache) that runs AFTER the staging write's action —
     * a `try/finally` inside the block would fire at expression
@@ -341,10 +358,11 @@ object LlmQueries {
     val path = clusterTableBuilt.computeIfAbsent(s"$dir#$key", _ => {
       val p = stagePath(s"clusters-$key", dir)
       val (df, cleanup) = build
+      stagedSchemaByPath.putIfAbsent(p, df.schema)
       try df.write.mode("overwrite").parquet(p) finally cleanup()
       p
     })
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** Binary media corpora (payloads + their planted near-dup twins) are
@@ -367,10 +385,12 @@ object LlmQueries {
       build: => DataFrame): DataFrame = {
     val path = mediaCorpusBuilt.computeIfAbsent(s"$dir#$kind", _ => {
       val p = stagePath(s"media-$kind", dir)
-      build.write.mode("overwrite").parquet(p)
+      val df = build
+      stagedSchemaByPath.putIfAbsent(p, df.schema)
+      df.write.mode("overwrite").parquet(p)
       p
     })
-    s.read.parquet(path)
+    readStaged(s, path)
   }
 
   /** The trained add-k bigram LM table is a persisted model artifact
@@ -382,9 +402,10 @@ object LlmQueries {
   private def bigramModelOnce(s: SparkSession, dir: String): String =
     bigramModelBuilt.computeIfAbsent(dir, _ => {
       val path = stagePath("bigram-lm", dir)
-      graft.llm.LanguageModel.bigramModel(
-          docs(s, dir).select(col("doc_id"), col("text")))
-        .write.mode("overwrite").parquet(path)
+      val df = graft.llm.LanguageModel.bigramModel(
+        docs(s, dir).select(col("doc_id"), col("text")))
+      stagedSchemaByPath.putIfAbsent(path, df.schema)
+      df.write.mode("overwrite").parquet(path)
       path
     })
 
@@ -626,7 +647,7 @@ object LlmQueries {
     "x_bigram_logprob" -> ((s, dir) =>
       graft.llm.LanguageModel.bigramLogProbWith(
         docs(s, dir).select(col("doc_id"), col("text")),
-        s.read.parquet(bigramModelOnce(s, dir)))),
+        readStaged(s, bigramModelOnce(s, dir)))),
 
     // Gopher quality rules (word-count/word-length bounds, symbol
     // ratio, alphabetic-word fraction, stop-word presence) with two
@@ -2284,7 +2305,7 @@ object LlmQueries {
     // equivalent interpolation formula in any engine yields the
     // bit-identical threshold and the >= cuts cannot flake.
     "x_ppl_buckets" -> ((s, dir) => {
-      val model = s.read.parquet(bigramModelOnce(s, dir))
+      val model = readStaged(s, bigramModelOnce(s, dir))
       val scored = graft.llm.LanguageModel.bigramLogProbWith(
           docs(s, dir).select(col("doc_id"), col("text")), model)
         .select(col("doc_id"),
@@ -2316,18 +2337,24 @@ object LlmQueries {
     // the exact side and pins the bit true, so sketch drift out of
     // tolerance is a RED row.
     "x_ppl_buckets_approx" -> ((s, dir) => {
-      val model = s.read.parquet(bigramModelOnce(s, dir))
+      val model = readStaged(s, bigramModelOnce(s, dir))
       val scored = graft.llm.LanguageModel.bigramLogProbWith(
           docs(s, dir).select(col("doc_id"), col("text")), model)
         .select(col("doc_id"),
           floor(col("avg_bigram_logp") * 10000 + lit(0.5)).cast("long")
             .as("logp_u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both bucket labels are broadcast-threshold CASE projections of
+      // the SAME scored row, so they compose as two withColumn passes
+      // over one cached scan — the former exact⋈approx join on doc_id
+      // (an exchange of both sides to re-pair rows that never left each
+      // other) is gone; doc_id is unique, so join-then-group and
+      // compose-then-group aggregate identical (ppl_bucket,
+      // approx_bucket, logp_u) triples
       val exact = graft.llm.Selection.quantileBuckets(scored, "logp_u")
-      val approx = graft.llm.Selection.quantileBuckets(scored, "logp_u",
-          approx = true, bucketCol = "approx_bucket")
-        .select("doc_id", "approx_bucket")
-      exact.join(approx, Seq("doc_id"))
+      val both = graft.llm.Selection.quantileBuckets(exact, "logp_u",
+        approx = true, bucketCol = "approx_bucket")
+      both
         .groupBy(col("ppl_bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("logp_u")).as("logp_sum"),

@@ -550,17 +550,38 @@ object Warehouse {
     * otherwise. Filters push through the Union into every scan, so
     * partition pruning applies generation by generation.
     */
-  def deltaReadEach(spark: SparkSession, root: String): DataFrame = {
+  def deltaReadEach(spark: SparkSession, root: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val paths = committedGenerations(spark, root).map(gen => s"$root/$gen")
     require(paths.nonEmpty, s"no delta-log generations under $root")
-    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    paths.map(p => readerWith(spark, schema).parquet(p))
+      .reduce(_.unionByName(_))
   }
 
-  /** Read the union of every committed generation of a delta-log table. */
-  def deltaRead(spark: SparkSession, root: String): DataFrame = {
+  /** DataFrameReader with the caller's KNOWN schema applied when given.
+    * An engine knows its own index/table schemas statically (the writer
+    * code three lines up defines them), and supplying the schema skips
+    * the per-read footer-inference Spark job — at a 100 TB index with
+    * thousands of generation directories that inference is a real
+    * per-trigger listing/footer sweep, and even at gate scale it is one
+    * scheduler round plus a driver gap per read.
+    */
+  private def readerWith(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType]) = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r
+  }
+
+  /** Read the union of every committed generation of a delta-log table.
+    * Pass the table's known `schema` to skip footer inference (see
+    * [[readerWith]]).
+    */
+  def deltaRead(spark: SparkSession, root: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val paths = committedGenerations(spark, root).map(gen => s"$root/$gen")
     require(paths.nonEmpty, s"no delta-log generations under $root")
-    spark.read.parquet(paths: _*)
+    readerWith(spark, schema).parquet(paths: _*)
   }
 
   /** True when a scan of `df` prunes partitions down to `expected` or
