@@ -812,6 +812,74 @@ case class TokenKgramHashes128(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Duplicate-k-gram character mass of a token array, in ONE per-row
+  * pass: Σ over k-grams occurring ≥ 2× in the document of
+  * (occurrences × gram char length), where a gram's char length is the
+  * length of the space-joined k-token string (Σ token chars + k − 1) —
+  * exactly the `cnt × length(gram)` mass [[graft.llm.TextAnalysis
+  * .dupNgramCharFrac]] aggregated distributively. Repetition is WITHIN
+  * a document, so the whole signal is a map over the scan: this
+  * replaces a string-building gram explode plus two corpus-wide
+  * aggregations (an exchange keyed on (doc, gram-string) and one on
+  * doc) with zero shuffles. Gram identity is the [[TokenKgramHashes]]
+  * 64-bit chain hash — the documented STATISTICS convention: an
+  * intra-document birthday collision (~positions²/2⁶⁴) perturbs one
+  * count; destructive consumers keep 128-bit keys.
+  */
+case class DupKgramChars(child: Expression, k: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(k >= 1)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dup_kgram_chars"
+
+  def compute(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val count = n - k + 1
+    if (count <= 0) return 0L
+    val th = new Array[Long](n)
+    val tl = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      th(i) = hashing.hashString(s, 42L)
+      tl(i) = s.numChars()
+      i += 1
+    }
+    // gram hash -> (occurrence count, gram char length) — glen stored
+    // once per distinct gram (identical text ⇒ identical length)
+    val cnt = new java.util.HashMap[Long, Array[Int]](count * 2)
+    i = 0
+    var glen = k - 1 // k−1 joining spaces
+    var j = 0
+    while (j < k) { glen += tl(j); j += 1 }
+    while (i < count) {
+      var h = 0x9e3779b97f4a7c15L
+      j = 0
+      while (j < k) { h = hashing.mix64(h ^ th(i + j)); j += 1 }
+      val slot = cnt.get(h)
+      if (slot == null) cnt.put(h, Array(1, glen))
+      else slot(0) += 1
+      // slide the window's char length: drop token i, admit token i+k
+      if (i + k < n) glen += tl(i + k) - tl(i)
+      i += 1
+    }
+    var dup = 0L
+    val it = cnt.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s(0) >= 2) dup += s(0).toLong * s(1)
+    }
+    dup
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def computeCall(ref: String, c: String): String =
+    s"$ref.compute($c)"
+  override protected def withNewChildInternal(c: Expression): DupKgramChars =
+    copy(child = c)
+}
+
 /** Tokens NOT covered by any [s, e) span (1-based token positions),
   * original order preserved: the rebuild step of exact-substring removal.
   * Spans arrive as array<struct<s:bigint,e:bigint>> in ARBITRARY order
@@ -895,6 +963,8 @@ object native {
     c(TokenKgramHashes(e(tokens), k))
   def tokenKgramHashes128(tokens: Column, k: Int): Column =
     c(TokenKgramHashes128(e(tokens), k))
+  def dupKgramChars(tokens: Column, k: Int): Column =
+    c(DupKgramChars(e(tokens), k))
   def removeCoveredTokens(tokens: Column, spans: Column): Column =
     c(RemoveCoveredTokens(e(tokens), e(spans)))
   def deflateRatio(text: Column): Column = c(DeflateRatio(e(text)))

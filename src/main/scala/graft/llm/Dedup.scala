@@ -255,6 +255,22 @@ object Dedup {
       .select(col("id"), col("pos"), trim(col("line")).as("line"))
       .filter(length(col("line")) > 0)
 
+  /** Per-document DISTINCT line hashes, deduped MAP-SIDE
+    * (`array_distinct` over the per-doc hash array) — the
+    * doc-frequency input for [[lineStats]]/[[dropCommonLines]]. The
+    * old `.select(id, lh).distinct()` paid a full exchange of the
+    * exploded line corpus keyed on (id, lh) just to drop in-doc
+    * repeats; this feeds the same (lh → doc count) aggregation with
+    * identical counts at one shuffle instead of two. Same trim/
+    * non-empty chain as [[docLines]], so the hashed strings match.
+    */
+  private def distinctLineHashes(df: DataFrame, textCol: String,
+      idCol: String, sepRegex: String): DataFrame =
+    df.select(explode(array_distinct(transform(
+        filter(transform(split(col(textCol), sepRegex), s => trim(s)),
+          s => length(s) > 0),
+        s => xxhash64(s)))).as("lh"))
+
   /** Line-level dedup statistics (the CCNet/RefinedWeb boilerplate
     * signal): for each document, how many of its lines appear in more
     * than `maxDocs` documents corpus-wide. Lines shuffle as 64-bit
@@ -266,7 +282,7 @@ object Dedup {
       maxDocs: Long = 1L): DataFrame = {
     val lines = docLines(df, textCol, idCol, sepRegex)
       .select(col("id"), col("pos"), xxhash64(col("line")).as("lh"))
-    val dfreq = lines.select("id", "lh").distinct()
+    val dfreq = distinctLineHashes(df, textCol, idCol, sepRegex)
       .groupBy("lh").agg(count(lit(1)).as("line_docs"))
     lines.join(dfreq, Seq("lh"))
       .groupBy(col("id").as(idCol))
@@ -290,7 +306,7 @@ object Dedup {
       maxDocs: Long = 1L): DataFrame = {
     val lines = docLines(df, textCol, idCol, sepRegex)
       .select(col("id"), col("pos"), col("line"), xxhash64(col("line")).as("lh"))
-    val keep = lines.select("id", "lh").distinct()
+    val keep = distinctLineHashes(df, textCol, idCol, sepRegex)
       .groupBy("lh").agg(count(lit(1)).as("line_docs"))
       .filter(col("line_docs") <= maxDocs)
       .select("lh")
@@ -329,12 +345,27 @@ object Dedup {
 
   /** Token k-gram hashes occurring in more than `maxDocs` distinct
     * documents — the cross-document repeated-substring alphabet.
+    * Within-document dedup happens MAP-SIDE (`array_distinct` over the
+    * per-doc hash array before the explode): the old
+    * `.select(id, gh).distinct()` paid a full exchange of the gram
+    * corpus — the largest table in the query — keyed on (id, gh) just
+    * to drop in-doc repeats, before the (gh) doc-frequency exchange.
+    * Per-doc distinct explode feeds the same (gh → doc count)
+    * aggregation with identical counts (each doc contributes each gram
+    * once either way), one shuffle instead of two.
     */
-  private def repeatedGramHashes(grams: DataFrame, maxDocs: Long): DataFrame =
-    grams.select("id", "gh").distinct()
+  private def repeatedGramHashes(df: DataFrame, k: Int, textCol: String,
+      idCol: String, maxDocs: Long, wide: Boolean = false): DataFrame = {
+    val hashes =
+      if (wide) graft.expr.native.tokenKgramHashes128(col("_toks"), k)
+      else graft.expr.native.tokenKgramHashes(col("_toks"), k)
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .filter(size(col("_toks")) >= k)
+      .select(explode(array_distinct(hashes)).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") > maxDocs)
       .select("gh")
+  }
 
   /** Exact substring deduplication signals (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): token
@@ -362,7 +393,8 @@ object Dedup {
       idCol: String = "doc_id", maxDocs: Long = 1L): DataFrame = {
     require(k >= 2, s"k-gram length must be >= 2, got $k")
     val grams = positionedGrams(df, k, textCol, idCol)
-    val flagged = grams.join(repeatedGramHashes(grams, maxDocs), Seq("gh"))
+    val flagged = grams.join(
+      repeatedGramHashes(df, k, textCol, idCol, maxDocs), Seq("gh"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     val spans = flagged
@@ -398,7 +430,9 @@ object Dedup {
     // destructive path → 128-bit gram keys (a hash collision here would
     // DELETE real tokens; see positionedGrams)
     val grams = positionedGrams(df, k, textCol, idCol, wide = true)
-    val flagged = grams.join(repeatedGramHashes(grams, maxDocs), Seq("gh"))
+    val flagged = grams.join(
+      repeatedGramHashes(df, k, textCol, idCol, maxDocs, wide = true),
+      Seq("gh"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     // per-doc array of [start, end) spans (bounded by tokens-per-doc)

@@ -870,8 +870,13 @@ object Similarity {
         probes0.withColumn("cid", explode(expand))
       }
     val live = ivfLiveCells(spark, indexPath)
-    val cells = probes.select("cid").distinct().collect()
-      .map(_.getInt(0))
+    // collect the raw |queries|×nProbe cid rows (the bounded probe
+    // state this method's contract already ships driver-ward) and
+    // dedupe locally: a .distinct() here costs one more exchange +
+    // adaptive stage round per search for a set that is at most
+    // nProbe·|queries| ints either way
+    val cells = probes.select("cid").collect()
+      .map(_.getInt(0)).distinct
       .filter(c => live.forall(_.contains(c)))
       .sorted
     val scan = readIndexParquet(spark, indexPath)

@@ -320,28 +320,27 @@ object TextAnalysis {
     * repetition — template/boilerplate spam repeats n-grams long before
     * it exhausts its vocabulary.
     *
-    * Shape: positioned n-gram explode (occurrences, not the distinct
-    * set) → one aggregation on (doc, gram) → one on doc. Both keys are
-    * high-cardinality; fan-out is ∝ tokens. 100 TB-safe.
+    * Shape: repetition is WITHIN a document, so the whole signal is
+    * ONE native per-row pass ([[graft.expr.DupKgramChars]]: k-gram
+    * chain hashes → occurrence counts → duplicate char mass) — scan →
+    * map, zero shuffles. This replaces the positioned string-gram
+    * explode plus two corpus-wide aggregations (an exchange keyed on
+    * (doc, gram-string), then one on doc) the first version paid: the
+    * per-(doc, gram) counts never needed to leave their row. Gram
+    * identity is the 64-bit STATISTICS hash convention
+    * (TokenKgramHashes) — an intra-doc collision perturbs one count.
+    * 100 TB-embarrassingly-parallel.
     */
   def dupNgramCharFrac(df: DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n >= 1)
-    val grams = df
-      .withColumn("_toks", tokens(col(textCol)))
-      .withColumn("_chars", length(col(textCol)).cast("double"))
+    df.withColumn("_toks", tokens(col(textCol)))
       .filter(size(col("_toks")) >= n)
-      .select(col(idCol), col("_chars"), explode(expr(
-        s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-          s"i -> array_join(slice(_toks, i, $n), ' '))")).as("gram"))
-    grams
-      .groupBy(col(idCol), col("_chars"), col("gram"))
-      .agg(count(lit(1)).as("cnt"), first(length(col("gram"))).as("glen"))
-      .groupBy(col(idCol))
-      .agg(roundDet(least(lit(1.0),
-        sum(when(col("cnt") >= 2, col("cnt") * col("glen")).otherwise(0L))
-          .cast("double") / first(col("_chars"))), 4)
-        .as("dup_ngram_char_frac"))
+      .select(col(idCol),
+        roundDet(least(lit(1.0),
+          graft.expr.native.dupKgramChars(col("_toks"), n).cast("double") /
+            length(col(textCol)).cast("double")), 4)
+          .as("dup_ngram_char_frac"))
   }
 
   /** Gopher-rules stop set (Rae et al. 2021 §A1.1: "the, be, to, of,

@@ -191,6 +191,38 @@ class NativeCodegenSpec extends SparkSpec {
     assert(kg(0L).distinct.size == 3) // distinct windows → distinct hashes
   }
 
+  test("dupKgramChars equals the string-gram groupBy formulation") {
+    // reference: explode string k-grams, count per (doc, gram), sum
+    // cnt·len(gram) where cnt ≥ 2 — the shape dupNgramCharFrac used
+    // before the native one-pass expression replaced it
+    val docs = Seq(
+      (0L, "spam ham jam spam ham jam spam ham jam"), // heavy repeats
+      (1L, "all distinct words here today"), // zero duplicate grams
+      (2L, "a b a b a b a b"), // overlapping repeats
+      (3L, "x y"), // shorter than k → filtered upstream; expr → 0
+      (4L, "aa  bb aa  bb aa")) // empty tokens from double spaces
+      .toDF("doc_id", "text")
+    val k = 3
+    val ref = docs
+      .withColumn("_toks", split(col("text"), " "))
+      .filter(size(col("_toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(_toks) - ${k - 1}), " +
+          s"i -> array_join(slice(_toks, i, $k), ' '))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), first(length(col("gram"))).as("glen"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * col("glen"))
+        .otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = docs
+      .select(col("doc_id"),
+        native.dupKgramChars(split(col("text"), " "), k).as("dup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ref.foreach { case (id, dup) => assert(got(id) == dup, s"doc $id") }
+    assert(got(3L) == 0L) // below k tokens: no gram exists
+  }
+
   test("inLongSet/inBoundedLongSet match isin semantics, including nulls") {
     val vals = Seq(2L, 5L, 900L)
     val df = Seq[java.lang.Long](1L, 2L, 5L, 7L, 900L, 901L, null)
