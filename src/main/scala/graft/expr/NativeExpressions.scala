@@ -715,7 +715,8 @@ case class PqAdcDist(left: Expression, right: Expression,
   * grouping key (the oracle twin groups by the gram TEXT), so the hash
   * convention is free to favor speed over compatibility.
   */
-case class TokenKgramHashes(child: Expression, k: Int)
+case class TokenKgramHashes(child: Expression, k: Int,
+    distinct: Boolean = false)
     extends UnaryExpression with NativeUnaryCodegen {
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -731,16 +732,22 @@ case class TokenKgramHashes(child: Expression, k: Int)
       th(i) = hashing.hashString(toks.getUTF8String(i), 42L)
       i += 1
     }
+    // distinct = true: first-occurrence dedup INSIDE the pass (the
+    // doc-frequency consumers' shape) — same elements a downstream
+    // array_distinct would keep, minus its extra array walk
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long](count * 2)
+      else null
     val out = new Array[Long](count)
+    var m = 0
     i = 0
     while (i < count) {
       var h = 0x9e3779b97f4a7c15L
       var j = 0
       while (j < k) { h = hashing.mix64(h ^ th(i + j)); j += 1 }
-      out(i) = h
+      if (seen == null || seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -765,7 +772,8 @@ case class TokenKgramHashes(child: Expression, k: Int)
   * consumers (span STATISTICS) keep the cheaper 64-bit
   * [[TokenKgramHashes]], where a collision only perturbs a count.
   */
-case class TokenKgramHashes128(child: Expression, k: Int)
+case class TokenKgramHashes128(child: Expression, k: Int,
+    distinct: Boolean = false)
     extends UnaryExpression with NativeUnaryCodegen {
   require(k >= 1)
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -786,6 +794,7 @@ case class TokenKgramHashes128(child: Expression, k: Int)
       tb(i) = hashing.hashString(s, 1042L)
       i += 1
     }
+    if (distinct) return computeDistinct(ta, tb, count)
     val out = new Array[Any](count)
     i = 0
     while (i < count) {
@@ -802,6 +811,34 @@ case class TokenKgramHashes128(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** First-occurrence dedup on the (h1, h2) pair INSIDE the pass —
+    * the doc-frequency consumers' shape. A downstream `array_distinct`
+    * over array<struct> falls to the O(elements²) interpreted
+    * comparison path; this is one hash-set walk.
+    */
+  private def computeDistinct(ta: Array[Long], tb: Array[Long],
+      count: Int): ArrayData = {
+    val k = this.k
+    val seen = new java.util.HashSet[(Long, Long)](count * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](count)
+    var i = 0
+    while (i < count) {
+      var h1 = 0x9e3779b97f4a7c15L
+      var h2 = 0xc2b2ae3d27d4eb4fL
+      var j = 0
+      while (j < k) {
+        h1 = hashing.mix64(h1 ^ ta(i + j))
+        h2 = hashing.mix64(h2 ^ tb(i + j))
+        j += 1
+      }
+      if (seen.add((h1, h2)))
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -959,10 +996,12 @@ object native {
   def minhashSignature(shingles: Column, k: Int): Column = c(MinHashSignature(e(shingles), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rollingHash64(tokens: Column): Column = c(RollingHash64(e(tokens)))
-  def tokenKgramHashes(tokens: Column, k: Int): Column =
-    c(TokenKgramHashes(e(tokens), k))
-  def tokenKgramHashes128(tokens: Column, k: Int): Column =
-    c(TokenKgramHashes128(e(tokens), k))
+  def tokenKgramHashes(tokens: Column, k: Int,
+      distinct: Boolean = false): Column =
+    c(TokenKgramHashes(e(tokens), k, distinct))
+  def tokenKgramHashes128(tokens: Column, k: Int,
+      distinct: Boolean = false): Column =
+    c(TokenKgramHashes128(e(tokens), k, distinct))
   def dupKgramChars(tokens: Column, k: Int): Column =
     c(DupKgramChars(e(tokens), k))
   def removeCoveredTokens(tokens: Column, spans: Column): Column =

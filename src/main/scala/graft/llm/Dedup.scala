@@ -356,12 +356,17 @@ object Dedup {
     */
   private def repeatedGramHashes(df: DataFrame, k: Int, textCol: String,
       idCol: String, maxDocs: Long, wide: Boolean = false): DataFrame = {
+    // distinct = true: dedup happens inside the native one-pass hash
+    // expression (an array_distinct over array<struct> would fall to
+    // the O(grams²) interpreted comparison path per document)
     val hashes =
-      if (wide) graft.expr.native.tokenKgramHashes128(col("_toks"), k)
-      else graft.expr.native.tokenKgramHashes(col("_toks"), k)
+      if (wide) graft.expr.native.tokenKgramHashes128(col("_toks"), k,
+        distinct = true)
+      else graft.expr.native.tokenKgramHashes(col("_toks"), k,
+        distinct = true)
     df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
       .filter(size(col("_toks")) >= k)
-      .select(explode(array_distinct(hashes)).as("gh"))
+      .select(explode(hashes).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("gram_docs"))
       .filter(col("gram_docs") > maxDocs)
       .select("gh")

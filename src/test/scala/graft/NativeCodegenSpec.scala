@@ -191,6 +191,23 @@ class NativeCodegenSpec extends SparkSpec {
     assert(kg(0L).distinct.size == 3) // distinct windows → distinct hashes
   }
 
+  test("tokenKgramHashes distinct mode == array_distinct of positioned mode") {
+    val docs = Seq((0L, "a b c a b c a b"), (1L, "p q r s"),
+      (2L, "x x x x x x")).toDF("id", "text")
+    val t = split(col("text"), " ")
+    val rows = docs.select(col("id"),
+      native.tokenKgramHashes(t, 3, distinct = true).as("d"),
+      array_distinct(native.tokenKgramHashes(t, 3)).as("ref"),
+      native.tokenKgramHashes128(t, 3, distinct = true).as("d128"),
+      array_distinct(native.tokenKgramHashes128(t, 3)).as("ref128"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"64-bit doc ${r.getLong(0)}")
+      assert(r.getSeq[org.apache.spark.sql.Row](3) ==
+        r.getSeq[org.apache.spark.sql.Row](4), s"128-bit doc ${r.getLong(0)}")
+    }
+  }
+
   test("dupKgramChars equals the string-gram groupBy formulation") {
     // reference: explode string k-grams, count per (doc, gram), sum
     // cnt·len(gram) where cnt ≥ 2 — the shape dupNgramCharFrac used
