@@ -167,18 +167,34 @@ object Selection {
       loP: Double = 0.25, hiP: Double = 0.75, approx: Boolean = false,
       accuracy: Int = 10000, bucketCol: String = "ppl_bucket"): DataFrame = {
     val sc = col(scoreCol)
-    val t =
-      if (approx) scored.agg(
-        approx_percentile(sc, lit(loP), lit(accuracy)).as("t_lo"),
-        approx_percentile(sc, lit(hiP), lit(accuracy)).as("t_hi"))
-      else scored.agg(
-        expr(s"percentile($scoreCol, ${loP}d)").as("t_lo"),
-        expr(s"percentile($scoreCol, ${hiP}d)").as("t_hi"))
-    scored.crossJoin(broadcast(t))
+    scored.crossJoin(
+        broadcast(quantileThresholds(scored, scoreCol, loP, hiP, approx,
+          accuracy)))
       .withColumn(bucketCol,
         when(sc >= col("t_hi"), lit("head"))
           .when(sc >= col("t_lo"), lit("middle"))
           .otherwise(lit("tail")))
       .drop("t_lo", "t_hi")
+  }
+
+  /** The (t_lo, t_hi) threshold pair of [[quantileBuckets]] as a
+    * one-row frame — exposed so a caller labeling the SAME scored
+    * table under several threshold modes (the x_ppl_buckets_approx
+    * tolerance gate) can run the mode aggregates as INDEPENDENT
+    * parallel stages over one cached scan and attach each pair with
+    * its own broadcast, instead of nesting one mode's labeled output
+    * inside the other's aggregate (which serializes the stages) or
+    * re-pairing rows with a join they never needed.
+    */
+  def quantileThresholds(scored: DataFrame, scoreCol: String,
+      loP: Double = 0.25, hiP: Double = 0.75, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val sc = col(scoreCol)
+    if (approx) scored.agg(
+      approx_percentile(sc, lit(loP), lit(accuracy)).as("t_lo"),
+      approx_percentile(sc, lit(hiP), lit(accuracy)).as("t_hi"))
+    else scored.agg(
+      expr(s"percentile($scoreCol, ${loP}d)").as("t_lo"),
+      expr(s"percentile($scoreCol, ${hiP}d)").as("t_hi"))
   }
 }

@@ -2372,15 +2372,29 @@ object LlmQueries {
             .as("logp_u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // both bucket labels are broadcast-threshold CASE projections of
-      // the SAME scored row, so they compose as two withColumn passes
-      // over one cached scan — the former exact⋈approx join on doc_id
-      // (an exchange of both sides to re-pair rows that never left each
-      // other) is gone; doc_id is unique, so join-then-group and
-      // compose-then-group aggregate identical (ppl_bucket,
-      // approx_bucket, logp_u) triples
-      val exact = graft.llm.Selection.quantileBuckets(scored, "logp_u")
-      val both = graft.llm.Selection.quantileBuckets(exact, "logp_u",
-        approx = true, bucketCol = "approx_bucket")
+      // the SAME scored row: run the exact and approx threshold
+      // aggregates as INDEPENDENT parallel stages over the one cached
+      // scan, attach each 2-value pair with its own broadcast, and
+      // label both buckets in one projection — no exact⋈approx join on
+      // doc_id (an exchange of both sides to re-pair rows that never
+      // left each other), and no nesting of one mode's labeled output
+      // inside the other's aggregate (which serializes the stages).
+      // doc_id is unique, so the grouped (ppl_bucket, approx_bucket,
+      // logp_u) triples are identical to the joined formulation's.
+      val sc = col("logp_u")
+      val tEx = graft.llm.Selection.quantileThresholds(scored, "logp_u")
+      val tAp = graft.llm.Selection
+        .quantileThresholds(scored, "logp_u", approx = true)
+        .select(col("t_lo").as("a_lo"), col("t_hi").as("a_hi"))
+      val both = scored.crossJoin(broadcast(tEx)).crossJoin(broadcast(tAp))
+        .withColumn("ppl_bucket",
+          when(sc >= col("t_hi"), lit("head"))
+            .when(sc >= col("t_lo"), lit("middle"))
+            .otherwise(lit("tail")))
+        .withColumn("approx_bucket",
+          when(sc >= col("a_hi"), lit("head"))
+            .when(sc >= col("a_lo"), lit("middle"))
+            .otherwise(lit("tail")))
       both
         .groupBy(col("ppl_bucket"))
         .agg(count(lit(1)).as("n_docs"),
