@@ -204,14 +204,74 @@ object Bpe {
     val encoded = encodeWordTable(
       positioned.select("word").filter(col("word").isNotNull).distinct(),
       merges)
-    positioned.join(encoded, Seq("word"), "left")
-      .groupBy(col("id").as(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"),
-          coalesce(col("tokens"), array().cast("array<string>"))
-            .as("tokens")))),
-        s => s.getField("tokens"))).as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+    orderedFlatten(positioned.join(encoded, Seq("word"), "left"), idCol)
+  }
+
+  /** Ordered per-document flatten of positioned token arrays — the
+    * join-back tail of [[encodeCorpus]] (and [[Unigram.encodeCorpus]]).
+    * Secondary sort (guide §2): the per-document order is produced by
+    * the ONE exchange the reassembly needs anyway — repartition on the
+    * doc id, sort (id, pos) within partitions — and consumed by a
+    * single linear mapPartitions pass that concatenates consecutive
+    * same-id runs. The old shape paid the same exchange PLUS a
+    * collect_list of (pos, tokens) structs, a per-group interpreted
+    * `array_sort`, and a transform/flatten projection; here each task
+    * streams its sorted partition once, buffering one document at a
+    * time. A mapPartitions (not collect_list over the sorted input) is
+    * deliberate: hash aggregates do NOT guarantee arrival order —
+    * ObjectHashAggregate's sort-based fallback reorders groups past
+    * 128 keys/task, observed scrambling streams at sf0.001 — while the
+    * iterator order of a sorted partition is a hard contract. Long ids
+    * only (every corpus id in the engine; [[encodeCorpus]] callers) —
+    * non-long ids take the legacy array_sort path. Bit-equality with
+    * the array_sort formulation is pinned by BpeSpec/UnigramSpec
+    * ordered-stream cases. Null `pos` only marks the single marker row
+    * of a wordless document, so its sort position is moot; null ids
+    * group under one null key like the old groupBy did.
+    */
+  private[llm] def orderedFlatten(joined: DataFrame, idCol: String)
+      : DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val prepared = joined
+      .select(col("id"), col("pos"),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
+    val longId = prepared.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    val out =
+      if (longId) {
+        prepared
+          .select(col("id").as("_1"), col("pos").as("_2"),
+            col("tokens").as("_3"))
+          .repartition(col("_1"))
+          .sortWithinPartitions(col("_1"), col("_2"))
+          .as[(Option[Long], Option[Int], Seq[String])]
+          .mapPartitions { it =>
+            new Iterator[(Option[Long], Seq[String])] {
+              private var pending: Option[(Option[Long], Option[Int],
+                Seq[String])] = if (it.hasNext) Some(it.next()) else None
+              def hasNext: Boolean = pending.isDefined
+              def next(): (Option[Long], Seq[String]) = {
+                val id = pending.get._1
+                val buf = Seq.newBuilder[String]
+                while (pending.isDefined && pending.get._1 == id) {
+                  buf ++= pending.get._3
+                  pending = if (it.hasNext) Some(it.next()) else None
+                }
+                (id, buf.result())
+              }
+            }
+          }
+          .toDF(idCol, "tokens")
+      } else {
+        prepared
+          .groupBy(col("id").as(idCol))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("pos"),
+              col("tokens").as("tokens")))),
+            s => s.getField("tokens"))).as("tokens"))
+      }
+    out.withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
   /** Ranked merge table from ONE pair-count pass (no iterative

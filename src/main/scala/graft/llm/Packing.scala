@@ -46,10 +46,24 @@ object Packing {
     val wIn = Window.partitionBy(byCol, "_shard").orderBy(idCol)
     val inShard = sharded.withColumn("_cum_in", sum(col(nTokensCol)).over(wIn))
     // exclusive prefix of shard totals: offsets relation is #byCol×#shards
-    // rows (driver-broadcast-size at 100 TB: ~10 sources × ~10k shards)
+    // rows (driver-broadcast-size at 100 TB: ~10 sources × ~10k shards).
+    // Aggregated from the WINDOW OUTPUT, not from `sharded`: the window
+    // already hash-partitioned the rows on exactly (byCol, _shard), so
+    // this groupBy rides that same exchange (guide §2.4 — consecutive
+    // operations keyed the same way need one exchange) and the join
+    // probe side below reuses it too — ONE evaluation of the corpus
+    // upstream instead of two, one exchange instead of two. The group
+    // total is read off the cumsum's maximum (its last value), which
+    // keeps `_cum_in` referenced — aggregating sum(nTokensCol) here
+    // would let column pruning drop `_cum_in`, erase the window from
+    // this branch, and re-derive the whole upstream a second time
+    // (observed: the pruned branch re-scanned and re-tokenized the
+    // corpus). max == sum requires the cumsum to be non-decreasing,
+    // i.e. token counts ≥ 0 — counts by contract; PackingSpec pins
+    // bit-equality with the single-window formulation.
     val wSh = Window.partitionBy(byCol).orderBy("_shard")
-    val offsets = sharded.groupBy(col(byCol), col("_shard"))
-      .agg(sum(col(nTokensCol)).as("_shard_tokens"))
+    val offsets = inShard.groupBy(col(byCol), col("_shard"))
+      .agg(max(col("_cum_in")).as("_shard_tokens"))
       .withColumn("_offset",
         sum(col("_shard_tokens")).over(wSh) - col("_shard_tokens"))
       .select(col(byCol).as("_by_off"), col("_shard").as("_shard_off"),

@@ -447,7 +447,21 @@ object Similarity {
     * column set at a reused path. Append/recluster writers keep the
     * schema by construction (mode("append") into the same layout), so
     * they leave the memo alone.
+    *
+    * SINGLE-SESSION ASSUMPTION (documented engine contract): the memo
+    * trusts that every writer that can change a committed index's
+    * column set at a reused path runs through THIS process's writer
+    * entry points. An external/second process rewriting an index layout
+    * in place at the same path would be read with the stale schema
+    * (renamed columns surface as nulls). That matches the engine's
+    * single-session ownership model for index roots — the same
+    * assumption the hard-link [[graft.queries]] clone and the delta-log
+    * commit protocol rest on. Bounded at [[SchemaMemoMax]] paths
+    * (per-invocation clone roots accumulate fresh paths forever;
+    * entries are small, cleared wholesale on overflow — a miss only
+    * costs one re-inference).
     */
+  private val SchemaMemoMax = 512
   private val indexSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
   private def readIndexParquet(spark: org.apache.spark.sql.SparkSession,
@@ -456,9 +470,14 @@ object Similarity {
       case Some(sch) => spark.read.schema(sch).parquet(path)
       case None =>
         val df = spark.read.parquet(path)
+        if (indexSchemaMemo.size() > SchemaMemoMax) indexSchemaMemo.clear()
         indexSchemaMemo.putIfAbsent(path, df.schema)
         df
     }
+  /** Test seam: what the memo holds for `path` (None = will re-infer). */
+  private[graft] def memoizedIndexSchema(path: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    Option(indexSchemaMemo.get(path))
 
   /** Per-cell row counts — the audit that decides when a drifting
     * append stream has bloated hot cells past the recluster threshold.

@@ -297,14 +297,8 @@ object Unigram {
       scoreU, maxPieceLen)
       .select(col("word"), coalesce(col("pieces"),
         array().cast("array<string>")).as("tokens"))
-    positioned.join(encoded, Seq("word"), "left")
-      .groupBy(col("id").as(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("pos"),
-          coalesce(col("tokens"), array().cast("array<string>"))
-            .as("tokens")))),
-        s => s.getField("tokens"))).as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+    // secondary-sort ordered flatten — see Bpe.orderedFlatten
+    Bpe.orderedFlatten(positioned.join(encoded, Seq("word"), "left"), idCol)
   }
 
   // ------------------------------------------------------------ EM

@@ -337,7 +337,14 @@ object LlmQueries {
     * parquet footer-inference Spark job (one scheduler round + driver
     * gap per read; the schema is knowable statically — the writer is
     * ten lines up — so inferring it back from footers is pure waste).
+    * Single-session assumption as in Similarity's indexSchemaMemo:
+    * staged artifacts are written only by the staging lifecycles in
+    * this file (each keyed computeIfAbsent guards its path), so no
+    * external writer can change a path's layout behind the memo.
+    * Bounded: cleared wholesale past [[StagedMemoMax]] paths (a miss
+    * re-infers once).
     */
+  private val StagedMemoMax = 512
   private val stagedSchemaByPath = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
   private def readStaged(s: SparkSession, path: String): DataFrame =
@@ -345,6 +352,8 @@ object LlmQueries {
       case Some(sch) => s.read.schema(sch).parquet(path)
       case None =>
         val df = s.read.parquet(path)
+        if (stagedSchemaByPath.size() > StagedMemoMax)
+          stagedSchemaByPath.clear()
         stagedSchemaByPath.putIfAbsent(path, df.schema)
         df
     }

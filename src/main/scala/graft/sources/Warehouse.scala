@@ -344,8 +344,41 @@ object Warehouse {
     finally in.close()
   }
 
-  private def resolveLedger(spark: SparkSession, root: String): Ledger =
-    resolveLedgerFrom(spark, root, deltaVersions(spark, root))
+  /** Resolved-ledger memo per table root. Version files are IMMUTABLE
+    * once committed (the single-key create CAS — a version's content
+    * never changes after its create succeeds), so a ledger folded from
+    * a given version list can be reused verbatim while the listing is
+    * unchanged, and EXTENDED incrementally when new versions land past
+    * the cached prefix. Every resolve still pays exactly ONE manifest
+    * listing — the freshness check, so an EXTERNAL writer's commit is
+    * seen the moment its version file exists — but the per-version
+    * file opens (at a long-lived 100 TB index: thousands of small
+    * metadata reads per admission, 50–190 ms driver gaps between jobs)
+    * collapse to the new versions only. A shrunk or rewritten listing
+    * (vacuumed versions) misses the prefix check and refolds from
+    * scratch. Bounded at [[LedgerMemoMax]] roots — entries are tiny
+    * (generation-name lists), cleared wholesale on overflow.
+    */
+  private final case class LedgerMemo(versions: Seq[Long], ledger: Ledger)
+  private val ledgerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, LedgerMemo]()
+  private val LedgerMemoMax = 256
+  /** Test seam: drop every memoized ledger (forces cold refolds), so
+    * specs can pin warm == cold. */
+  private[graft] def ledgerMemoReset(): Unit = ledgerMemo.clear()
+
+  private def resolveLedger(spark: SparkSession, root: String): Ledger = {
+    val versions = deltaVersions(spark, root)
+    val ledger = Option(ledgerMemo.get(root)) match {
+      case Some(m) if m.versions == versions => m.ledger
+      case Some(m) if versions.startsWith(m.versions) =>
+        foldVersions(spark, root, versions.drop(m.versions.length), m.ledger)
+      case _ => foldVersions(spark, root, versions, Ledger(Nil, Nil))
+    }
+    if (ledgerMemo.size() > LedgerMemoMax) ledgerMemo.clear()
+    ledgerMemo.put(root, LedgerMemo(versions, ledger))
+    ledger
+  }
 
   /** Fold an EXPLICIT versions listing into a ledger — so a caller that
     * also needs the next commit version can derive both from ONE
@@ -353,10 +386,18 @@ object Warehouse {
     * separate listings opened a lost-append window).
     */
   private def resolveLedgerFrom(spark: SparkSession, root: String,
-      versions: Seq[Long]): Ledger = {
+      versions: Seq[Long]): Ledger =
+    foldVersions(spark, root, versions, Ledger(Nil, Nil))
+
+  /** Sequential ledger fold of `versions` on top of `from` — the memo's
+    * incremental step IS the from-scratch fold started mid-stream, so
+    * the two can never disagree (CompactionSpec pins warm == cold).
+    */
+  private def foldVersions(spark: SparkSession, root: String,
+      versions: Seq[Long], from: Ledger): Ledger = {
     val fs = fsOf(spark, root)
-    var live = Vector.empty[String]
-    var history = Vector.empty[String]
+    var live = from.live.toVector
+    var history = from.history.toVector
     versions.foreach { v =>
       readVersionFile(fs, root, v) match {
         case "#snapshot" +: rest =>

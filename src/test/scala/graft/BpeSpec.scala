@@ -167,6 +167,38 @@ class BpeSpec extends SparkSpec {
       s"empty/whitespace docs must yield ([], 0): ${out.get(4L)}, ${out.get(5L)}")
   }
 
+  test("encodeCorpus stream order survives multi-partition shuffled input " +
+      "(secondary-sort join-back)") {
+    // r19 rebuilds the ordered stream by sorting (id, pos) within the
+    // repartition-by-id exchange and collecting in arrival order, so the
+    // order guarantee must hold when the input arrives shuffled across
+    // many partitions — not just on a single tidy partition. 60 docs ×
+    // up to 40 words, ids deliberately interleaved across 13 partitions.
+    val words = Seq("low", "lower", "lowest", "new", "newer", "wide", "er")
+    val rows = (0L until 60L).map { id =>
+      val n = 1 + (id % 40).toInt
+      val text = (0 until n)
+        .map(i => words(((id + i * 7) % words.length).toInt)).mkString(" ")
+      (id, text)
+    }
+    val corpus = rows.toDF("doc_id", "text")
+      .repartition(13, col("doc_id") * 31 % 13) // scatter ids
+    val merges = Bpe.train(rows.take(8).toSeq.toDF("doc_id", "text"),
+      numMerges = 6, minCount = 1)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val out = Bpe.encodeCorpus(corpus, merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[String](1).toList, r.getAs[Long]("n_tokens"))).toMap
+    assert(out.size == 60)
+    rows.foreach { case (id, text) =>
+      val expected = text.split(" ").toList
+        .flatMap(w => Bpe.encodeSymbols(w.split(""), ranks))
+      assert(out(id)._1 == expected,
+        s"doc $id stream out of order under multi-partition input")
+      assert(out(id)._2 == expected.size.toLong)
+    }
+  }
+
   test("padMerges entries are provably inert") {
     val merges = Bpe.train(corpus, numMerges = 4)
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap

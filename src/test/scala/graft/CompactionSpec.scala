@@ -197,4 +197,45 @@ class CompactionSpec extends SparkSpec {
     assert(plain == compacted)
     assert(!compacted.exists(_ >= 10000L)) // re-delivered twins rejected
   }
+
+  test("memoized ledger resolves == cold resolves across append, tagged " +
+      "append, compaction and vacuum") {
+    // the r19 ledger memo reuses a folded ledger while the version
+    // listing is unchanged and extends it incrementally past the cached
+    // prefix; every mutation below must be visible on the very next
+    // resolve, and the warm answer must equal a cold (memo-cleared)
+    // refold at every step
+    val root = tmpDir("graft-ledger-memo") + "/log"
+    def check(): Unit = {
+      val warmLive = Warehouse.committedGenerations(spark, root)
+      val warmHist = Warehouse.generationLedger(spark, root)
+      Warehouse.ledgerMemoReset()
+      assert(warmLive == Warehouse.committedGenerations(spark, root),
+        "warm live list diverged from cold refold")
+      assert(warmHist == Warehouse.generationLedger(spark, root),
+        "warm ledger history diverged from cold refold")
+    }
+    Warehouse.deltaAppend(Seq((1L, "a")).toDF("id", "v"), root)
+    check()
+    // warm-memo incremental extension: resolve once (memo hot), append,
+    // resolve again — the new generation must appear immediately
+    val before = Warehouse.committedGenerations(spark, root)
+    Warehouse.deltaAppend(Seq((2L, "b")).toDF("id", "v"), root)
+    val after = Warehouse.committedGenerations(spark, root)
+    assert(after.size == before.size + 1)
+    check()
+    Warehouse.deltaAppendTagged(Seq((3L, "c")).toDF("id", "v"), root, "tm1")
+    check()
+    Warehouse.compactDeltaLog(spark, root)
+    assert(Warehouse.committedGenerations(spark, root).size == 1)
+    // replay guard must keep working through the memoized history
+    assert(Warehouse.deltaAppendTagged(
+      Seq((9L, "z")).toDF("id", "v"), root, "tm1").isEmpty)
+    check()
+    Warehouse.vacuumDeltaLog(spark, root)
+    check()
+    val rows = Warehouse.deltaRead(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }

@@ -74,6 +74,73 @@ class PackingSpec extends SparkSpec {
       b.select("doc_id", "seq_id").collect().toSet)
   }
 
+  test("max-of-cumsum shard totals equal the plain per-shard sums under " +
+      "NULL and zero token counts") {
+    // the r19 exchange merge reads each shard's token total off
+    // max(_cum_in) instead of re-aggregating the raw rows with
+    // sum(n_tokens) — the substitution is exact iff the cumsum is
+    // non-decreasing (counts ≥ 0) with nulls skipped by both sides,
+    // including groups that START with nulls and all-null groups (both
+    // total NULL either way). Pin the substituted quantity directly.
+    val rows: Seq[(Long, String, Option[Long])] =
+      (0L until 200L).map { id =>
+        val nt = if (id % 7 == 3) Option.empty[Long]
+          else if (id % 11 == 5) Some(0L)
+          else Some(1L + (id * 31 % 90))
+        (id, s"s${id % 3}", nt)
+      } ++ Seq((900L, "allnull", Option.empty[Long]),
+        (901L, "allnull", Option.empty[Long]))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+      .withColumn("_shard", expr("doc_id div 16L"))
+    val wIn = Window.partitionBy("source", "_shard").orderBy("doc_id")
+    def totals(agged: org.apache.spark.sql.DataFrame) = agged.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    val viaMax = totals(df
+      .withColumn("_cum_in", sum(col("n_tokens")).over(wIn))
+      .groupBy("source", "_shard").agg(max(col("_cum_in"))))
+    val viaSum = totals(df
+      .groupBy("source", "_shard").agg(sum(col("n_tokens"))))
+    assert(viaMax == viaSum)
+    // and end-to-end output on the same null-bearing corpus is stable
+    // against the pre-r19 shape: offset + cumsum assembled identically
+    val wSh = Window.partitionBy("source").orderBy("_shard")
+    val inShard = df.withColumn("_cum_in", sum(col("n_tokens")).over(wIn))
+    val oldOffsets = df.groupBy(col("source"), col("_shard"))
+      .agg(sum(col("n_tokens")).as("_shard_tokens"))
+      .withColumn("_offset",
+        sum(col("_shard_tokens")).over(wSh) - col("_shard_tokens"))
+      .select(col("source").as("_by_off"), col("_shard").as("_shard_off"),
+        col("_offset"))
+    val want = inShard.join(broadcast(oldOffsets),
+        col("source") <=> col("_by_off") && col("_shard") <=> col("_shard_off"))
+      .withColumn("cum_tokens", col("_offset") + col("_cum_in"))
+      .withColumn("seq_id", expr("(cum_tokens - n_tokens) div 100L"))
+      .select("doc_id", "cum_tokens", "seq_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val got = Packing.packSequences(
+        df.drop("_shard"), budgetTokens = 100L, shardWidth = 16L)
+      .select("doc_id", "cum_tokens", "seq_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got == want)
+  }
+
+  test("offsets aggregate consumes the row-level window (shared exchange, " +
+      "not a pruned second pass)") {
+    // the shard-totals aggregate must sit ON TOP of the row-level cumsum
+    // window in the optimized plan — if column pruning drops _cum_in the
+    // window vanishes from that branch and the corpus-sized upstream is
+    // re-derived and re-exchanged a second time (guide §2.4)
+    val df = (0L until 100L).map(id => (id, s"s${id % 2}", 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val plan = Packing.packSequences(df, 100L, shardWidth = 16L)
+      .queryExecution.optimizedPlan
+    val aggsOverWindow = plan.collect {
+      case a: Aggregate if a.collectFirst { case w: LWindow => w }.isDefined => a
+    }
+    assert(aggsOverWindow.nonEmpty,
+      "shard-totals aggregate no longer rides the cumsum window's exchange")
+  }
+
   test("no row-level window partition spans a full source") {
     val df = (0L until 100L).map(id => (id, s"s${id % 2}", 5L))
       .toDF("doc_id", "source", "n_tokens")

@@ -97,6 +97,45 @@ class SimilaritySpec extends SparkSpec {
       s"twin not found over int ids: ${res.toSeq}")
   }
 
+  test("index schema memo: overwrite at a reused path invalidates; " +
+      "reads see the new layout") {
+    // the memo (r18/r19) assumes single-session writers: the in-session
+    // overwrite writers must drop the cached schema so a relayout at a
+    // reused path is never read with stale columns (silent nulls)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = graft.llm.IvfQuantizer(
+      Similarity.trainCentroids(vecs, nCentroids = 2, lloydIters = 1))
+    val idx = tmpDir("wh-memo-inval") + "/index"
+    Similarity.ivfWriteIndex(vecs, q, idx, "vec_id", "embedding")
+    // populate the memo via a search read
+    val hit = Similarity.ivfSearchIndex(spark, idx,
+      vecs.filter(col("vec_id") === 0), k = 1, q, nProbe = 2,
+      idCol = "vec_id", vecCol = "embedding").collect()
+    assert(hit.nonEmpty)
+    val memoA = Similarity.memoizedIndexSchema(idx)
+    assert(memoA.isDefined, "first read must populate the memo")
+    // RELAYOUT at the same path: the PQ writer adds code columns
+    val cbs = Similarity.trainPqCodebooks(vecs, numSub = 2,
+      codesPerSub = 4, lloydIters = 1)
+    Similarity.ivfPqWriteIndex(vecs, q, cbs, idx)
+    assert(Similarity.memoizedIndexSchema(idx).isEmpty,
+      "overwrite writer must invalidate the memoized schema")
+    // the next read infers the NEW layout — PQ search works end-to-end
+    val res = Similarity.ivfPqSearchIndex(spark, idx,
+      vecs.filter(col("vec_id") === 0), k = 1, q, cbs,
+      nProbe = 2, rerank = 2).collect()
+    assert(res.nonEmpty && res(0).getAs[Long]("neighbor_id") == 1L,
+      s"post-relayout read failed: ${res.toSeq}")
+    val memoB = Similarity.memoizedIndexSchema(idx)
+    assert(memoB.isDefined && memoB != memoA,
+      "re-read must memoize the new layout's schema")
+  }
+
   test("ivfTopK recall vs brute force on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 8)

@@ -24,4 +24,15 @@ if [ -n "$bad" ]; then
   echo "$bad" >&2
   exit 1
 fi
+# Stray-junk guard (r18 verdict: an empty JVM .attach_pid* artifact rode
+# a `git add -A` into history). ANY untracked, un-ignored file at round
+# close is junk or forgotten work: commit it or gitignore it. Tool/IDE
+# droppings (.attach_pid*, hs_err_pid*, core dumps, editor swap) are
+# never legitimate tree content and are named in the message.
+stray=$(git status --porcelain --untracked-files=all | grep '^??' || true)
+if [ -n "$stray" ]; then
+  echo "ROUND HYGIENE: untracked files — commit, gitignore, or delete:" >&2
+  echo "$stray" >&2
+  exit 1
+fi
 echo "round hygiene: clean"
