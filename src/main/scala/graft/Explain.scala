@@ -8,7 +8,14 @@ package graft
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // --executed: run the query (noop sink) FIRST and print the final
+    // adaptive plan — the only rendering that shows what actually ran
+    // (ReusedExchange / table-cache hits / AQE join rewrites), which the
+    // pre-execution dump structurally cannot (AQE reuses stages at
+    // runtime, so static Exchange-node counts overstate the work)
+    val executed = args.contains("--executed")
+    val rest = args.drop(1).filterNot(_ == "--executed").toSeq
+    val names = if (rest.nonEmpty) rest
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.core.GraftSession.local("graft-explain", cores = 8)
     // opt into the imperative-stage capture (addDelivery et al. skip
@@ -17,8 +24,15 @@ object Explain {
     names.foreach { name =>
       graft.llm.IncrementalDedup.lastStagePlans = Nil
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      if (executed) {
+        // run THIS QueryExecution's plan (a noop write would build its
+        // own QueryExecution and leave df's AdaptiveSparkPlan unfinalized)
+        df.queryExecution.toRdd.foreach(_ => ())
+      }
+      val plan =
+        if (executed) df.queryExecution.executedPlan.toString
+        else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
       val (shuffles, bcasts, scans) = graft.core.PlanAudit.counts(df)
       println(s"\n########## $name  [shuffles=$shuffles broadcasts=$bcasts scans=$scans]")
       // imperative pipelines (addDelivery) surface their internal
@@ -30,6 +44,7 @@ object Explain {
           s"broadcasts=${st.broadcasts} scans=${st.scans}]")
       }
       println(plan)
+      spark.catalog.clearCache() // executed persists must not leak across gates
     }
     spark.stop()
   }

@@ -77,7 +77,12 @@ object ScaleCurve {
     val extraArgs = args.drop(3).toSeq
     val reuse = extraArgs.contains("--reuse")
     val only = extraArgs.filterNot(_ == "--reuse")
-    val spark = graft.core.GraftSession.local("graft-scale", cores = 32)
+    // core count from the driver-contract env var (default 32) so the
+    // curve can produce the 8-vs-32-core pair at the derived SF — the
+    // core-scaling signal sf0.1 alone cannot give (every gate there is
+    // scheduling overhead, not data)
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession.local("graft-scale", cores = cores)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -244,8 +249,18 @@ object ScaleCurve {
         }.min
       }
       // small buckets so the banded fan-out engages at probe scale (the
-      // production default only fans out past 64k rows per band)
-      def banded = BandedIndex(minBucketRows = 512, auditPartitions = true)
+      // production default only fans out past 64k rows per band).
+      // TWO layout instances per index: the TIMED lookup runs the
+      // production shape (no audit), because auditPartitions forces a
+      // full-table directory listing per call — cost ∝ total partition
+      // dirs, i.e. ∝ index size, which super-linearized the curve row
+      // (r19: 12.4× at 10× with the audit inside the timed region) and
+      // is exactly the double-listing the flag's scaladoc warns about;
+      // the pruning COUNTS come from one separate audited call outside
+      // the timing loop.
+      def banded = BandedIndex(minBucketRows = 512)
+      def bandedAudit = BandedIndex(minBucketRows = 512,
+        auditPartitions = true)
       def buildIdx(dir: String, tag: String,
           layout: IncrementalDedup.IndexLayout): String = {
         val root = s"$workDir/lookup_idx_$tag"
@@ -270,9 +285,16 @@ object ScaleCurve {
       val b1 = buildIdx(sfDir, "band_1x", lay1)
       val bN = buildIdx(bigDir, s"band_${mult}x", layN)
       val tB1 = timeLookup(lay1.candidateSide(spark, b1, keys, 8, 4))
-      val p1 = (lay1.lastScannedPartitions, lay1.lastTotalPartitions)
       val tBN = timeLookup(layN.candidateSide(spark, bN, keys, 8, 4))
-      val pN = (layN.lastScannedPartitions, layN.lastTotalPartitions)
+      // pruning evidence from ONE audited call per index, un-timed
+      val aud1 = bandedAudit
+      aud1.candidateSide(spark, b1, keys, 8, 4)
+        .write.format("noop").mode("overwrite").save()
+      val p1 = (aud1.lastScannedPartitions, aud1.lastTotalPartitions)
+      val audN = bandedAudit
+      audN.candidateSide(spark, bN, keys, 8, 4)
+        .write.format("noop").mode("overwrite").save()
+      val pN = (audN.lastScannedPartitions, audN.lastTotalPartitions)
       println(f"SCALE ${"incdedup_lookup(banded)"}%-28s $tB1%6.3f  $tBN%6.3f  ${tBN / tB1}%5.2f  " +
         f"dirs=${p1._1}/${p1._2}@1x ${pN._1}/${pN._2}@${mult}x")
       keys.unpersist()

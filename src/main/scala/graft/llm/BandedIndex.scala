@@ -177,9 +177,6 @@ final case class BandedIndex(numBuckets: Int = 256,
       deliveryKeys: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     syncBands(spark, root, bands, rowsPerBand)
     val gens = Warehouse.committedGenerations(spark, bandsRoot(root))
-    val scans = gens.map(g =>
-      (bucketsOf(g), spark.read.schema(BandedIndex.BandsSchema)
-        .parquet(s"${bandsRoot(root)}/$g")))
     // bounded collect: limit(cap + 1) decides prune-vs-full with one
     // small job; above the cap nothing large ever reaches the driver
     val keys = deliveryKeys.select(col("band").cast("int").as("band"),
@@ -197,15 +194,63 @@ final case class BandedIndex(numBuckets: Int = 256,
           rows.map(r => math.floorMod(r.getLong(1), buckets.toLong).toInt)
             .distinct.toSeq)
       }.reduce(_ || _)
-    val side = scans.map { case (b, df) =>
-      if (lastPruned)
-        df.filter(partPred(b) && graft.expr.native.inLongSet(col("bh"), bhs))
-      else df
+    // Pruned lookups read the needed (band, bkt) directories DIRECTLY —
+    // the layout's dir names are a pure function of the key set and the
+    // generation's bucket count, so partition DISCOVERY (a recursive
+    // listing of every `band=*/bkt=*` leaf, cost ∝ total index dirs —
+    // the one per-trigger cost that still grew with index size: the 10×
+    // scale curve measured the listing, not the scan) collapses to one
+    // name-only listing per needed band. A generation without `band=`
+    // dirs (empty generations keep band/bkt as data columns; legacy
+    // unsuffixed ones predate the fan-out) falls back to the filtered
+    // whole-generation read. BandedIndexSpec pins result equality of
+    // the direct-path read against the filtered full read, including
+    // keys whose (band, bkt) dir does not exist.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def emptyBands(): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      BandedIndex.BandsSchema)
+    def prunedScan(genPath: String, buckets: Int): DataFrame = {
+      val gp = new org.apache.hadoop.fs.Path(genPath)
+      val topBands = fs.listStatus(gp).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("band=")).toSet
+      if (topBands.isEmpty) {
+        // flat layout (empty or legacy generation): filtered full read
+        spark.read.schema(BandedIndex.BandsSchema).parquet(genPath)
+          .filter(partPred(buckets) &&
+            graft.expr.native.inLongSet(col("bh"), bhs))
+      } else {
+        val dirs = byBand.toSeq.sortBy(_._1).flatMap { case (b, rows) =>
+          if (!topBands.contains(s"band=$b")) Nil
+          else {
+            val have = fs.listStatus(
+              new org.apache.hadoop.fs.Path(gp, s"band=$b"))
+              .filter(_.isDirectory).map(_.getPath.getName).toSet
+            rows.map(r =>
+              math.floorMod(r.getLong(1), buckets.toLong).toInt)
+              .distinct.sorted.collect {
+                case k if have.contains(s"bkt=$k") =>
+                  s"$genPath/band=$b/bkt=$k"
+              }
+          }
+        }
+        if (dirs.isEmpty) emptyBands()
+        else spark.read.option("basePath", genPath)
+          .schema(BandedIndex.BandsSchema).parquet(dirs: _*)
+          .filter(graft.expr.native.inLongSet(col("bh"), bhs))
+      }
+    }
+    val side = gens.map { g =>
+      val genPath = s"${bandsRoot(root)}/$g"
+      if (lastPruned) prunedScan(genPath, bucketsOf(g))
+      else spark.read.schema(BandedIndex.BandsSchema).parquet(genPath)
     }.reduce(_.unionByName(_))
     if (auditPartitions) {
       lastScannedPartitions = Warehouse.partitionsRead(side)
-      lastTotalPartitions =
-        Warehouse.partitionsRead(scans.map(_._2).reduce(_.unionByName(_)))
+      lastTotalPartitions = Warehouse.partitionsRead(gens.map(g =>
+        spark.read.schema(BandedIndex.BandsSchema)
+          .parquet(s"${bandsRoot(root)}/$g")).reduce(_.unionByName(_)))
     }
     side.select(col("id").as("id_a"), col("band"), col("bh"))
   }

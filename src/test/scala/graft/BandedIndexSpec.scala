@@ -139,6 +139,54 @@ class BandedIndexSpec extends SparkSpec {
     assert(files.length == 8, s"expected 8 band dirs, saw ${files.length}")
   }
 
+  test("direct-path pruned lookup equals the filtered full read, " +
+      "including keys with no (band, bkt) dir") {
+    // r19: pruned lookups construct the needed band=/bkt= paths
+    // directly (partition DISCOVERY of the whole index was the one
+    // per-trigger cost still ∝ index size). The directly-read side
+    // must return exactly what a filtered full-index read returns —
+    // also when some delivery keys hash to directories no index row
+    // ever populated (those dirs don't exist and must contribute
+    // nothing, not error).
+    val layout = BandedIndex(numBuckets = 32, minBucketRows = 1L)
+    val root = tmpDir("band-direct")
+    IncrementalDedup.addDelivery(corpus(0 until 300), root,
+      minJaccard = 1.0, layout = layout)
+    // 6 probe docs: 2 dup twins of survivors (keys exist), 4 fresh
+    // (most of their 32 band keys hash to absent dirs)
+    val probe = corpus(5000 until 5004).union(twin(corpus(3 until 5), 9000L))
+    val keys = IncrementalDedup.state(probe)
+      .select(col("id"),
+        explode(graft.llm.Dedup.bandKeys(col("sig"), 8, 4)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .persist()
+    keys.count()
+    val direct = layout.candidateSide(spark, root, keys, 8, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(layout.lastPruned)
+    // reference: whole bands table, joined on the same key set
+    val allBands = Warehouse.deltaRead(spark, s"$root/bands")
+      .select(col("id").as("id_a"), col("band").cast("int").as("band"),
+        col("bh"))
+    val want = allBands.join(keys.select(col("band"), col("bh")).distinct(),
+        Seq("band", "bh"))
+      .select(col("id_a"), col("band"), col("bh"))
+      .collect().map(_.toString).sorted.toSeq
+    // candidateSide pushes bh IN (...) but not the exact (band, bh)
+    // pair — it may return same-bh rows from another band's dir only
+    // if that (band, bkt) dir was requested; either way the JOIN the
+    // caller performs on (band, bh) lands on `want`. Compare through
+    // the same join to pin end-to-end equality.
+    val got = layout.candidateSide(spark, root, keys, 8, 4)
+      .join(keys.select(col("band"), col("bh")).distinct(),
+        Seq("band", "bh"))
+      .select(col("id_a"), col("band"), col("bh"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "direct-path lookup diverged from full read")
+    assert(direct.nonEmpty, "twin probes must surface index candidates")
+    keys.unpersist()
+  }
+
   test("over-cap delivery falls back to the full scan, same results") {
     val layout = BandedIndex(numBuckets = 32, maxPrunedKeys = 8)
     val root = tmpDir("band-fallback")
