@@ -33,8 +33,11 @@ object NgramAb {
     val base = if (persistBase)
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base0
-    val sh0 = base.select(col("id"), explode(col("arr")).as("shs"))
+    val sh0raw = base.select(col("id"), explode(col("arr")).as("shs"))
       .select(col("id"), xxhash64(col("shs")).as("sh"))
+    val sh0 = if (kind == "unc_postspersist")
+      sh0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0raw
     val capped = !kind.startsWith("unc_")
     val sh = if (!capped) sh0 else kind match {
       case "nopersist" =>
@@ -69,7 +72,7 @@ object NgramAb {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val kinds = Seq("nopersist", "postspersist", "basepersist",
-      "unc_nopersist", "unc_basepersist")
+      "unc_nopersist", "unc_basepersist", "unc_postspersist")
     // result-equality sanity before timing (capped vs capped, unc vs unc)
     def sortedRows(k: String) = {
       val r = variant(docs, k, 0.2).collect().map(_.toString).sorted
@@ -80,8 +83,9 @@ object NgramAb {
       require(sortedRows(k).sameElements(refCap), s"variant $k diverges")
     }
     val refUnc = sortedRows("unc_nopersist")
-    require(sortedRows("unc_basepersist").sameElements(refUnc),
-      "unc_basepersist diverges")
+    Seq("unc_basepersist", "unc_postspersist").foreach { k =>
+      require(sortedRows(k).sameElements(refUnc), s"variant $k diverges")
+    }
     // warmup each
     kinds.foreach { k =>
       variant(docs, k, 0.2).write.format("noop").mode("overwrite").save()
